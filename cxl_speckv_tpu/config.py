@@ -1,0 +1,143 @@
+"""System configuration.
+
+TPU-native analog of the reference's three config mechanisms
+(`src/cxl_speckv_system.h:19-39` SystemConfig struct, constructor defaults,
+and the runtime-mutable prefetch-depth / compression-scheme knobs flowing to
+FPGA registers via `speckv.h:65-66`). Here everything is a dataclass; the
+runtime-mutable knobs (`prefetch depth`, `kv quantization scheme`) remain
+mutable on the live engine via `Engine.set_prefetch_depth` /
+`Engine.set_kv_dtype` mirroring `speckv_set_prefetch_depth` /
+`speckv_set_compression_scheme`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from dataclasses import dataclass, field
+
+
+class KVDtype(str, enum.Enum):
+    """KV-cache storage format.
+
+    TPU-native replacement for the reference compression scheme enum
+    `speckv.h:59-63` (SPECKV_COMP_FP16 / INT8 / INT8_DELTA_RLE). Delta+RLE is
+    intentionally dropped: variable-length encoding is hostile to TPU vector
+    units and defeats static addressing; fixed-ratio quantization achieves the
+    same 2-4x with predictable layout (SURVEY.md section 7.0).
+    """
+
+    BF16 = "bf16"       # no compression (the FP16 analog)
+    INT8 = "int8"       # 2x vs bf16, per-(token, head) scales
+    INT4 = "int4"       # 4x vs bf16, packed two nibbles per byte
+    FP8 = "fp8"         # 2x vs bf16, e4m3 with per-(token, head) scales
+
+    @property
+    def compression_ratio(self) -> float:
+        """Storage compression vs bf16, ignoring the small scale sideband."""
+        return {"bf16": 1.0, "int8": 2.0, "int4": 4.0, "fp8": 2.0}[self.value]
+
+
+@dataclass
+class CacheConfig:
+    """Tiered paged-KV cache geometry.
+
+    Analog of the reference tier sizing (`cxl_speckv_system.h:22-26`
+    l1/l2/l3_size_gb). L1+L2 collapse into one HBM block pool (a reserved
+    fraction acts as the prefetch landing zone, like the reference L2
+    prefetch buffer); L3 becomes the host-DRAM pool.
+    """
+
+    block_size: int = 32                # tokens per KV block (the "page")
+    num_hbm_blocks: int = 512           # HBM-resident slots (L1+L2 analog)
+    num_host_blocks: int = 2048         # host-DRAM slots (the CXL-pool analog)
+    kv_dtype: KVDtype = KVDtype.INT8
+    # Fraction of HBM slots reserved as prefetch landing zone: eviction keeps
+    # at least this many slots free so prefetches never stall on eviction
+    # (analog of the dedicated L2 prefetch buffer, docs/ARCHITECTURE.md).
+    prefetch_reserve_frac: float = 0.125
+    # Hot-block threshold: blocks accessed more than this are never chosen
+    # for demotion while hotter candidates exist (reference hot/cold
+    # classification, access_count > 10, cxl_memory_manager.cpp:245-255).
+    hot_access_threshold: int = 10
+
+    @property
+    def num_reserved_blocks(self) -> int:
+        return max(1, int(self.num_hbm_blocks * self.prefetch_reserve_frac))
+
+    @property
+    def total_blocks(self) -> int:
+        return self.num_hbm_blocks + self.num_host_blocks
+
+    def validate(self) -> None:
+        if self.block_size <= 0 or self.block_size % 8:
+            raise ValueError(f"block_size must be a positive multiple of 8, got {self.block_size}")
+        if self.num_hbm_blocks <= 0:
+            raise ValueError("num_hbm_blocks must be positive")
+        if self.num_host_blocks < 0:
+            raise ValueError("num_host_blocks must be >= 0")
+
+
+@dataclass
+class PrefetchConfig:
+    """Speculative prefetcher knobs.
+
+    Direct port of the reference adaptive-depth policy
+    (`speculative_prefetcher.cpp:99-120`): sliding window of `window`
+    outcomes, depth++ when recent accuracy > `raise_threshold` (cap
+    `max_depth`), depth-- when < `lower_threshold` (floor `min_depth`);
+    LSTM geometry from `lstm_predictor.cpp:14` (2 layers, 128 hidden,
+    64-d embedding, history 16).
+    """
+
+    enabled: bool = True
+    depth: int = 4                      # initial top-k prediction depth
+    min_depth: int = 2
+    max_depth: int = 8
+    accuracy_window: int = 100
+    raise_threshold: float = 0.95
+    lower_threshold: float = 0.85
+    history_len: int = 16
+    lstm_hidden: int = 128
+    lstm_layers: int = 2
+    embed_dim: int = 64
+    # Max in-flight prefetch transfers (reference bounded DMA queue of 16,
+    # speculative_prefetcher.cpp:162-172).
+    max_inflight: int = 16
+
+
+@dataclass
+class EngineConfig:
+    """Continuous-batching engine knobs."""
+
+    max_batch_size: int = 8             # concurrent decode slots
+    max_seq_len: int = 2048
+    prefill_chunk: int = 256            # chunked-prefill tile (token count)
+    max_queue: int = 1024               # pending-request queue bound
+    eos_token_id: int | None = None     # overrides model config when set
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh layout. New vs the reference (SURVEY.md section 2.6)."""
+
+    dp: int = 1                         # data parallel (batch) axis
+    tp: int = 1                         # tensor parallel axis (weights + KV heads)
+    axis_names: tuple[str, str] = ("dp", "tp")
+
+
+@dataclass
+class SystemConfig:
+    """Top-level config, analog of `cxl_speckv_system.h:19-39` SystemConfig."""
+
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    prefetch: PrefetchConfig = field(default_factory=PrefetchConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    seed: int = 0
+
+    def validate(self) -> None:
+        self.cache.validate()
+
+    def replace(self, **kwargs) -> "SystemConfig":
+        return dataclasses.replace(self, **kwargs)

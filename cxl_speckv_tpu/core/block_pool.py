@@ -1,0 +1,146 @@
+"""Per-sequence KV block allocation.
+
+The framework-facing allocator, analog of the reference
+`CXLMemoryAllocator` (`src/integration/memory_allocator.cpp:16-166`) and
+`SpeckvAllocator` (`host/src/speckv_allocator.cpp:8-138`): sequences allocate
+KV capacity in fixed-size blocks ("pages", reference 4KB — here
+`block_size` tokens), the pool tracks the logical blocks per sequence, and the
+residency directory tracks where each block physically lives.
+
+Unlike the reference's byte-granular `cxl_malloc(size, layer_id)`, allocation
+here is *token*-granular and *layer-unified*: one logical block covers that
+token range in every layer's K and V pools (the same physical slot indexes
+every layer pool). This turns the reference's per-layer ioctl storm (80
+prefetch calls per token, SURVEY.md section 3.2 "hot loops") into one
+whole-block migration covering all layers — larger DMA, fewer operations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from cxl_speckv_tpu.config import CacheConfig
+from cxl_speckv_tpu.core.block_table import BlockTable
+from cxl_speckv_tpu.core.directory import BlockState, ResidencyDirectory
+from cxl_speckv_tpu.core.stats import Statistics
+
+
+@dataclass
+class SeqAlloc:
+    seq_slot: int
+    num_tokens: int = 0
+    blocks: list[int] = field(default_factory=list)  # logical bids, in order
+
+
+@dataclass
+class PoolStatistics(Statistics):
+    """Analog of `memory_allocator.h:42-48` allocator counters."""
+
+    seqs_allocated: int = 0
+    seqs_freed: int = 0
+    blocks_allocated: int = 0
+    blocks_freed: int = 0
+    peak_blocks: int = 0
+    alloc_failures: int = 0
+
+
+class BlockPool:
+    """Maps sequence slots to ordered logical blocks; owns the block table."""
+
+    def __init__(self, config: CacheConfig, directory: ResidencyDirectory,
+                 max_seqs: int, max_blocks_per_seq: int):
+        self.config = config
+        self.directory = directory
+        self.table = BlockTable(max_seqs, max_blocks_per_seq)
+        self._seqs: dict[int, SeqAlloc] = {}
+        self._free_slots = list(range(max_seqs - 1, -1, -1))
+        self._deferred_free: list[int] = []
+        self.stats = PoolStatistics()
+
+    # -- sequence lifecycle -------------------------------------------------
+
+    def add_seq(self) -> int | None:
+        """Claim a sequence slot; None when all slots are busy."""
+        if not self._free_slots:
+            return None
+        slot = self._free_slots.pop()
+        self._seqs[slot] = SeqAlloc(seq_slot=slot)
+        self.stats.seqs_allocated += 1
+        return slot
+
+    def free_seq(self, seq_slot: int) -> None:
+        seq = self._seqs.pop(seq_slot)
+        for bid in seq.blocks:
+            e = self.directory.entry(bid)
+            # A block mid-transfer cannot be freed yet; the transfer engine
+            # frees it on completion via the deferred-free list.
+            if e.state in (BlockState.IN_FLIGHT_UP, BlockState.IN_FLIGHT_DOWN):
+                self._deferred_free.append(bid)
+            else:
+                self.directory.free(bid)
+                self.stats.blocks_freed += 1
+        self.table.clear_row(seq_slot)
+        self._free_slots.append(seq_slot)
+        self.stats.seqs_freed += 1
+
+    def reap_deferred(self) -> None:
+        """Free blocks whose in-flight transfers have since completed."""
+        still = []
+        for bid in self._deferred_free:
+            e = self.directory.entry(bid)
+            if e.state in (BlockState.IN_FLIGHT_UP, BlockState.IN_FLIGHT_DOWN):
+                still.append(bid)
+            else:
+                self.directory.free(bid)
+                self.stats.blocks_freed += 1
+        self._deferred_free[:] = still
+
+    # -- capacity growth ----------------------------------------------------
+
+    def blocks_needed(self, seq_slot: int, new_total_tokens: int) -> int:
+        seq = self._seqs[seq_slot]
+        want = -(-new_total_tokens // self.config.block_size)  # ceil
+        return max(0, want - len(seq.blocks))
+
+    def extend(self, seq_slot: int, new_total_tokens: int) -> bool:
+        """Grow a sequence to cover new_total_tokens. Returns False on OOM
+        (no HBM slot available) — the scheduler then evicts or preempts
+        (the backpressure path the reference lacks, SURVEY.md section 5)."""
+        seq = self._seqs[seq_slot]
+        need = self.blocks_needed(seq_slot, new_total_tokens)
+        for _ in range(need):
+            bid = self.directory.allocate(pinned=True)
+            if bid is None:
+                self.stats.alloc_failures += 1
+                return False
+            e = self.directory.entry(bid)
+            self.table.set(seq_slot, len(seq.blocks), e.hbm_slot)
+            seq.blocks.append(bid)
+            self.stats.blocks_allocated += 1
+        seq.num_tokens = new_total_tokens
+        live = sum(len(s.blocks) for s in self._seqs.values())
+        self.stats.peak_blocks = max(self.stats.peak_blocks, live)
+        return True
+
+    # -- accessors ----------------------------------------------------------
+
+    def seq(self, seq_slot: int) -> SeqAlloc:
+        return self._seqs[seq_slot]
+
+    def live_seqs(self) -> list[int]:
+        return list(self._seqs)
+
+    def last_block(self, seq_slot: int) -> int:
+        return self._seqs[seq_slot].blocks[-1]
+
+    def refresh_slot(self, seq_slot: int, block_idx: int) -> None:
+        """Re-sync the table entry after a migration changed the HBM slot."""
+        bid = self._seqs[seq_slot].blocks[block_idx]
+        e = self.directory.entry(bid)
+        self.table.set(seq_slot, block_idx, e.hbm_slot)
+
+    def get_statistics(self) -> PoolStatistics:
+        return self.stats
+
+    def reset_statistics(self) -> None:
+        self.stats.reset()
