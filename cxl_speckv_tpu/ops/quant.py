@@ -1,0 +1,125 @@
+"""KV-cache quantization — the compression engine.
+
+TPU-native replacement for the reference FPGA compression pipeline
+(`hardware/rtl/kv_compress.v:5-203`, software model
+`src/fpga_engine/cache_engine.cpp:40-116`): the reference runs a 20-stage
+FP16 -> INT8 symmetric-quantize -> delta -> RLE pipeline per 128-wide row.
+Here the same capability is fixed-ratio quantization with per-(token, head)
+scales, chosen TPU-first:
+
+- The reference's per-row max-abs/127 symmetric INT8 quantization maps
+  directly: one scale per (token, head) row of the head_dim vector (the RTL's
+  D=128 row, `kv_compress.v:80-86`).
+- Delta + RLE are dropped deliberately: variable-length encoding breaks
+  static addressing and cannot be vectorized on the VPU; INT4 packing delivers
+  the same 3-4x target ratio with O(1) addressing (SURVEY.md section 7.0).
+- Dequantization is *fused into the attention matmul* by the paged-attention
+  kernel (`cxl_speckv_tpu.ops.paged_attention`) so compressed KV is never
+  materialized at full precision in HBM — the analog of the FPGA decompressing
+  on the datapath between CXL and HBM.
+
+All functions are shape-polymorphic over leading dims and quantize along the
+last axis (head_dim). They are pure jnp (XLA fuses them into neighbors);
+append-path Pallas variants live in `quant_pallas.py`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cxl_speckv_tpu.config import KVDtype
+
+_INT8_MAX = 127.0
+_INT4_MAX = 7.0
+_FP8_MAX = 448.0  # float8_e4m3 max normal
+
+
+def kv_storage_dtype(kv_dtype: KVDtype) -> jnp.dtype:
+    """Physical element type of the quantized KV pool."""
+    return {
+        KVDtype.BF16: jnp.bfloat16,
+        KVDtype.INT8: jnp.int8,
+        KVDtype.INT4: jnp.int8,  # two nibbles packed per int8
+        KVDtype.FP8: jnp.float8_e4m3fn,
+    }[kv_dtype]
+
+
+def kv_storage_shape(shape: tuple[int, ...], kv_dtype: KVDtype) -> tuple[int, ...]:
+    """Shape of the quantized buffer for a logical [..., head_dim] shape."""
+    if kv_dtype == KVDtype.INT4:
+        if shape[-1] % 2:
+            raise ValueError("INT4 packing requires even head_dim")
+        return (*shape[:-1], shape[-1] // 2)
+    return shape
+
+
+def _row_scale(x: jax.Array, qmax: float) -> jax.Array:
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return jnp.maximum(amax, 1e-8) / qmax
+
+
+def quantize_kv(x: jax.Array, kv_dtype: KVDtype) -> tuple[jax.Array, jax.Array]:
+    """Quantize [..., head_dim] to (values, scales[..., 1]).
+
+    Symmetric per-row quantization, the analog of `kv_compress.v` stages 1-14
+    (max-abs -> scale=max/127 -> round). Scales are float32 sideband, matching
+    the RTL's scale sideband output (`kv_compress.v:173-192`).
+    """
+    xf = x.astype(jnp.float32)
+    if kv_dtype == KVDtype.BF16:
+        return x.astype(jnp.bfloat16), jnp.ones((*x.shape[:-1], 1), jnp.float32)
+    if kv_dtype == KVDtype.INT8:
+        scale = _row_scale(xf, _INT8_MAX)
+        q = jnp.clip(jnp.round(xf / scale), -_INT8_MAX, _INT8_MAX).astype(jnp.int8)
+        return q, scale
+    if kv_dtype == KVDtype.INT4:
+        scale = _row_scale(xf, _INT4_MAX)
+        q = jnp.clip(jnp.round(xf / scale), -_INT4_MAX, _INT4_MAX).astype(jnp.int8)
+        # Pack two signed nibbles per int8: low nibble = even idx, high = odd.
+        lo = q[..., 0::2] & 0x0F
+        hi = q[..., 1::2] & 0x0F
+        return (lo | (hi << 4)).astype(jnp.int8), scale
+    if kv_dtype == KVDtype.FP8:
+        scale = _row_scale(xf, _FP8_MAX)
+        q = (xf / scale).astype(jnp.float8_e4m3fn)
+        return q, scale
+    raise ValueError(f"unknown kv_dtype {kv_dtype}")
+
+
+def _unpack_int4(q: jax.Array) -> jax.Array:
+    """Unpack [..., D//2] int8 nibbles to [..., D] int8 in [-8, 7]."""
+    lo = (q << 4).astype(jnp.int8) >> 4          # sign-extend low nibble
+    hi = q >> 4                                   # arithmetic shift: sign-extends
+    d2 = q.shape[-1]
+    out = jnp.stack([lo, hi], axis=-1).reshape(*q.shape[:-1], d2 * 2)
+    return out
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, kv_dtype: KVDtype,
+                  out_dtype=jnp.float32) -> jax.Array:
+    """Exact inverse of `quantize_kv` up to rounding — the `kv_decompress.v`
+    analog (`decompress(compress(x)) ~= x`, `cache_engine.cpp:84-116`)."""
+    if kv_dtype == KVDtype.BF16:
+        return q.astype(out_dtype)
+    if kv_dtype == KVDtype.INT4:
+        q = _unpack_int4(q)
+    return (q.astype(jnp.float32) * scale).astype(out_dtype)
+
+
+def quantization_rms_error(x: jax.Array, kv_dtype: KVDtype) -> jax.Array:
+    """Relative RMS round-trip error — the accuracy-preservation metric
+    (reference claims 99.5% accuracy post-compression, BASELINE.md)."""
+    q, s = quantize_kv(x, kv_dtype)
+    xhat = dequantize_kv(q, s, kv_dtype)
+    xf = x.astype(jnp.float32)
+    return jnp.sqrt(jnp.mean((xhat - xf) ** 2) / jnp.maximum(jnp.mean(xf**2), 1e-12))
+
+
+def compressed_bytes_per_token(num_kv_heads: int, head_dim: int, kv_dtype: KVDtype) -> int:
+    """Storage bytes per token per layer for K+V including the scale sideband
+    (the compression-ratio accounting of `cache_engine.cpp:25-33`)."""
+    elem = {KVDtype.BF16: 2.0, KVDtype.INT8: 1.0, KVDtype.INT4: 0.5, KVDtype.FP8: 1.0}[kv_dtype]
+    data = 2 * num_kv_heads * head_dim * elem           # K and V
+    sideband = 0 if kv_dtype == KVDtype.BF16 else 2 * num_kv_heads * 4
+    return int(data + sideband)
