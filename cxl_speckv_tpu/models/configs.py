@@ -1,0 +1,83 @@
+"""Llama-family model configurations.
+
+The reference contains no model forward pass (SURVEY.md: "the LLM is
+external", `host/python/vllm_speckv_backend.py:104-129` shows the intended
+vLLM decode loop) — the model family here is the decode engine the reference
+assumes exists, covering the BASELINE.json configs: Llama-3.2-1B,
+Llama-3-8B, Llama-3-70B.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class RopeScaling:
+    """Llama-3 frequency-banded rope scaling (matches HF `rope_scaling`)."""
+
+    factor: float = 8.0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position: int = 8192
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_q_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    rope_scaling: RopeScaling | None = None
+    rms_eps: float = 1e-5
+    tie_embeddings: bool = False
+    max_seq_len: int = 8192
+    eos_token_id: int = 128009
+    dtype: str = "bfloat16"
+
+    @property
+    def q_group(self) -> int:
+        return self.num_q_heads // self.num_kv_heads
+
+
+def llama_3_2_1b() -> LlamaConfig:
+    return LlamaConfig(
+        hidden_size=2048, intermediate_size=8192, num_layers=16,
+        num_q_heads=32, num_kv_heads=8, head_dim=64,
+        rope_scaling=RopeScaling(factor=32.0), tie_embeddings=True,
+        max_seq_len=131072,
+    )
+
+
+def llama_3_8b() -> LlamaConfig:
+    return LlamaConfig(rope_scaling=RopeScaling(factor=8.0), max_seq_len=131072)
+
+
+def llama_3_70b() -> LlamaConfig:
+    return LlamaConfig(
+        hidden_size=8192, intermediate_size=28672, num_layers=80,
+        num_q_heads=64, num_kv_heads=8, head_dim=128,
+        rope_scaling=RopeScaling(factor=8.0), max_seq_len=131072,
+    )
+
+
+def tiny_test_config(vocab: int = 256) -> LlamaConfig:
+    """Small config for CPU tests; dims chosen to exercise GQA + TP sharding."""
+    return LlamaConfig(
+        vocab_size=vocab, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_q_heads=4, num_kv_heads=2, head_dim=16, rope_theta=10000.0,
+        rms_eps=1e-5, tie_embeddings=False, max_seq_len=512, eos_token_id=0,
+        dtype="float32",
+    )
+
+
+PRESETS = {
+    "llama-3.2-1b": llama_3_2_1b,
+    "llama-3-8b": llama_3_8b,
+    "llama-3-70b": llama_3_70b,
+    "tiny": tiny_test_config,
+}

@@ -1,0 +1,172 @@
+"""Pallas fused-dequant paged attention (decode path).
+
+The flagship kernel (SURVEY.md section 7.3 "hard parts"): streams quantized
+KV blocks HBM -> VMEM through the block table, dequantizes in-register, and
+runs online-softmax (flash) attention. Compressed KV is never materialized at
+full precision — the TPU-native analog of the FPGA decompressing on the
+datapath between CXL pool and HBM (`hardware/rtl/kv_decompress.v`), fused one
+level further into the attention matmul itself.
+
+Design:
+- Grid (batch, kv_head, kv_block); the block table and sequence lengths ride
+  scalar prefetch (`PrefetchScalarGridSpec`) so BlockSpec index_maps resolve
+  the *physical* pool slot of each logical block before the pipeline DMAs it
+  — the device-side page walk (analog of `hardware/rtl/atu.v`, reduced to one
+  indexed gather).
+- Per-row scales fold into the matmuls: K scales multiply score columns
+  post-QK^T, V scales fold into the attention weights pre-WV. The MXU sees
+  raw quantized values upcast in-register; HBM traffic stays compressed.
+- Online softmax accumulators live in VMEM scratch across the kv_block grid
+  dimension (sequential on TPU), giving flash-decoding without a second pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cxl_speckv_tpu.config import KVDtype
+from cxl_speckv_tpu.ops.pallas_utils import interpret_mode
+
+NEG_INF = -1e30
+
+
+def _dequant_tile(raw: jax.Array, kv_dtype: KVDtype, head_dim: int) -> jax.Array:
+    """Raw quantized [bs, D/pack] tile -> float32 [bs, D] (scales separate)."""
+    if kv_dtype == KVDtype.INT4:
+        lo = (raw << 4).astype(jnp.int8) >> 4
+        hi = raw >> 4
+        raw = jnp.stack([lo, hi], axis=-1).reshape(raw.shape[0], head_dim)
+    return raw.astype(jnp.float32)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    table_ref,   # [B, max_blocks] int32 (SMEM)
+    lens_ref,    # [B] int32 (SMEM)
+    # blocks
+    q_ref,       # [1, G, D]
+    k_ref,       # [1, bs, 1, D/pack]
+    v_ref,
+    ks_ref,      # [1, 1, bs] f32
+    vs_ref,
+    o_ref,       # [1, G, D]
+    # scratch
+    acc_ref,     # [G, D] f32
+    m_ref,       # [G, 1] f32
+    l_ref,       # [G, 1] f32
+    *,
+    kv_dtype: KVDtype,
+    block_size: int,
+    head_dim: int,
+    sm_scale: float,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    num_blocks = pl.num_programs(2)
+    seq_len = lens_ref[b]
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    block_start = i * block_size
+
+    @pl.when(block_start < seq_len)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)                      # [G, D]
+        k = _dequant_tile(k_ref[0, :, 0, :], kv_dtype, head_dim)  # [bs, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # [G, bs]
+        s = s * ks_ref[0, 0, :][None, :] * sm_scale
+        pos = block_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < seq_len, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)                                # [G, bs]
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = _dequant_tile(v_ref[0, :, 0, :], kv_dtype, head_dim)  # [bs, D]
+        pv = p * vs_ref[0, 0, :][None, :]
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            pv, v, preferred_element_type=jnp.float32
+        )
+        m_ref[:] = m_new
+
+    @pl.when(i == num_blocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kv_dtype", "sm_scale", "interpret")
+)
+def paged_attention(
+    q: jax.Array,              # [B, num_q_heads, head_dim]
+    k_pool: jax.Array,         # [num_slots, block_size, H_kv, D/pack]
+    v_pool: jax.Array,
+    k_scale: jax.Array,        # [num_slots, H_kv, block_size] f32
+    v_scale: jax.Array,
+    block_table: jax.Array,    # [B, max_blocks] int32, clamped >= 0
+    seq_lens: jax.Array,       # [B] int32
+    kv_dtype: KVDtype,
+    sm_scale: float | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    B, num_q_heads, head_dim = q.shape
+    num_slots, block_size, num_kv_heads, _ = k_pool.shape
+    max_blocks = block_table.shape[1]
+    group = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    if interpret is None:
+        interpret = interpret_mode()
+    pack = 2 if kv_dtype == KVDtype.INT4 else 1
+
+    kernel = functools.partial(
+        _decode_kernel,
+        kv_dtype=kv_dtype,
+        block_size=block_size,
+        head_dim=head_dim,
+        sm_scale=float(sm_scale),
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, num_kv_heads, max_blocks),
+        in_specs=[
+            pl.BlockSpec((1, group, head_dim), lambda b, h, i, t, l: (b, h, 0)),
+            pl.BlockSpec(
+                (1, block_size, 1, head_dim // pack),
+                lambda b, h, i, t, l: (t[b, i], 0, h, 0),
+            ),
+            pl.BlockSpec(
+                (1, block_size, 1, head_dim // pack),
+                lambda b, h, i, t, l: (t[b, i], 0, h, 0),
+            ),
+            pl.BlockSpec((1, 1, block_size), lambda b, h, i, t, l: (t[b, i], h, 0)),
+            pl.BlockSpec((1, 1, block_size), lambda b, h, i, t, l: (t[b, i], h, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, group, head_dim), lambda b, h, i, t, l: (b, h, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((group, head_dim), jnp.float32),
+            pltpu.VMEM((group, 1), jnp.float32),
+            pltpu.VMEM((group, 1), jnp.float32),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, num_q_heads, head_dim), q.dtype),
+        interpret=interpret,
+    )(block_table, seq_lens, q, k_pool, v_pool, k_scale, v_scale)

@@ -1,0 +1,136 @@
+"""Reference (pure-jnp) paged attention over the quantized block pool.
+
+Semantics contract for the Pallas kernel in `paged_attention.py` — tested
+equal. Gathers KV blocks through the block table, dequantizes, and runs
+masked softmax attention. This materializes dequantized KV (fine on CPU /
+for testing); the Pallas kernel streams blocks and never materializes them.
+
+Pool layout (per layer):
+    k_pool, v_pool : [num_slots, block_size, num_kv_heads, head_dim/pack]
+    k_scale, v_scale : [num_slots, num_kv_heads, block_size] float32
+
+The per-row scales make dequantization *post-matmul*: for K,
+q . (k_q * s)^T == (q . k_q^T) * s^T, and for V, (w * s_v) . v_q — so the
+matmuls run on raw quantized values and scales fold into the score/weight
+vectors. This is the TPU analog of the FPGA decompressing on the datapath
+(`hardware/rtl/kv_decompress.v`): compressed KV never exists at full
+precision in memory.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cxl_speckv_tpu.config import KVDtype
+from cxl_speckv_tpu.ops.quant import _unpack_int4
+
+NEG_INF = -1e30
+
+
+def _dequant_block(q: jax.Array, kv_dtype: KVDtype) -> jax.Array:
+    """Raw quantized values -> float32 (scales applied separately)."""
+    if kv_dtype == KVDtype.INT4:
+        q = _unpack_int4(q)
+    return q.astype(jnp.float32)
+
+
+def paged_attention_ref(
+    q: jax.Array,              # [B, num_q_heads, head_dim]
+    k_pool: jax.Array,         # [num_slots, block_size, H_kv, D/pack]
+    v_pool: jax.Array,
+    k_scale: jax.Array,        # [num_slots, H_kv, block_size]
+    v_scale: jax.Array,
+    block_table: jax.Array,    # [B, max_blocks] int32 (clamped >= 0)
+    seq_lens: jax.Array,       # [B] int32, includes the token(s) being decoded
+    kv_dtype: KVDtype,
+    sm_scale: float | None = None,
+) -> jax.Array:
+    """Decode-step attention: one query token per sequence."""
+    B, num_q_heads, head_dim = q.shape
+    _, block_size, num_kv_heads, _ = k_pool.shape
+    group = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+
+    def per_seq(q_b, table_b, len_b):
+        # gather and dequantize this sequence's blocks
+        k = _dequant_block(k_pool[table_b], kv_dtype)     # [M, bs, Hkv, D]
+        v = _dequant_block(v_pool[table_b], kv_dtype)
+        ks = k_scale[table_b]                              # [M, Hkv, bs]
+        vs = v_scale[table_b]
+        M = table_b.shape[0]
+        L = M * block_size
+        k = k.reshape(L, num_kv_heads, head_dim)
+        v = v.reshape(L, num_kv_heads, head_dim)
+        ks = ks.transpose(0, 2, 1).reshape(L, num_kv_heads)  # [L, Hkv]
+        vs = vs.transpose(0, 2, 1).reshape(L, num_kv_heads)
+
+        qg = q_b.reshape(num_kv_heads, group, head_dim).astype(jnp.float32)
+        # scores: [Hkv, G, L]; K dequant applied post-matmul via ks
+        scores = jnp.einsum("hgd,lhd->hgl", qg, k) * ks.T[:, None, :] * sm_scale
+        pos = jnp.arange(L)
+        scores = jnp.where(pos[None, None, :] < len_b, scores, NEG_INF)
+        w = jax.nn.softmax(scores, axis=-1)
+        # V dequant folded into the weights
+        out = jnp.einsum("hgl,lhd->hgd", w * vs.T[:, None, :], v)
+        return out.reshape(num_q_heads, head_dim)
+
+    return jax.vmap(per_seq)(q, block_table, seq_lens).astype(q.dtype)
+
+
+def prefill_attention_ref(
+    q: jax.Array,              # [T, num_q_heads, head_dim] fresh queries
+    k_new: jax.Array,          # [T, H_kv, D] fresh (unquantized) keys
+    v_new: jax.Array,
+    start_pos: int,            # absolute position of q[0] (tokens before chunk)
+    k_pool: jax.Array | None = None,   # context already in the pool
+    v_pool: jax.Array | None = None,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+    block_table_row: jax.Array | None = None,  # [max_blocks] for this seq
+    kv_dtype: KVDtype = KVDtype.INT8,
+    sm_scale: float | None = None,
+) -> jax.Array:
+    """Chunked-prefill attention for a single sequence.
+
+    Causal over the fresh chunk, plus full attention to the `start_pos`
+    context tokens already resident (quantized) in the pool.
+    """
+    T, num_q_heads, head_dim = q.shape
+    num_kv_heads = k_new.shape[1]
+    group = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+
+    qg = q.reshape(T, num_kv_heads, group, head_dim).astype(jnp.float32)
+    kf = k_new.astype(jnp.float32)
+    vf = v_new.astype(jnp.float32)
+    # causal scores within the chunk: [Hkv, G, T, T]
+    scores_new = jnp.einsum("thgd,shd->hgts", qg, kf) * sm_scale
+    t_idx = jnp.arange(T)
+    causal = t_idx[:, None] >= t_idx[None, :]
+    scores_new = jnp.where(causal[None, None], scores_new, NEG_INF)
+
+    if start_pos and k_pool is not None:
+        block_size = k_pool.shape[1]
+        k_ctx = _dequant_block(k_pool[block_table_row], kv_dtype)
+        v_ctx = _dequant_block(v_pool[block_table_row], kv_dtype)
+        M = block_table_row.shape[0]
+        L = M * block_size
+        k_ctx = k_ctx.reshape(L, num_kv_heads, head_dim)
+        v_ctx = v_ctx.reshape(L, num_kv_heads, head_dim)
+        ks = k_scale[block_table_row].transpose(0, 2, 1).reshape(L, num_kv_heads)
+        vs = v_scale[block_table_row].transpose(0, 2, 1).reshape(L, num_kv_heads)
+        scores_ctx = jnp.einsum("thgd,lhd->hgtl", qg, k_ctx) * ks.T[:, None, None, :] * sm_scale
+        pos = jnp.arange(L)
+        scores_ctx = jnp.where(pos[None, None, None, :] < start_pos, scores_ctx, NEG_INF)
+        scores = jnp.concatenate([scores_ctx, scores_new], axis=-1)
+        w = jax.nn.softmax(scores, axis=-1)
+        w_ctx, w_new = w[..., :L], w[..., L:]
+        out = jnp.einsum("hgtl,lhd->thgd", w_ctx * vs.T[:, None, None, :], v_ctx)
+        out = out + jnp.einsum("hgts,shd->thgd", w_new, vf)
+    else:
+        w = jax.nn.softmax(scores_new, axis=-1)
+        out = jnp.einsum("hgts,shd->thgd", w, vf)
+    return out.reshape(T, num_q_heads, head_dim).astype(q.dtype)

@@ -1,0 +1,99 @@
+"""Paged attention: reference vs naive dense, Pallas vs reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cxl_speckv_tpu.config import KVDtype
+from cxl_speckv_tpu.ops.paged_attention import paged_attention
+from cxl_speckv_tpu.ops.paged_attention_ref import (
+    paged_attention_ref,
+    prefill_attention_ref,
+)
+
+from helpers import build_pools, dense_attention
+
+BLOCK = 8
+HQ, HKV, D = 4, 2, 64
+
+
+def setup(kv_dtype, lens=(5, 17, 32), seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 2 * len(lens) + 1)
+    keys = [jax.random.normal(ks[2 * i], (L, HKV, D)) for i, L in enumerate(lens)]
+    vals = [jax.random.normal(ks[2 * i + 1], (L, HKV, D)) for i, L in enumerate(lens)]
+    pools = build_pools(keys, vals, BLOCK, num_slots=32, kv_dtype=kv_dtype)
+    q = jax.random.normal(ks[-1], (len(lens), HQ, D))
+    return q, pools
+
+
+@pytest.mark.parametrize("dt", [KVDtype.BF16, KVDtype.INT8, KVDtype.INT4, KVDtype.FP8])
+def test_ref_matches_dense(dt):
+    q, (kp, vp, ks, vs, table, lens, k_deq, v_deq) = setup(dt)
+    out = paged_attention_ref(q, kp, vp, ks, vs, table, lens, dt)
+    for b in range(len(lens)):
+        want = dense_attention(q[b][None], k_deq[b], v_deq[b])
+        np.testing.assert_allclose(np.asarray(out[b]), np.asarray(want[0]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("dt", [KVDtype.BF16, KVDtype.INT8, KVDtype.INT4, KVDtype.FP8])
+def test_pallas_matches_ref(dt):
+    q, (kp, vp, ks, vs, table, lens, _, _) = setup(dt)
+    want = paged_attention_ref(q, kp, vp, ks, vs, table, lens, dt)
+    got = paged_attention(q, kp, vp, ks, vs, table, lens, dt, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_single_block_seq():
+    q, (kp, vp, ks, vs, table, lens, _, _) = setup(KVDtype.INT8, lens=(3,))
+    want = paged_attention_ref(q, kp, vp, ks, vs, table, lens, KVDtype.INT8)
+    got = paged_attention(q, kp, vp, ks, vs, table, lens, KVDtype.INT8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_mha_group1():
+    # num_q_heads == num_kv_heads (group=1)
+    lens = (9, 24)
+    ksplit = jax.random.split(jax.random.PRNGKey(7), 5)
+    keys = [jax.random.normal(ksplit[i], (L, HQ, D)) for i, L in enumerate(lens)]
+    vals = [jax.random.normal(ksplit[i + 2], (L, HQ, D)) for i, L in enumerate(lens)]
+    pools = build_pools(keys, vals, BLOCK, 16, KVDtype.INT8)
+    kp, vp, ks, vs, table, seq_lens, _, _ = pools
+    q = jax.random.normal(ksplit[4], (2, HQ, D))
+    want = paged_attention_ref(q, kp, vp, ks, vs, table, seq_lens, KVDtype.INT8)
+    got = paged_attention(q, kp, vp, ks, vs, table, seq_lens, KVDtype.INT8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_prefill_causal_no_context():
+    T = 12
+    kk = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kk[0], (T, HQ, D))
+    k = jax.random.normal(kk[1], (T, HKV, D))
+    v = jax.random.normal(kk[2], (T, HKV, D))
+    out = prefill_attention_ref(q, k, v, start_pos=0)
+    want = dense_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_prefill_with_pool_context():
+    # chunk of 6 tokens arriving after 10 context tokens already in the pool
+    ctx_len, T = 10, 6
+    dt = KVDtype.INT8
+    kk = jax.random.split(jax.random.PRNGKey(4), 7)
+    k_ctx = jax.random.normal(kk[0], (ctx_len, HKV, D))
+    v_ctx = jax.random.normal(kk[1], (ctx_len, HKV, D))
+    kp, vp, ks, vs, table, _, k_deq, v_deq = build_pools(
+        [k_ctx], [v_ctx], BLOCK, 8, dt)
+    q = jax.random.normal(kk[2], (T, HQ, D))
+    k_new = jax.random.normal(kk[3], (T, HKV, D))
+    v_new = jax.random.normal(kk[4], (T, HKV, D))
+    out = prefill_attention_ref(
+        q, k_new, v_new, start_pos=ctx_len,
+        k_pool=kp, v_pool=vp, k_scale=ks, v_scale=vs,
+        block_table_row=table[0], kv_dtype=dt)
+    k_all = jnp.concatenate([k_deq[0], k_new.astype(jnp.float32)])
+    v_all = jnp.concatenate([v_deq[0], v_new.astype(jnp.float32)])
+    want = dense_attention(q, k_all, v_all, causal=True, q_start=ctx_len)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-4, atol=1e-4)
