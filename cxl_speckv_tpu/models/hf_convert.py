@@ -1,0 +1,85 @@
+"""HuggingFace Llama checkpoint conversion.
+
+Maps a `transformers.LlamaForCausalLM` state dict onto our stacked-layer
+pytree (`models/llama.py:init_params` layout). Torch is only imported here
+(CPU, conversion-time); the serving path is torch-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cxl_speckv_tpu.models.configs import LlamaConfig, RopeScaling
+
+
+def config_from_hf(hf_config) -> LlamaConfig:
+    rs = None
+    raw = getattr(hf_config, "rope_scaling", None)
+    if raw and raw.get("rope_type", raw.get("type")) == "llama3":
+        rs = RopeScaling(
+            factor=raw["factor"],
+            low_freq_factor=raw["low_freq_factor"],
+            high_freq_factor=raw["high_freq_factor"],
+            original_max_position=raw["original_max_position_embeddings"],
+        )
+    head_dim = getattr(hf_config, "head_dim", None) or (
+        hf_config.hidden_size // hf_config.num_attention_heads
+    )
+    eos = hf_config.eos_token_id
+    if isinstance(eos, (list, tuple)):
+        eos = eos[0]
+    return LlamaConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        intermediate_size=hf_config.intermediate_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_q_heads=hf_config.num_attention_heads,
+        num_kv_heads=hf_config.num_key_value_heads,
+        head_dim=head_dim,
+        rope_theta=hf_config.rope_theta,
+        rope_scaling=rs,
+        rms_eps=hf_config.rms_norm_eps,
+        tie_embeddings=hf_config.tie_word_embeddings,
+        max_seq_len=hf_config.max_position_embeddings,
+        eos_token_id=eos if eos is not None else -1,
+    )
+
+
+def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None):
+    """Convert HF tensors (torch or numpy) to our pytree. Linear weights are
+    stored [out, in] in HF; we keep [in, out] so forward is `x @ W`."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.dtype(config.dtype)
+
+    def get(name):
+        t = state_dict[name]
+        if hasattr(t, "detach"):
+            t = t.detach().to("cpu").float().numpy()
+        return np.asarray(t, dtype=np.float32)
+
+    L = config.num_layers
+
+    def stack(fmt, transpose=True):
+        ws = [get(fmt.format(i)) for i in range(L)]
+        ws = [w.T if transpose else w for w in ws]
+        return jnp.asarray(np.stack(ws), dtype=dtype)
+
+    p = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype=dtype),
+        "layers": {
+            "attn_norm": stack("model.layers.{}.input_layernorm.weight", transpose=False),
+            "q": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "k": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "v": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "o": stack("model.layers.{}.self_attn.o_proj.weight"),
+            "mlp_norm": stack("model.layers.{}.post_attention_layernorm.weight", transpose=False),
+            "gate": stack("model.layers.{}.mlp.gate_proj.weight"),
+            "up": stack("model.layers.{}.mlp.up_proj.weight"),
+            "down": stack("model.layers.{}.mlp.down_proj.weight"),
+        },
+        "final_norm": jnp.asarray(get("model.norm.weight"), dtype=dtype),
+    }
+    if not config.tie_embeddings:
+        p["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype=dtype)
+    return p

@@ -1,0 +1,363 @@
+"""Llama-family model: functional JAX forward over the paged quantized KV cache.
+
+Pure-pytree parameters (no flax module state), layer weights stacked on a
+leading axis and iterated with `lax.scan` so an 80-layer model traces as one
+loop — compiler-friendly control flow, constant compile time in depth.
+
+Numerics follow the HF `LlamaForCausalLM` conventions exactly (rotate-half
+RoPE on the full head dim, frequency-banded Llama-3 rope scaling, RMSNorm in
+float32) so converted checkpoints are logit-compatible — verified by
+`tests/test_model.py` against transformers.
+
+Two attention paths share one signature:
+- dense prefill attention over the fresh chunk (+ quantized pool context),
+- paged decode attention over the quantized block pools
+  (`ops/paged_attention.py` Pallas kernel on TPU, jnp reference elsewhere).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from cxl_speckv_tpu.config import KVDtype
+from cxl_speckv_tpu.models.configs import LlamaConfig
+from cxl_speckv_tpu.ops.paged_attention import paged_attention
+from cxl_speckv_tpu.ops.paged_attention_ref import paged_attention_ref
+from cxl_speckv_tpu.ops.quant import quantize_kv
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# parameter init / structure
+# ---------------------------------------------------------------------------
+
+def init_params(config: LlamaConfig, key: jax.Array, dtype=None) -> Params:
+    """Random-init parameters with the canonical tree layout:
+
+    embed    [V, H]
+    layers   dict of stacked [L, ...] leaves:
+        attn_norm [L, H], q [L, H, Hq*D], k [L, H, Hkv*D], v [L, H, Hkv*D],
+        o [L, Hq*D, H], mlp_norm [L, H], gate [L, H, I], up [L, H, I],
+        down [L, I, H]
+    final_norm [H]
+    lm_head  [H, V] (absent when tie_embeddings)
+    """
+    c = config
+    dtype = dtype or jnp.dtype(c.dtype)
+    keys = iter(jax.random.split(key, 16))
+    L, H, I, V = c.num_layers, c.hidden_size, c.intermediate_size, c.vocab_size
+    qd, kvd = c.num_q_heads * c.head_dim, c.num_kv_heads * c.head_dim
+
+    def w(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) * fan_in**-0.5).astype(dtype)
+
+    params: Params = {
+        "embed": w(next(keys), (V, H), H),
+        "layers": {
+            "attn_norm": jnp.ones((L, H), dtype),
+            "q": w(next(keys), (L, H, qd), H),
+            "k": w(next(keys), (L, H, kvd), H),
+            "v": w(next(keys), (L, H, kvd), H),
+            "o": w(next(keys), (L, qd, H), qd),
+            "mlp_norm": jnp.ones((L, H), dtype),
+            "gate": w(next(keys), (L, H, I), H),
+            "up": w(next(keys), (L, H, I), H),
+            "down": w(next(keys), (L, I, H), I),
+        },
+        "final_norm": jnp.ones((H,), dtype),
+    }
+    if not c.tie_embeddings:
+        params["lm_head"] = w(next(keys), (H, V), H)
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
+
+
+def rope_frequencies(config: LlamaConfig) -> jax.Array:
+    """Inverse frequencies [D/2], with Llama-3 banded scaling (HF-compatible)."""
+    c = config
+    inv = 1.0 / (c.rope_theta ** (jnp.arange(0, c.head_dim, 2, dtype=jnp.float32) / c.head_dim))
+    if c.rope_scaling is not None:
+        s = c.rope_scaling
+        wavelen = 2.0 * jnp.pi / inv
+        low_wl = s.original_max_position / s.low_freq_factor
+        high_wl = s.original_max_position / s.high_freq_factor
+        smooth = (s.original_max_position / wavelen - s.low_freq_factor) / (
+            s.high_freq_factor - s.low_freq_factor
+        )
+        scaled = jnp.where(
+            wavelen > low_wl,
+            inv / s.factor,
+            jnp.where(
+                wavelen < high_wl,
+                inv,
+                (1 - smooth) * inv / s.factor + smooth * inv,
+            ),
+        )
+        inv = scaled
+    return inv
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array) -> jax.Array:
+    """Rotate-half RoPE, HF convention. x: [..., T, heads, D], positions [..., T]."""
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # [..., T, D/2]
+    cos = jnp.cos(angles)[..., None, :]  # [..., T, 1, D/2]
+    sin = jnp.sin(angles)[..., None, :]
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2].astype(jnp.float32), x[..., d2:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _mlp(x, gate, up, down):
+    h = jax.nn.silu(x @ gate) * (x @ up)
+    return h @ down
+
+
+# ---------------------------------------------------------------------------
+# decode step (paged attention over the pools)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "use_pallas"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
+)
+def decode_step(
+    params: Params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    token_ids: jax.Array,     # [B] int32
+    positions: jax.Array,     # [B] int32 — position of this token (= seq_len-1)
+    k_pools: jax.Array,       # [L, S, bs, Hkv, D/pack]
+    v_pools: jax.Array,
+    k_scales: jax.Array,      # [L, S, Hkv, bs]
+    v_scales: jax.Array,
+    block_table: jax.Array,   # [B, max_blocks] int32 (clamped)
+    seq_lens: jax.Array,      # [B] int32 — length INCLUDING this token
+    *,
+    use_pallas: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One decode step for a batch of sequences.
+
+    Appends this token's quantized KV into the pools (in-place under jit via
+    donation), then attends over the pool including it. Returns
+    (logits [B, V], k_pools, v_pools, k_scales, v_scales).
+    """
+    c = config
+    B = token_ids.shape[0]
+    bs = k_pools.shape[2]
+    inv_freq = rope_frequencies(c)
+    x = params["embed"][token_ids]  # [B, H]
+
+    # physical scatter coordinates of this token
+    blk = positions // bs
+    slots = jnp.take_along_axis(block_table, blk[:, None], axis=1)[:, 0]  # [B]
+    offs = positions % bs
+
+    attend = paged_attention if use_pallas else paged_attention_ref
+
+    def layer(carry, xs):
+        x, k_pools, v_pools, k_scales, v_scales = carry
+        (lp, li) = xs
+        h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+        q = (h @ lp["q"]).reshape(B, c.num_q_heads, c.head_dim)
+        k = (h @ lp["k"]).reshape(B, c.num_kv_heads, c.head_dim)
+        v = (h @ lp["v"]).reshape(B, c.num_kv_heads, c.head_dim)
+        # rope expects a T axis: treat B as T with per-token positions
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+
+        # quantize + scatter this token's KV into layer li of the pools
+        kq, ks = quantize_kv(k, kv_dtype)   # [B, Hkv, D/pack], [B, Hkv, 1]
+        vq, vs = quantize_kv(v, kv_dtype)
+        kp = jax.lax.dynamic_index_in_dim(k_pools, li, 0, keepdims=False)
+        vp = jax.lax.dynamic_index_in_dim(v_pools, li, 0, keepdims=False)
+        ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
+        vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
+        kp = kp.at[slots, offs].set(kq.astype(kp.dtype))
+        vp = vp.at[slots, offs].set(vq.astype(vp.dtype))
+        ksc = ksc.at[slots, :, offs].set(ks[:, :, 0])
+        vsc = vsc.at[slots, :, offs].set(vs[:, :, 0])
+
+        o = attend(q, kp, vp, ksc, vsc, block_table, seq_lens, kv_dtype)
+        x = x + (o.reshape(B, -1).astype(x.dtype) @ lp["o"])
+        h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
+        x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
+
+        k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)
+        v_pools = jax.lax.dynamic_update_index_in_dim(v_pools, vp, li, 0)
+        k_scales = jax.lax.dynamic_update_index_in_dim(k_scales, ksc, li, 0)
+        v_scales = jax.lax.dynamic_update_index_in_dim(v_scales, vsc, li, 0)
+        return (x, k_pools, v_pools, k_scales, v_scales), None
+
+    layer_idx = jnp.arange(c.num_layers)
+    (x, k_pools, v_pools, k_scales, v_scales), _ = jax.lax.scan(
+        layer, (x, k_pools, v_pools, k_scales, v_scales),
+        (params["layers"], layer_idx),
+    )
+
+    x = rms_norm(x, params["final_norm"], c.rms_eps)
+    head = params["embed"].T if config.tie_embeddings else params["lm_head"]
+    logits = (x @ head).astype(jnp.float32)
+    return logits, k_pools, v_pools, k_scales, v_scales
+
+
+# ---------------------------------------------------------------------------
+# prefill (chunked; dense causal + pool context)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
+)
+def prefill_chunk(
+    params: Params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    token_ids: jax.Array,     # [T] int32 — one sequence's chunk
+    start_pos: jax.Array,     # scalar int32: absolute position of token_ids[0]
+    k_pools: jax.Array,
+    v_pools: jax.Array,
+    k_scales: jax.Array,
+    v_scales: jax.Array,
+    table_row: jax.Array,     # [max_blocks] int32 for this sequence
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Prefill T prompt tokens for one sequence; returns logits for the last
+    token and updated pools. Attends causally within the chunk and fully to
+    the `start_pos` context tokens already quantized in the pool.
+    """
+    from cxl_speckv_tpu.ops.paged_attention_ref import NEG_INF, _dequant_block
+
+    c = config
+    T = token_ids.shape[0]
+    bs = k_pools.shape[2]
+    max_blocks = table_row.shape[0]
+    L_ctx = max_blocks * bs
+    inv_freq = rope_frequencies(c)
+    positions = start_pos + jnp.arange(T)
+    x = params["embed"][token_ids]  # [T, H]
+
+    slots = table_row[positions // bs]   # [T]
+    offs = positions % bs
+    t_idx = jnp.arange(T)
+    causal = t_idx[:, None] >= t_idx[None, :]
+    ctx_mask = jnp.arange(L_ctx)[None, :] < start_pos  # [1, L_ctx]
+    sm = c.head_dim**-0.5
+
+    def layer(carry, xs):
+        x, k_pools, v_pools, k_scales, v_scales = carry
+        (lp, li) = xs
+        h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+        q = (h @ lp["q"]).reshape(T, c.num_q_heads, c.head_dim)
+        k = (h @ lp["k"]).reshape(T, c.num_kv_heads, c.head_dim)
+        v = (h @ lp["v"]).reshape(T, c.num_kv_heads, c.head_dim)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+
+        qg = q.reshape(T, c.num_kv_heads, c.q_group, c.head_dim).astype(jnp.float32)
+        kf, vf = k.astype(jnp.float32), v.astype(jnp.float32)
+        s_new = jnp.einsum("thgd,shd->hgts", qg, kf) * sm
+        s_new = jnp.where(causal[None, None], s_new, NEG_INF)
+
+        kp = jax.lax.dynamic_index_in_dim(k_pools, li, 0, keepdims=False)
+        vp = jax.lax.dynamic_index_in_dim(v_pools, li, 0, keepdims=False)
+        ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
+        vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
+
+        k_ctx = _dequant_block(kp[table_row], kv_dtype).reshape(L_ctx, c.num_kv_heads, c.head_dim)
+        v_ctx = _dequant_block(vp[table_row], kv_dtype).reshape(L_ctx, c.num_kv_heads, c.head_dim)
+        kss = ksc[table_row].transpose(0, 2, 1).reshape(L_ctx, c.num_kv_heads)
+        vss = vsc[table_row].transpose(0, 2, 1).reshape(L_ctx, c.num_kv_heads)
+        s_ctx = jnp.einsum("thgd,lhd->hgtl", qg, k_ctx) * kss.T[:, None, None, :] * sm
+        s_ctx = jnp.where(ctx_mask[None, None], s_ctx, NEG_INF)
+
+        s = jnp.concatenate([s_ctx, s_new], axis=-1)
+        w = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("hgtl,lhd->thgd", w[..., :L_ctx] * vss.T[:, None, None, :], v_ctx)
+        o = o + jnp.einsum("hgts,shd->thgd", w[..., L_ctx:], vf)
+        o = o.reshape(T, c.num_q_heads * c.head_dim).astype(x.dtype)
+
+        x = x + o @ lp["o"]
+        h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
+        x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
+
+        # quantize + scatter the fresh chunk KV
+        kq, ks = quantize_kv(k, kv_dtype)
+        vq, vs = quantize_kv(v, kv_dtype)
+        kp = kp.at[slots, offs].set(kq.astype(kp.dtype))
+        vp = vp.at[slots, offs].set(vq.astype(vp.dtype))
+        ksc = ksc.at[slots, :, offs].set(ks[:, :, 0])
+        vsc = vsc.at[slots, :, offs].set(vs[:, :, 0])
+        k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)
+        v_pools = jax.lax.dynamic_update_index_in_dim(v_pools, vp, li, 0)
+        k_scales = jax.lax.dynamic_update_index_in_dim(k_scales, ksc, li, 0)
+        v_scales = jax.lax.dynamic_update_index_in_dim(v_scales, vsc, li, 0)
+        return (x, k_pools, v_pools, k_scales, v_scales), None
+
+    layer_idx = jnp.arange(c.num_layers)
+    (x, k_pools, v_pools, k_scales, v_scales), _ = jax.lax.scan(
+        layer, (x, k_pools, v_pools, k_scales, v_scales),
+        (params["layers"], layer_idx),
+    )
+    x = rms_norm(x[-1:], params["final_norm"], c.rms_eps)
+    head = params["embed"].T if config.tie_embeddings else params["lm_head"]
+    logits = (x @ head).astype(jnp.float32)[0]
+    return logits, k_pools, v_pools, k_scales, v_scales
+
+
+# ---------------------------------------------------------------------------
+# plain forward (no cache) — for parity tests and perplexity eval
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def forward_dense(params: Params, config: LlamaConfig, token_ids: jax.Array) -> jax.Array:
+    """Full causal forward, no KV cache. token_ids [B, T] -> logits [B, T, V]."""
+    c = config
+    B, T = token_ids.shape
+    inv_freq = rope_frequencies(c)
+    positions = jnp.arange(T)
+    x = params["embed"][token_ids]  # [B, T, H]
+    causal = positions[:, None] >= positions[None, :]
+    sm = c.head_dim**-0.5
+
+    def layer(x, lp):
+        h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+        q = (h @ lp["q"]).reshape(B, T, c.num_q_heads, c.head_dim)
+        k = (h @ lp["k"]).reshape(B, T, c.num_kv_heads, c.head_dim)
+        v = (h @ lp["v"]).reshape(B, T, c.num_kv_heads, c.head_dim)
+        q = apply_rope(q, positions[None], inv_freq)
+        k = apply_rope(k, positions[None], inv_freq)
+        qg = q.reshape(B, T, c.num_kv_heads, c.q_group, c.head_dim).astype(jnp.float32)
+        s = jnp.einsum("bthgd,bshd->bhgts", qg, k.astype(jnp.float32)) * sm
+        s = jnp.where(causal[None, None, None], s, -1e30)
+        w = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhgts,bshd->bthgd", w, v.astype(jnp.float32))
+        o = o.reshape(B, T, -1).astype(x.dtype)
+        x = x + o @ lp["o"]
+        h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
+        x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+    x = rms_norm(x, params["final_norm"], c.rms_eps)
+    head = params["embed"].T if c.tie_embeddings else params["lm_head"]
+    return (x @ head).astype(jnp.float32)

@@ -1,0 +1,234 @@
+"""Asynchronous host <-> HBM block transfer engine.
+
+TPU-native replacement for the reference DMA stack: the scatter-gather DMA
+engine (`hardware/rtl/dma_engine.v:5-219`, descriptor FIFO + completion
+counting), the kernel MMIO ring (`driver/speckv_kernel_module.c:58-113`), and
+the user-space batch-submit/poll path (`host/src/speckv_driver.cpp:24-72`).
+
+Mapping (SURVEY.md section 7.0):
+- DMA descriptor {fpga_addr, gpu_addr, bytes, flags} -> a (bid, host_slot,
+  hbm_slot, direction) transfer record.
+- The MMIO descriptor ring -> per-step batched jitted scatter/gather: all
+  queued up-migrations land in ONE donated `.at[:, slots].set()` per flush
+  (in-place on TPU), all down-migrations leave in ONE gather +
+  `copy_to_host_async`.
+- `poll_complete` -> `poll()`, which checks `jax.Array.is_ready()` on
+  outstanding device->host copies and retires them into the host store.
+
+Ordering/correctness: up-transfers are complete from the device program's
+perspective the moment the scatter is dispatched — XLA dispatch order means
+any later decode step that reads the pool array sees the inserted blocks
+(dataflow, not races). The IN_FLIGHT_UP state therefore collapses at flush
+time. Down-transfers genuinely complete asynchronously (device->host DMA
+overlaps decode compute) and are retired by `poll()`.
+
+Transfer batch sizes are bucketed to powers of two so jit caches a handful of
+scatter/gather programs; padding lanes use an out-of-range slot with
+scatter-mode "drop" so they write nowhere.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cxl_speckv_tpu.core.stats import Statistics, ratio
+
+Pools = tuple[jax.Array, jax.Array, jax.Array, jax.Array]  # k, v, k_scale, v_scale
+
+
+@dataclass
+class TransferStatistics(Statistics):
+    """Analog of driver op counts (`speckv_driver.h:72-77`) + engine stats."""
+
+    up_transfers: int = 0          # blocks migrated host -> HBM
+    down_transfers: int = 0        # blocks migrated HBM -> host
+    up_batches: int = 0
+    down_batches: int = 0
+    bytes_up: int = 0
+    bytes_down: int = 0
+    polls: int = 0
+    up_wait_ms: float = 0.0        # host-side staging time
+    down_wait_ms: float = 0.0      # time spent blocking on D2H completion
+
+
+class HostStore:
+    """Host-DRAM block pool — the CXL-pool analog (`cxl_mem_if.v`, L3 tier).
+
+    Layout: one block spans ALL layers (migration granularity, SURVEY.md
+    section 7.0): k/v [host_slots, L, bs, Hkv, D/pack], scales
+    [host_slots, L, Hkv, bs].
+    """
+
+    def __init__(self, host_slots: int, num_layers: int, block_size: int,
+                 num_kv_heads: int, head_dim_packed: int, kv_elem_dtype):
+        shape = (host_slots, num_layers, block_size, num_kv_heads, head_dim_packed)
+        self.k = np.zeros(shape, dtype=kv_elem_dtype)
+        self.v = np.zeros(shape, dtype=kv_elem_dtype)
+        sshape = (host_slots, num_layers, num_kv_heads, block_size)
+        self.ks = np.ones(sshape, dtype=np.float32)
+        self.vs = np.ones(sshape, dtype=np.float32)
+
+    @property
+    def bytes_per_block(self) -> int:
+        per_slot = (self.k[0].nbytes + self.v[0].nbytes
+                    + self.ks[0].nbytes + self.vs[0].nbytes)
+        return per_slot
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_in(pools: Pools, kd, vd, ksd, vsd, slots) -> Pools:
+    """Insert staged blocks. kd/vd: [N, L, bs, H, Dp] -> pools [L, S, ...]."""
+    k, v, ks, vs = pools
+    k = k.at[:, slots].set(kd.swapaxes(0, 1), mode="drop")
+    v = v.at[:, slots].set(vd.swapaxes(0, 1), mode="drop")
+    ks = ks.at[:, slots].set(ksd.swapaxes(0, 1), mode="drop")
+    vs = vs.at[:, slots].set(vsd.swapaxes(0, 1), mode="drop")
+    return k, v, ks, vs
+
+
+@jax.jit
+def _gather_out(pools: Pools, slots):
+    k, v, ks, vs = pools
+    return (k[:, slots].swapaxes(0, 1), v[:, slots].swapaxes(0, 1),
+            ks[:, slots].swapaxes(0, 1), vs[:, slots].swapaxes(0, 1))
+
+
+@dataclass
+class _PendingDown:
+    bids: list[int]
+    host_slots: list[int]
+    arrays: tuple  # device arrays with copy_to_host_async issued
+    started: float = field(default_factory=time.monotonic)
+
+
+class TransferEngine:
+    """Batches block migrations between the HBM pools and the host store."""
+
+    def __init__(self, host_store: HostStore, max_inflight_down: int = 16):
+        self.host = host_store
+        self.max_inflight_down = max_inflight_down
+        self._up_queue: list[tuple[int, int, int]] = []    # (bid, host_slot, hbm_slot)
+        self._down_queue: list[tuple[int, int, int]] = []  # (bid, hbm_slot, host_slot)
+        self._pending_down: list[_PendingDown] = []
+        self.stats = TransferStatistics()
+
+    # -- enqueue (the descriptor ring analog) -------------------------------
+
+    def enqueue_promote(self, bid: int, host_slot: int, hbm_slot: int) -> None:
+        self._up_queue.append((bid, host_slot, hbm_slot))
+
+    def enqueue_demote(self, bid: int, hbm_slot: int, host_slot: int) -> None:
+        self._down_queue.append((bid, hbm_slot, host_slot))
+
+    @property
+    def inflight_down(self) -> int:
+        return sum(len(p.bids) for p in self._pending_down)
+
+    @property
+    def queued(self) -> int:
+        return len(self._up_queue) + len(self._down_queue)
+
+    # -- flush: one batched scatter + one batched gather per step -----------
+
+    def flush(self, pools: Pools, directory) -> Pools:
+        """Apply all queued migrations. Returns the updated pools tuple.
+
+        Promotes complete immediately (dispatch-ordered, see module doc);
+        demotes become pending until `poll()` sees the D2H copy finish.
+        """
+        if self._up_queue:
+            t0 = time.monotonic()
+            ups = self._up_queue
+            self._up_queue = []
+            n = len(ups)
+            nb = _bucket(n)
+            hs = [u[1] for u in ups]
+            kd = np.zeros((nb, *self.host.k.shape[1:]), self.host.k.dtype)
+            vd = np.zeros_like(kd)
+            ksd = np.ones((nb, *self.host.ks.shape[1:]), np.float32)
+            vsd = np.ones_like(ksd)
+            kd[:n], vd[:n] = self.host.k[hs], self.host.v[hs]
+            ksd[:n], vsd[:n] = self.host.ks[hs], self.host.vs[hs]
+            num_hbm_slots = int(pools[0].shape[1])
+            slots = np.full(nb, num_hbm_slots, np.int32)  # pad -> dropped
+            slots[:n] = [u[2] for u in ups]
+            pools = _scatter_in(pools, jnp.asarray(kd), jnp.asarray(vd),
+                                jnp.asarray(ksd), jnp.asarray(vsd),
+                                jnp.asarray(slots))
+            for bid, _, _ in ups:
+                directory.complete_promote(bid)
+            self.stats.up_transfers += n
+            self.stats.up_batches += 1
+            self.stats.bytes_up += n * self.host.bytes_per_block
+            self.stats.up_wait_ms += (time.monotonic() - t0) * 1e3
+
+        if self._down_queue and self.inflight_down < self.max_inflight_down:
+            downs = self._down_queue
+            self._down_queue = []
+            slots = jnp.asarray(np.array([d[1] for d in downs], np.int32))
+            arrs = _gather_out(pools, slots)
+            for a in arrs:
+                a.copy_to_host_async()
+            self._pending_down.append(_PendingDown(
+                bids=[d[0] for d in downs],
+                host_slots=[d[2] for d in downs],
+                arrays=arrs,
+            ))
+            self.stats.down_batches += 1
+        return pools
+
+    # -- poll: the SPECKV_IOCTL_POLL_DONE analog ----------------------------
+
+    def poll(self, directory, *, wait: bool = False) -> int:
+        """Retire completed down-transfers into the host store. Returns the
+        number of blocks retired. With wait=True, blocks until all pending
+        down-transfers finish (the flush_all analog)."""
+        self.stats.polls += 1
+        done = 0
+        still = []
+        for p in self._pending_down:
+            ready = all(a.is_ready() for a in p.arrays)
+            if not ready and not wait:
+                still.append(p)
+                continue
+            t0 = time.monotonic()
+            k, v, ks, vs = (np.asarray(a) for a in p.arrays)  # blocks if !ready
+            self.stats.down_wait_ms += (time.monotonic() - t0) * 1e3
+            hs = p.host_slots
+            self.host.k[hs], self.host.v[hs] = k, v
+            self.host.ks[hs], self.host.vs[hs] = ks, vs
+            for bid in p.bids:
+                directory.complete_demote(bid)
+            done += len(p.bids)
+            self.stats.down_transfers += len(p.bids)
+            self.stats.bytes_down += len(p.bids) * self.host.bytes_per_block
+        self._pending_down = still
+        return done
+
+    def drain(self, pools: Pools, directory) -> Pools:
+        """Flush everything and wait (destructor-flush analog,
+        `coherence_manager.cpp:28-31`)."""
+        while self._up_queue or self._down_queue:
+            pools = self.flush(pools, directory)
+            self.poll(directory, wait=True)
+        self.poll(directory, wait=True)
+        return pools
+
+    def get_statistics(self) -> TransferStatistics:
+        return self.stats
+
+    def reset_statistics(self) -> None:
+        self.stats.reset()
