@@ -1,0 +1,157 @@
+"""Prefetch controller — Algorithm 1, TPU-native.
+
+Host-side port of the reference speculative prefetch path
+(`src/prefetcher/speculative_prefetcher.cpp:25-97` + the RTL FSM
+`hardware/rtl/prefetch_core.v:166-240`): per step, consult the LSTM on each
+candidate sequence's token history, skip blocks already HBM-resident (the
+"check directory, skip if L1/L2" stage, `prefetch_core.v:209-233`), and
+enqueue asynchronous promotes for blocks predicted to be needed soon.
+
+What "needed soon" means on TPU: decode reads *every* block of a scheduled
+sequence each step, so the unit of prediction is the *sequence's next
+scheduled turn* in the oversubscribed round-robin. The controller looks
+`depth` groups ahead in the upcoming schedule and preloads those sequences'
+host-resident blocks; the LSTM gates each sequence by continuation
+probability (a sequence whose top-k prediction is dominated by EOS is about
+to finish — prefetching it would be the misprediction the reference counts,
+`speculative_prefetcher.cpp:84-97`).
+
+Mispredicted prefetches are lazily invalidated — never rolled back — exactly
+the reference policy: they age out via LRU eviction and are counted
+`prefetch_wasted` by the directory when dropped unaccessed.
+
+Adaptive depth is a direct port of `speculative_prefetcher.cpp:99-120`:
+sliding window of outcomes, depth++ above `raise_threshold` (cap max_depth),
+depth-- below `lower_threshold` (floor min_depth).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from dataclasses import dataclass
+
+import numpy as np
+
+from cxl_speckv_tpu.config import PrefetchConfig
+from cxl_speckv_tpu.core.stats import Statistics, ratio
+from cxl_speckv_tpu.prefetcher.lstm import LSTMPredictor
+from cxl_speckv_tpu.runtime.kv_cache import TieredKVCache
+
+
+@dataclass
+class PrefetchStatistics(Statistics):
+    """Analog of `speculative_prefetcher.h:59-66`."""
+
+    plans: int = 0
+    prefetches_issued: int = 0
+    skipped_resident: int = 0       # "already in L1/L2" skips
+    skipped_eos_predicted: int = 0  # LSTM says sequence is ending
+    depth_raises: int = 0
+    depth_lowers: int = 0
+    predict_latency_ms: float = 0.0
+
+    def as_dict(self) -> dict:
+        d = super().as_dict()
+        d["avg_predict_latency_ms"] = ratio(self.predict_latency_ms, self.plans)
+        return d
+
+
+class PrefetchController:
+    def __init__(self, config: PrefetchConfig, kvc: TieredKVCache,
+                 predictor: LSTMPredictor | None = None,
+                 eos_token_id: int | None = None):
+        self.config = config
+        self.kvc = kvc
+        self.predictor = predictor
+        self.eos_token_id = eos_token_id
+        self.depth = config.depth
+        self._histories: dict[int, deque[int]] = {}
+        self._window: deque[bool] = deque(maxlen=config.accuracy_window)
+        self._last_hits = 0
+        self._last_wasted = 0
+        self.stats = PrefetchStatistics()
+
+    # -- history (the reference's 16-token sliding window) -------------------
+
+    def observe_tokens(self, seq_slot: int, tokens) -> None:
+        h = self._histories.setdefault(seq_slot, deque(maxlen=self.config.history_len))
+        h.extend(int(t) for t in np.atleast_1d(np.asarray(tokens)))
+
+    def forget_seq(self, seq_slot: int) -> None:
+        self._histories.pop(seq_slot, None)
+
+    def history_matrix(self, seq_slots: list[int]) -> np.ndarray:
+        T = self.config.history_len
+        out = np.zeros((len(seq_slots), T), np.int32)
+        for i, s in enumerate(seq_slots):
+            h = list(self._histories.get(s, ()))
+            if h:
+                out[i, T - len(h):] = h[-T:]
+        return out
+
+    # -- the per-step plan ---------------------------------------------------
+
+    def plan(self, upcoming: list[list[int]]) -> int:
+        """Preload host-resident blocks of sequences scheduled in the next
+        `depth` groups. `upcoming` is the future schedule, nearest first.
+        Returns the number of block prefetches issued."""
+        if not self.config.enabled:
+            return 0
+        self.stats.plans += 1
+        groups = upcoming[: self.depth]
+        seqs = [s for g in groups for s in g]
+        if not seqs:
+            return 0
+
+        keep = seqs
+        if self.predictor is not None and self.eos_token_id is not None:
+            t0 = time.monotonic()
+            hist = self.history_matrix(seqs)
+            p_cont = self.predictor.continue_probability(hist, self.eos_token_id)
+            self.stats.predict_latency_ms += (time.monotonic() - t0) * 1e3
+            keep = []
+            for s, pc in zip(seqs, p_cont):
+                if pc >= 0.5:
+                    keep.append(s)
+                else:
+                    self.stats.skipped_eos_predicted += 1
+
+        issued = 0
+        budget = self.config.max_inflight - self.kvc.transfer.queued
+        for s in keep:
+            if budget <= 0:
+                break
+            missing = self.kvc.seq_nonresident_blocks(s)
+            total_blocks = len(self.kvc.pool.seq(s).blocks)
+            self.stats.skipped_resident += total_blocks - len(missing)
+            n = self.kvc.prefetch_blocks(missing[:budget])
+            issued += n
+            budget -= n
+        self.stats.prefetches_issued += issued
+        return issued
+
+    # -- adaptive depth (port of speculative_prefetcher.cpp:99-120) ----------
+
+    def update_depth(self) -> int:
+        st = self.kvc.directory.get_statistics()
+        new_hits = st.prefetch_hits - self._last_hits
+        new_wasted = st.prefetch_wasted - self._last_wasted
+        self._last_hits, self._last_wasted = st.prefetch_hits, st.prefetch_wasted
+        self._window.extend([True] * new_hits)
+        self._window.extend([False] * new_wasted)
+        if len(self._window) >= self.config.accuracy_window // 2:
+            acc = sum(self._window) / len(self._window)
+            if acc > self.config.raise_threshold and self.depth < self.config.max_depth:
+                self.depth += 1
+                self.stats.depth_raises += 1
+            elif acc < self.config.lower_threshold and self.depth > self.config.min_depth:
+                self.depth -= 1
+                self.stats.depth_lowers += 1
+        return self.depth
+
+    def get_statistics(self) -> PrefetchStatistics:
+        return self.stats
+
+    def reset_statistics(self) -> None:
+        self.stats.reset()

@@ -1,0 +1,129 @@
+"""LSTM predictor + prefetch controller tests.
+
+Mirrors the reference prefetcher semantics: top-k prediction, skip-if-
+resident, lazy misprediction handling, adaptive depth window
+(`speculative_prefetcher.cpp:99-120` thresholds 0.95/0.85, k in [2,8]).
+"""
+
+import numpy as np
+
+from cxl_speckv_tpu.config import CacheConfig, KVDtype, PrefetchConfig
+from cxl_speckv_tpu.models.configs import tiny_test_config
+from cxl_speckv_tpu.prefetcher.controller import PrefetchController
+from cxl_speckv_tpu.prefetcher.lstm import LSTMPredictor
+from cxl_speckv_tpu.runtime.kv_cache import TieredKVCache
+
+
+def test_lstm_shapes_and_learning():
+    p = LSTMPredictor(vocab_size=64, history_len=8, seed=0)
+    hist = np.random.RandomState(0).randint(0, 64, (32, 8)).astype(np.int32)
+    ids, probs = p.predict_top_k(hist, 4)
+    assert ids.shape == (32, 4) and probs.shape == (32, 4)
+    assert (probs[:, 0] >= probs[:, -1]).all()
+
+    # learn a trivial pattern: next token == last token
+    targets = hist[:, -1].astype(np.int32)
+    losses = [p.train_batch(hist, targets) for _ in range(60)]
+    assert losses[-1] < losses[0] * 0.5
+    ids2, _ = p.predict_top_k(hist[:4], 1)
+    assert (ids2[:, 0] == targets[:4]).mean() >= 0.75
+
+
+def test_lstm_save_load(tmp_path):
+    p = LSTMPredictor(vocab_size=32, seed=1)
+    hist = np.zeros((2, 16), np.int32)
+    before = p.predict_top_k(hist, 3)[1]
+    path = str(tmp_path / "lstm.npz")
+    p.save(path)
+    q = LSTMPredictor(vocab_size=32, seed=2)
+    q.load(path)
+    after = q.predict_top_k(hist, 3)[1]
+    np.testing.assert_allclose(before, after, rtol=1e-6)
+    assert p.model_size_bytes() > 0
+
+
+def make_kvc(hbm=8, host=32, bs=8):
+    cc = CacheConfig(block_size=bs, num_hbm_blocks=hbm, num_host_blocks=host,
+                     kv_dtype=KVDtype.INT8, prefetch_reserve_frac=0.25)
+    return TieredKVCache(cc, tiny_test_config(), max_seqs=8, max_blocks_per_seq=8)
+
+
+def demote_all(kvc, seq):
+    kvc.pin_seq(seq, False)
+    for bid in list(kvc.pool.seq(seq).blocks):
+        res = kvc.directory.start_demote(bid)
+        if res is not None:
+            kvc.transfer.enqueue_demote(bid, *res)
+    kvc.set_pools(kvc.transfer.flush(kvc.pools, kvc.directory))
+    kvc.transfer.poll(kvc.directory, wait=True)
+
+
+def test_controller_prefetches_upcoming_and_skips_resident():
+    kvc = make_kvc()
+    cfg = PrefetchConfig(depth=2)
+    ctl = PrefetchController(cfg, kvc)
+    s1, s2, s3 = kvc.add_seq(), kvc.add_seq(), kvc.add_seq()
+    for s in (s1, s2, s3):
+        kvc.extend_seq(s, 16)  # 2 blocks each
+    demote_all(kvc, s1)
+    # s2 stays resident; s3 beyond depth
+    demote_all(kvc, s3)
+
+    issued = ctl.plan([[s1], [s2], [s3]])  # depth=2 -> s1, s2 only
+    assert issued == 2  # s1's two host blocks
+    assert ctl.stats.skipped_resident == 2  # s2's resident blocks skipped
+    kvc.set_pools(kvc.transfer.flush(kvc.pools, kvc.directory))
+    assert kvc.seq_nonresident_blocks(s1) == []
+    assert len(kvc.seq_nonresident_blocks(s3)) == 2  # untouched
+
+
+def test_controller_eos_gating():
+    kvc = make_kvc()
+    ctl = PrefetchController(PrefetchConfig(depth=4), kvc,
+                             predictor=LSTMPredictor(vocab_size=16, seed=0),
+                             eos_token_id=0)
+    s = kvc.add_seq()
+    kvc.extend_seq(s, 16)
+    demote_all(kvc, s)
+    # train the predictor so that history of all-5s predicts token 0 (eos)
+    hist = np.full((64, 16), 5, np.int32)
+    for _ in range(80):
+        ctl.predictor.train_batch(hist, np.zeros(64, np.int32))
+    ctl.observe_tokens(s, [5] * 16)
+    issued = ctl.plan([[s]])
+    assert issued == 0
+    assert ctl.stats.skipped_eos_predicted == 1
+
+
+def test_adaptive_depth_port():
+    kvc = make_kvc()
+    cfg = PrefetchConfig(depth=4, accuracy_window=20)
+    ctl = PrefetchController(cfg, kvc)
+    st = kvc.directory.stats
+    # simulate 20 hits -> accuracy 1.0 > 0.95 -> depth++
+    st.prefetch_hits += 20
+    assert ctl.update_depth() == 5
+    # simulate heavy misprediction -> accuracy < 0.85 -> depth--
+    st.prefetch_wasted += 40
+    ctl.update_depth()
+    d = ctl.update_depth()
+    assert d < 5
+    # floor at min_depth
+    st.prefetch_wasted += 500
+    for _ in range(10):
+        d = ctl.update_depth()
+    assert d == cfg.min_depth
+
+
+def test_inflight_budget_respected():
+    kvc = make_kvc(hbm=16, host=64)
+    cfg = PrefetchConfig(depth=8, max_inflight=3)
+    ctl = PrefetchController(cfg, kvc)
+    seqs = []
+    for _ in range(4):
+        s = kvc.add_seq()
+        kvc.extend_seq(s, 16)
+        demote_all(kvc, s)
+        seqs.append(s)
+    issued = ctl.plan([seqs])
+    assert issued == 3  # bounded queue, reference's 16-deep DMA queue analog
