@@ -55,6 +55,7 @@ class BlockPool:
         self._seqs: dict[int, SeqAlloc] = {}
         self._free_slots = list(range(max_seqs - 1, -1, -1))
         self._deferred_free: list[int] = []
+        self._bid_loc: dict[int, tuple[int, int]] = {}  # bid -> (seq_slot, block_idx)
         self.stats = PoolStatistics()
 
     # -- sequence lifecycle -------------------------------------------------
@@ -71,6 +72,7 @@ class BlockPool:
     def free_seq(self, seq_slot: int) -> None:
         seq = self._seqs.pop(seq_slot)
         for bid in seq.blocks:
+            self._bid_loc.pop(bid, None)
             e = self.directory.entry(bid)
             # A block mid-transfer cannot be freed yet; the transfer engine
             # frees it on completion via the deferred-free list.
@@ -115,6 +117,7 @@ class BlockPool:
                 return False
             e = self.directory.entry(bid)
             self.table.set(seq_slot, len(seq.blocks), e.hbm_slot)
+            self._bid_loc[bid] = (seq_slot, len(seq.blocks))
             seq.blocks.append(bid)
             self.stats.blocks_allocated += 1
         seq.num_tokens = new_total_tokens
@@ -138,6 +141,23 @@ class BlockPool:
         bid = self._seqs[seq_slot].blocks[block_idx]
         e = self.directory.entry(bid)
         self.table.set(seq_slot, block_idx, e.hbm_slot)
+
+    def locate(self, bid: int) -> tuple[int, int] | None:
+        return self._bid_loc.get(bid)
+
+    def sync_moved(self) -> int:
+        """Refresh table rows for blocks whose physical slot changed
+        (promotions) since the last call. Returns rows touched."""
+        n = 0
+        for bid in self.directory.take_moved():
+            loc = self._bid_loc.get(bid)
+            if loc is None:
+                continue
+            e = self.directory.entry(bid)
+            if e.hbm_slot >= 0:
+                self.table.set(loc[0], loc[1], e.hbm_slot)
+                n += 1
+        return n
 
     def get_statistics(self) -> PoolStatistics:
         return self.stats

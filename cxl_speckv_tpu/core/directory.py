@@ -149,7 +149,14 @@ class ResidencyDirectory:
         self._host = _SlotPool(config.num_host_blocks)
         self._next_bid = 0
         self._clock = 0
+        # blocks whose physical HBM slot changed since last take_moved() —
+        # consumers re-sync block-table rows from this set
+        self._moved: set[int] = set()
         self.stats = DirectoryStatistics()
+
+    def take_moved(self) -> set[int]:
+        moved, self._moved = self._moved, set()
+        return moved
 
     # -- introspection ------------------------------------------------------
 
@@ -309,6 +316,7 @@ class ResidencyDirectory:
             raise DirectoryError(f"complete_promote of block {bid} in state {e.state.name}")
         e.state = BlockState.HBM
         e.dirty = False  # host copy retained as clean backing store
+        self._moved.add(bid)
         self.stats.promotions += 1
         if e.prefetched:
             self.stats.prefetch_fills += 1

@@ -1,0 +1,2 @@
+from cxl_speckv_tpu.engine.engine import Engine, EngineOutput  # noqa: F401
+from cxl_speckv_tpu.engine.request import Request, RequestState  # noqa: F401

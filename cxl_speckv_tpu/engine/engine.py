@@ -1,0 +1,317 @@
+"""The serving engine: continuous batching over the tiered, quantized,
+prefetched KV cache.
+
+Top-level facade, analog of `CXLSpecKVSystem` (`src/cxl_speckv_system.h:
+17-114`) wired to a real model and scheduler. Each `step()` is one engine
+iteration:
+
+1. admit queued requests; run one prefill chunk per prefilling request
+2. pick the decode batch (round-robin over the oversubscribed running set),
+   demand-fetch any non-resident blocks (stall, counted), pin, decode, sample
+3. retire finished requests, record metrics
+4. prefetch plan for upcoming groups + adaptive depth update
+5. tier maintenance (eviction to landing-zone reserve, transfer retirement)
+
+The runtime-mutable knobs mirror the reference C API
+(`speckv.h:65-66`): `set_prefetch_depth`, and `kv_dtype` is fixed per engine
+instance (pool element type) as the compression scheme.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cxl_speckv_tpu.config import SystemConfig
+from cxl_speckv_tpu.core.stats import Statistics, ratio
+from cxl_speckv_tpu.engine.request import Request, RequestState
+from cxl_speckv_tpu.engine.sampling import sample_tokens
+from cxl_speckv_tpu.engine.scheduler import Scheduler
+from cxl_speckv_tpu.models.configs import LlamaConfig
+from cxl_speckv_tpu.models.llama import decode_step, init_params, prefill_chunk
+from cxl_speckv_tpu.ops.pallas_utils import round_up
+from cxl_speckv_tpu.prefetcher.controller import PrefetchController
+from cxl_speckv_tpu.prefetcher.lstm import LSTMPredictor
+from cxl_speckv_tpu.runtime.kv_cache import TieredKVCache
+
+
+@dataclass
+class EngineOutput:
+    req_id: int
+    tokens: list[int]
+    finish_reason: str
+    ttft_ms: float
+    tpot_ms: float
+
+
+@dataclass
+class EngineStatistics(Statistics):
+    steps: int = 0
+    requests_finished: int = 0
+    tokens_generated: int = 0
+    decode_time_s: float = 0.0
+    prefill_time_s: float = 0.0
+    overhead_time_s: float = 0.0
+
+    def as_dict(self) -> dict:
+        d = super().as_dict()
+        d["decode_tokens_per_s"] = ratio(self.tokens_generated, self.decode_time_s)
+        return d
+
+
+class Engine:
+    def __init__(self, model_config: LlamaConfig, system_config: SystemConfig,
+                 params=None, *, use_pallas: bool | None = None,
+                 enable_lstm: bool | None = None, seed: int = 0):
+        system_config.validate()
+        self.model_config = model_config
+        self.config = system_config
+        ec = system_config.engine
+        max_blocks_per_seq = -(-ec.max_seq_len // system_config.cache.block_size)
+        self.kvc = TieredKVCache(system_config.cache, model_config,
+                                 max_seqs=ec.max_batch_size * 64,
+                                 max_blocks_per_seq=max_blocks_per_seq)
+        self.params = params if params is not None else init_params(
+            model_config, jax.random.PRNGKey(seed))
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+
+        if enable_lstm is None:
+            enable_lstm = system_config.prefetch.enabled
+        predictor = None
+        if enable_lstm:
+            pf = system_config.prefetch
+            predictor = LSTMPredictor(
+                model_config.vocab_size, embed_dim=pf.embed_dim,
+                hidden=pf.lstm_hidden, num_layers=pf.lstm_layers,
+                history_len=pf.history_len, seed=seed)
+        self.eos_token_id = (ec.eos_token_id if ec.eos_token_id is not None
+                             else model_config.eos_token_id)
+        self.prefetcher = PrefetchController(
+            system_config.prefetch, self.kvc, predictor=predictor,
+            eos_token_id=self.eos_token_id)
+        self.scheduler = Scheduler(ec, self.kvc)
+        self.stats = EngineStatistics()
+        self._next_req_id = 0
+        self._rng = jax.random.PRNGKey(seed + 1)
+        self._requests: dict[int, Request] = {}
+
+    # -- public API (the speckv_* C API analog) ------------------------------
+
+    def add_request(self, prompt: list[int], max_new_tokens: int = 64,
+                    temperature: float = 0.0,
+                    eos_token_id: int | None = None) -> int:
+        if not prompt:
+            raise ValueError("empty prompt")
+        if len(prompt) + max_new_tokens > self.config.engine.max_seq_len:
+            raise ValueError("prompt + max_new_tokens exceeds max_seq_len")
+        req = Request(req_id=self._next_req_id, prompt=list(prompt),
+                      max_new_tokens=max_new_tokens, temperature=temperature,
+                      eos_token_id=eos_token_id)
+        self._next_req_id += 1
+        self._requests[req.req_id] = req
+        self.scheduler.submit(req)
+        return req.req_id
+
+    def set_prefetch_depth(self, depth: int) -> None:
+        """Runtime knob, `speckv_set_prefetch_depth` analog."""
+        pf = self.config.prefetch
+        self.prefetcher.depth = max(pf.min_depth, min(pf.max_depth, depth))
+
+    @property
+    def has_work(self) -> bool:
+        return self.scheduler.num_waiting > 0 or self.scheduler.num_running > 0
+
+    def run(self, max_steps: int = 100000) -> list[EngineOutput]:
+        outs = []
+        for _ in range(max_steps):
+            if not self.has_work:
+                break
+            outs.extend(self.step())
+        return outs
+
+    # -- one engine iteration -------------------------------------------------
+
+    def step(self) -> list[EngineOutput]:
+        step_no = self.scheduler.tick()
+        self.stats.steps += 1
+        finished: list[EngineOutput] = []
+
+        self.scheduler.admit(max_new=self.config.engine.max_batch_size)
+        t0 = time.monotonic()
+        self._prefill_tick(finished)
+        t1 = time.monotonic()
+        batch = self._decode_tick(finished)
+        t2 = time.monotonic()
+
+        # prefetch plan for upcoming rotation + adaptive depth
+        exclude = {r.req_id for r in batch}
+        upcoming = self.scheduler.upcoming_groups(
+            self.config.prefetch.max_depth, exclude)
+        self.prefetcher.plan(upcoming)
+        self.prefetcher.update_depth()
+
+        self.kvc.maintain()
+        t3 = time.monotonic()
+        self.stats.prefill_time_s += t1 - t0
+        self.stats.decode_time_s += t2 - t1
+        self.stats.overhead_time_s += t3 - t2
+        return finished
+
+    # -- prefill --------------------------------------------------------------
+
+    def _prefill_tick(self, finished: list[EngineOutput]) -> None:
+        chunk = self.config.engine.prefill_chunk
+        for req in self.scheduler.prefill_candidates():
+            remaining = len(req.prompt) - req.prefill_pos
+            n = min(chunk, remaining)
+            if not self.kvc.extend_seq(req.seq_slot, req.prefill_pos + n):
+                if self.scheduler.preempt_youngest() is None:
+                    self.scheduler.finish(req, "oom")
+                    req.state = RequestState.FAILED
+                continue
+            self.kvc.ensure_resident([req.seq_slot])
+            # bucket the chunk length for jit-cache stability
+            padded = min(round_up(n, 32) if n > 16 else round_up(n, 16), chunk)
+            toks = np.zeros(padded, np.int32)
+            toks[:n] = req.prompt[req.prefill_pos : req.prefill_pos + n]
+            row = self.kvc.pool.table.row(req.seq_slot)
+            table_row = np.where(row >= 0, row, self.kvc.guard_slot).astype(np.int32)
+            logits, *pools = prefill_chunk(
+                self.params, self.model_config, self.kvc.kv_dtype,
+                jnp.asarray(toks), jnp.int32(req.prefill_pos),
+                *self.kvc.pools, jnp.asarray(table_row), jnp.int32(n))
+            self.kvc.set_pools(tuple(pools))
+            bs = self.config.cache.block_size
+            blocks = self.kvc.pool.seq(req.seq_slot).blocks
+            for bi in range(req.prefill_pos // bs, (req.prefill_pos + n - 1) // bs + 1):
+                self.kvc.directory.mark_dirty(blocks[bi])
+            req.prefill_pos += n
+            self.prefetcher.observe_tokens(
+                req.seq_slot, req.prompt[req.prefill_pos - n : req.prefill_pos])
+            self.scheduler.stats.prefill_chunks += 1
+            if req.done_prefill:
+                # the prefill logits produce the first generated token
+                tok = self._sample_single(logits, req)
+                self._record_token(req, tok, first=True)
+                req.state = RequestState.RUNNING
+                out = self._maybe_finish(req)
+                if out is not None:
+                    finished.append(out)
+
+    # -- decode ---------------------------------------------------------------
+
+    def _decode_tick(self, finished: list[EngineOutput]) -> list[Request]:
+        batch = self.scheduler.decode_batch()
+        if not batch:
+            return batch
+        B = self.config.engine.max_batch_size
+        slots = [r.seq_slot for r in batch]
+        # pin before fetching so eviction can't cannibalize the batch itself
+        for s in slots:
+            self.kvc.pin_seq(s, True)
+        self.kvc.ensure_resident(slots)
+        for s in slots:
+            self.kvc.touch_seq(s)
+
+        guard = self.kvc.guard_slot
+        max_blocks = self.kvc.pool.table.max_blocks_per_seq
+        tokens = np.zeros(B, np.int32)
+        positions = np.zeros(B, np.int32)
+        lens = np.ones(B, np.int32)
+        temps = np.zeros(B, np.float32)
+        btab = np.full((B, max_blocks), guard, np.int32)
+        for i, r in enumerate(batch):
+            # capacity for the KV row of the token being fed this step
+            # (the previously sampled token, at position num_tokens - 1)
+            while r.seq_slot >= 0 and not self.kvc.extend_seq(r.seq_slot, r.num_tokens):
+                if self.scheduler.preempt_youngest() is None:
+                    raise RuntimeError("KV capacity exhausted with nothing to preempt")
+        # preemption may have evicted a batch member — drop dead lanes
+        batch = [r for r in batch if r.seq_slot >= 0]
+        for i, r in enumerate(batch):
+            tokens[i] = r.output[-1]
+            positions[i] = r.num_tokens - 1
+            lens[i] = r.num_tokens
+            temps[i] = r.temperature
+            row = self.kvc.pool.table.row(r.seq_slot)
+            btab[i] = np.where(row >= 0, row, guard)
+        if not batch:
+            return batch
+
+        logits, *pools = decode_step(
+            self.params, self.model_config, self.kvc.kv_dtype,
+            jnp.asarray(tokens), jnp.asarray(positions), *self.kvc.pools,
+            jnp.asarray(btab), jnp.asarray(lens), use_pallas=self.use_pallas)
+        self.kvc.set_pools(tuple(pools))
+
+        self._rng, sub = jax.random.split(self._rng)
+        sampled = np.asarray(sample_tokens(logits, jnp.asarray(temps), sub))
+        bs = self.config.cache.block_size
+        for i, r in enumerate(batch):
+            self.kvc.directory.mark_dirty(
+                self.kvc.pool.seq(r.seq_slot).blocks[positions[i] // bs])
+            self._record_token(r, int(sampled[i]))
+            out = self._maybe_finish(r)
+            if out is not None:
+                finished.append(out)
+        for r in batch:
+            if r.state == RequestState.RUNNING:
+                self.kvc.pin_seq(r.seq_slot, False)
+        self.scheduler.stats.decode_batches += 1
+        self.scheduler.stats.decode_tokens += len(batch)
+        return batch
+
+    # -- helpers --------------------------------------------------------------
+
+    def _sample_single(self, logits: jax.Array, req: Request) -> int:
+        self._rng, sub = jax.random.split(self._rng)
+        tok = sample_tokens(logits[None], jnp.asarray([req.temperature], jnp.float32), sub)
+        return int(np.asarray(tok)[0])
+
+    def _record_token(self, req: Request, tok: int, first: bool = False) -> None:
+        now = time.monotonic()
+        if first or not req.first_token_time:
+            req.first_token_time = now
+        req.token_times.append(now)
+        req.output.append(tok)
+        self.stats.tokens_generated += 1
+        self.prefetcher.observe_tokens(req.seq_slot, [tok])
+
+    def _maybe_finish(self, req: Request) -> EngineOutput | None:
+        eos = req.eos_token_id if req.eos_token_id is not None else self.eos_token_id
+        reason = ""
+        if req.output and req.output[-1] == eos:
+            reason = "eos"
+        elif len(req.output) >= req.max_new_tokens:
+            reason = "length"
+        if not reason:
+            return None
+        req.finish_time = time.monotonic()
+        self.prefetcher.forget_seq(req.seq_slot)
+        self.scheduler.finish(req, reason)
+        self.stats.requests_finished += 1
+        return EngineOutput(req.req_id, list(req.output), reason,
+                            req.ttft_ms, req.tpot_ms)
+
+    # -- statistics (the aggregated SystemStatistics analog) ------------------
+
+    def get_statistics(self) -> dict:
+        return {
+            "engine": self.stats.as_dict(),
+            "scheduler": self.scheduler.get_statistics().as_dict(),
+            "prefetch": self.prefetcher.get_statistics().as_dict(),
+            "prefetch_depth": self.prefetcher.depth,
+            **self.kvc.get_statistics(),
+        }
+
+    def reset_statistics(self) -> None:
+        self.stats.reset()
+        self.scheduler.reset_statistics()
+        self.prefetcher.reset_statistics()
+        self.kvc.reset_statistics()

@@ -1,0 +1,64 @@
+"""Request lifecycle.
+
+The serving-side analog of the reference's per-request KV identity
+(`req_id` in every KV address encoding, e.g. `vllm_speckv_backend.py:45-64`)
+plus the request states a continuous-batching engine needs (the reference has
+no scheduler; SURVEY.md section 2.6 lists this as a new first-class
+component).
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from dataclasses import dataclass, field
+
+
+class RequestState(enum.Enum):
+    QUEUED = 0
+    PREFILLING = 1   # prompt partially processed (chunked prefill)
+    RUNNING = 2      # decoding
+    FINISHED = 3
+    FAILED = 4
+
+
+@dataclass
+class Request:
+    req_id: int
+    prompt: list[int]
+    max_new_tokens: int = 64
+    temperature: float = 0.0     # 0 = greedy
+    eos_token_id: int | None = None  # overrides engine default if set
+    state: RequestState = RequestState.QUEUED
+    seq_slot: int = -1
+    prefill_pos: int = 0         # tokens of the prompt already prefilled
+    output: list[int] = field(default_factory=list)
+    finish_reason: str = ""
+    arrival_time: float = field(default_factory=time.monotonic)
+    first_token_time: float = 0.0
+    finish_time: float = 0.0
+    last_scheduled_step: int = -1
+    token_times: list[float] = field(default_factory=list)
+
+    @property
+    def num_tokens(self) -> int:
+        """Total tokens materialized in the KV cache."""
+        return self.prefill_pos + len(self.output)
+
+    @property
+    def done_prefill(self) -> bool:
+        return self.prefill_pos >= len(self.prompt)
+
+    @property
+    def ttft_ms(self) -> float:
+        if not self.first_token_time:
+            return 0.0
+        return (self.first_token_time - self.arrival_time) * 1e3
+
+    @property
+    def tpot_ms(self) -> float:
+        """Mean time-per-output-token after the first."""
+        if len(self.token_times) < 2:
+            return 0.0
+        span = self.token_times[-1] - self.token_times[0]
+        return span * 1e3 / (len(self.token_times) - 1)

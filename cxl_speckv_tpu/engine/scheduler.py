@@ -1,0 +1,149 @@
+"""Continuous-batching scheduler with KV oversubscription.
+
+New first-class component vs the reference (SURVEY.md section 2.6): the
+reference assumes vLLM supplies scheduling. Here the scheduler drives the
+capacity-expansion story: it keeps more live sequences than HBM can hold,
+round-robins decode across them in *groups* of up to `max_batch_size`, and
+exposes the upcoming rotation to the prefetch controller so host->HBM
+preloads complete before a group's turn arrives (converting would-be demand
+stalls into prefetch hits — the whole point of the reference system).
+
+Policy:
+- admission: FIFO while sequence slots and total KV capacity remain
+- prefill: one chunk per step per new request (chunked prefill)
+- decode: least-recently-scheduled first (fair round-robin); sequences whose
+  blocks are HBM-resident sort before ones needing fetches at equal age, so
+  prefetched groups run while others stream in
+- preemption: on allocation failure the youngest sequence is preempted back
+  to the queue and its blocks freed (OOM backpressure the reference lacks)
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+from cxl_speckv_tpu.config import EngineConfig
+from cxl_speckv_tpu.core.stats import Statistics
+from cxl_speckv_tpu.engine.request import Request, RequestState
+from cxl_speckv_tpu.runtime.kv_cache import TieredKVCache
+
+
+@dataclass
+class SchedulerStatistics(Statistics):
+    steps: int = 0
+    prefill_chunks: int = 0
+    decode_batches: int = 0
+    decode_tokens: int = 0
+    preemptions: int = 0
+    admissions: int = 0
+
+
+class Scheduler:
+    def __init__(self, config: EngineConfig, kvc: TieredKVCache):
+        self.config = config
+        self.kvc = kvc
+        self.queue: deque[Request] = deque()
+        self.running: dict[int, Request] = {}   # req_id -> Request (has seq_slot)
+        self.stats = SchedulerStatistics()
+        self._step = 0
+
+    # -- admission -----------------------------------------------------------
+
+    def submit(self, req: Request) -> None:
+        if len(self.queue) >= self.config.max_queue:
+            raise RuntimeError("request queue full")
+        self.queue.append(req)
+
+    def admit(self, max_new: int = 1) -> list[Request]:
+        """Move queued requests into the running set (assign seq slots)."""
+        admitted = []
+        while self.queue and len(admitted) < max_new:
+            slot = self.kvc.add_seq()
+            if slot is None:
+                break
+            req = self.queue.popleft()
+            req.seq_slot = slot
+            req.state = RequestState.PREFILLING
+            self.running[req.req_id] = req
+            self.stats.admissions += 1
+            admitted.append(req)
+        return admitted
+
+    # -- selection -----------------------------------------------------------
+
+    def prefill_candidates(self) -> list[Request]:
+        return [r for r in self.running.values() if r.state == RequestState.PREFILLING]
+
+    def _decode_order(self) -> list[Request]:
+        """Fair rotation: least-recently-scheduled first; resident preferred
+        at equal age."""
+        decodable = [r for r in self.running.values() if r.state == RequestState.RUNNING]
+        return sorted(
+            decodable,
+            key=lambda r: (
+                r.last_scheduled_step,
+                len(self.kvc.seq_nonresident_blocks(r.seq_slot)) > 0,
+                r.req_id,
+            ),
+        )
+
+    def decode_batch(self) -> list[Request]:
+        batch = self._decode_order()[: self.config.max_batch_size]
+        for r in batch:
+            r.last_scheduled_step = self._step
+        return batch
+
+    def upcoming_groups(self, n_groups: int, exclude: set[int]) -> list[list[int]]:
+        """Future schedule (seq slots), nearest group first, for the
+        prefetcher. `exclude` holds req_ids already in this step's batch."""
+        order = [r for r in self._decode_order() if r.req_id not in exclude]
+        B = self.config.max_batch_size
+        return [
+            [r.seq_slot for r in order[i : i + B]]
+            for i in range(0, min(len(order), n_groups * B), B)
+        ]
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def preempt_youngest(self) -> Request | None:
+        """Free the most recently admitted running sequence back to the queue."""
+        victims = [r for r in self.running.values()
+                   if r.state in (RequestState.RUNNING, RequestState.PREFILLING)]
+        if not victims:
+            return None
+        victim = max(victims, key=lambda r: r.arrival_time)
+        self.kvc.free_seq(victim.seq_slot)
+        del self.running[victim.req_id]
+        victim.seq_slot = -1
+        victim.prefill_pos = 0
+        victim.output.clear()
+        victim.state = RequestState.QUEUED
+        self.queue.appendleft(victim)
+        self.stats.preemptions += 1
+        return victim
+
+    def finish(self, req: Request, reason: str) -> None:
+        req.state = RequestState.FINISHED
+        req.finish_reason = reason
+        self.kvc.free_seq(req.seq_slot)
+        del self.running[req.req_id]
+
+    def tick(self) -> int:
+        self._step += 1
+        self.stats.steps += 1
+        return self._step
+
+    @property
+    def num_waiting(self) -> int:
+        return len(self.queue)
+
+    @property
+    def num_running(self) -> int:
+        return len(self.running)
+
+    def get_statistics(self) -> SchedulerStatistics:
+        return self.stats
+
+    def reset_statistics(self) -> None:
+        self.stats.reset()

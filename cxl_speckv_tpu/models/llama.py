@@ -233,17 +233,22 @@ def prefill_chunk(
     params: Params,
     config: LlamaConfig,
     kv_dtype: KVDtype,
-    token_ids: jax.Array,     # [T] int32 — one sequence's chunk
+    token_ids: jax.Array,     # [T] int32 — one sequence's chunk (maybe padded)
     start_pos: jax.Array,     # scalar int32: absolute position of token_ids[0]
     k_pools: jax.Array,
     v_pools: jax.Array,
     k_scales: jax.Array,
     v_scales: jax.Array,
     table_row: jax.Array,     # [max_blocks] int32 for this sequence
+    valid_len: jax.Array | None = None,  # scalar int32: real tokens in chunk
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Prefill T prompt tokens for one sequence; returns logits for the last
-    token and updated pools. Attends causally within the chunk and fully to
-    the `start_pos` context tokens already quantized in the pool.
+    *valid* token and updated pools. Attends causally within the chunk and
+    fully to the `start_pos` context tokens already quantized in the pool.
+
+    Chunks may be right-padded to a bucketed length for jit-cache stability;
+    pad positions scatter their KV to the pool's guard slot (last slot) and
+    are causally invisible to real tokens (pads come after).
     """
     from cxl_speckv_tpu.ops.paged_attention_ref import NEG_INF, _dequant_block
 
@@ -251,12 +256,16 @@ def prefill_chunk(
     T = token_ids.shape[0]
     bs = k_pools.shape[2]
     max_blocks = table_row.shape[0]
+    guard_slot = k_pools.shape[1] - 1
     L_ctx = max_blocks * bs
     inv_freq = rope_frequencies(c)
+    if valid_len is None:
+        valid_len = jnp.int32(T)
     positions = start_pos + jnp.arange(T)
     x = params["embed"][token_ids]  # [T, H]
 
-    slots = table_row[positions // bs]   # [T]
+    slots = table_row[jnp.clip(positions // bs, 0, max_blocks - 1)]  # [T]
+    slots = jnp.where(jnp.arange(T) < valid_len, slots, guard_slot)
     offs = positions % bs
     t_idx = jnp.arange(T)
     causal = t_idx[:, None] >= t_idx[None, :]
@@ -318,9 +327,10 @@ def prefill_chunk(
         layer, (x, k_pools, v_pools, k_scales, v_scales),
         (params["layers"], layer_idx),
     )
-    x = rms_norm(x[-1:], params["final_norm"], c.rms_eps)
+    x_last = jax.lax.dynamic_slice_in_dim(x, valid_len - 1, 1, axis=0)
+    x_last = rms_norm(x_last, params["final_norm"], c.rms_eps)
     head = params["embed"].T if config.tie_embeddings else params["lm_head"]
-    logits = (x @ head).astype(jnp.float32)[0]
+    logits = (x_last @ head).astype(jnp.float32)[0]
     return logits, k_pools, v_pools, k_scales, v_scales
 
 

@@ -1,0 +1,85 @@
+"""TP/DP sharding rules for params, KV pools, and activations.
+
+Megatron-style tensor parallelism expressed as GSPMD annotations (XLA
+inserts the ICI collectives):
+
+- attention/MLP "column" weights (q/k/v/gate/up) shard the output-feature
+  axis over "tp"; "row" weights (o/down) shard the input-feature axis —
+  one all-reduce per block, emitted automatically after the row matmuls
+- KV pools shard the kv-head axis over "tp": each chip holds its heads'
+  slice of every block, so block migration is chip-local (the host store
+  is per-host anyway) and paged attention needs no cross-chip traffic
+  (q heads are grouped kv-head-major, so the q shard matches)
+- embed/lm_head shard the vocab axis; batch lanes shard over "dp"
+
+Head-count divisibility: num_kv_heads % tp == 0 is required (8 kv heads →
+tp up to 8 on Llama-3-8B/70B, matching v5e-8 / 2-host v5e-16 with dp=2).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cxl_speckv_tpu.models.configs import LlamaConfig
+
+
+def param_specs(config: LlamaConfig) -> dict[str, Any]:
+    """PartitionSpec pytree matching `models.llama.init_params` layout."""
+    specs = {
+        "embed": P("tp", None),          # vocab-sharded
+        "layers": {
+            "attn_norm": P(None, None),
+            "q": P(None, None, "tp"),
+            "k": P(None, None, "tp"),
+            "v": P(None, None, "tp"),
+            "o": P(None, "tp", None),
+            "mlp_norm": P(None, None),
+            "gate": P(None, None, "tp"),
+            "up": P(None, None, "tp"),
+            "down": P(None, "tp", None),
+        },
+        "final_norm": P(None),
+    }
+    if not config.tie_embeddings:
+        specs["lm_head"] = P(None, "tp")
+    return specs
+
+
+def pool_specs() -> tuple:
+    """(k_pool, v_pool, k_scale, v_scale) specs: kv-head axis over tp.
+
+    Pools are [L, S, bs, Hkv, D/pack]; scales [L, S, Hkv, bs].
+    """
+    kv = P(None, None, None, "tp", None)
+    sc = P(None, None, "tp", None)
+    return kv, kv, sc, sc
+
+
+def param_shardings(config: LlamaConfig, mesh: Mesh):
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), param_specs(config),
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def pool_shardings(mesh: Mesh):
+    return tuple(NamedSharding(mesh, s) for s in pool_specs())
+
+
+def shard_params(params, config: LlamaConfig, mesh: Mesh):
+    return jax.device_put(params, param_shardings(config, mesh))
+
+
+def shard_pools(pools, mesh: Mesh):
+    return tuple(jax.device_put(p, s) for p, s in zip(pools, pool_shardings(mesh)))
+
+
+def validate_tp(config: LlamaConfig, tp: int) -> None:
+    if config.num_kv_heads % tp:
+        raise ValueError(
+            f"num_kv_heads={config.num_kv_heads} not divisible by tp={tp}")
+    if config.num_q_heads % tp:
+        raise ValueError(
+            f"num_q_heads={config.num_q_heads} not divisible by tp={tp}")

@@ -125,24 +125,43 @@ class TieredKVCache:
         synchronously (the stall path). Returns blocks fetched."""
         fetched = 0
         for s in seq_slots:
-            missing = self.seq_nonresident_blocks(s)
-            for bid in missing:
+            # settle any blocks mid-flight downward first: their HBM slot is
+            # being reclaimed, so wait for the writeback, then re-promote
+            if any(self.directory.entry(b).state == BlockState.IN_FLIGHT_DOWN
+                   for b in self.pool.seq(s).blocks):
+                self.set_pools(self.transfer.flush(self.pools, self.directory))
+                self.transfer.poll(self.directory, wait=True)
+            for bid in self.seq_nonresident_blocks(s):
+                while self.directory.hbm_free == 0:
+                    if not self._make_room():
+                        raise RuntimeError(
+                            "cannot make HBM room for demand fetch: all "
+                            "resident blocks pinned — batch exceeds HBM capacity")
                 host_slot, hbm_slot = self.directory.start_promote(bid)
                 self.transfer.enqueue_promote(bid, host_slot, hbm_slot)
                 fetched += 1
-            # also wait out any blocks mid-flight upward
-            for bid in self.pool.seq(s).blocks:
-                if self.directory.entry(bid).state == BlockState.IN_FLIGHT_DOWN:
-                    # data still readable in HBM — but its slot is being
-                    # reclaimed; simplest safe choice: wait for completion,
-                    # then re-promote below on the next pass
-                    self.transfer.poll(self.directory, wait=True)
         if fetched:
             self.stats.demand_fetch_events += 1
             self.stats.demand_fetch_blocks += fetched
             self.set_pools(self.transfer.flush(self.pools, self.directory))
             self._sync_tables(seq_slots)
         return fetched
+
+    def _make_room(self) -> bool:
+        """Synchronously free at least one HBM slot via eviction. False if
+        nothing is evictable."""
+        cands = self.directory.evict_candidates(max(1, self.directory.hbm_pressure()))
+        if not cands:
+            return False
+        before = self.directory.hbm_free
+        for bid in cands:
+            res = self.directory.start_demote(bid, eviction=True)
+            if res is not None:
+                self.transfer.enqueue_demote(bid, *res)
+            self.stats.maintain_demotes += 1
+        self.set_pools(self.transfer.flush(self.pools, self.directory))
+        self.transfer.poll(self.directory, wait=True)
+        return self.directory.hbm_free > before
 
     def prefetch_blocks(self, bids: list[int]) -> int:
         """Asynchronous promote of specific blocks (prefetcher path)."""
@@ -173,6 +192,7 @@ class TieredKVCache:
             self._evict(pressure)
         self.pool.reap_deferred()
         self.set_pools(self.transfer.flush(self.pools, self.directory))
+        self.pool.sync_moved()
 
     def _evict(self, n: int) -> None:
         for bid in self.directory.evict_candidates(n):
@@ -183,6 +203,7 @@ class TieredKVCache:
             self.stats.maintain_demotes += 1
 
     def _sync_tables(self, seq_slots: list[int]) -> None:
+        self.pool.sync_moved()
         for s in seq_slots:
             blocks = self.pool.seq(s).blocks
             for i, bid in enumerate(blocks):

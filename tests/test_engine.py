@@ -1,0 +1,153 @@
+"""End-to-end engine tests.
+
+The decisive invariant: greedy generation under heavy KV oversubscription
+(HBM pool far smaller than total KV, blocks migrating host<->HBM every step)
+must be IDENTICAL to generation with ample HBM — tiering must be
+correctness-invisible, only a performance property. This is the whole-system
+analog of the reference's claim that the CXL tier preserves model behavior.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from cxl_speckv_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    KVDtype,
+    PrefetchConfig,
+    SystemConfig,
+)
+from cxl_speckv_tpu.engine.engine import Engine
+from cxl_speckv_tpu.models.configs import tiny_test_config
+from cxl_speckv_tpu.models.llama import init_params
+
+CFG = tiny_test_config()
+PARAMS = init_params(CFG, jax.random.PRNGKey(42))
+
+
+def make_engine(hbm_blocks=256, host_blocks=256, batch=4, kv_dtype=KVDtype.INT8,
+                lstm=False, seed=0):
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=hbm_blocks,
+                          num_host_blocks=host_blocks, kv_dtype=kv_dtype),
+        prefetch=PrefetchConfig(depth=2),
+        engine=EngineConfig(max_batch_size=batch, max_seq_len=128,
+                            prefill_chunk=32),
+    )
+    return Engine(CFG, sc, params=PARAMS, use_pallas=False,
+                  enable_lstm=lstm, seed=seed)
+
+
+def prompts(n, rng_seed=0, lo=4, hi=20):
+    rng = np.random.RandomState(rng_seed)
+    return [rng.randint(1, CFG.vocab_size, rng.randint(lo, hi)).tolist()
+            for _ in range(n)]
+
+
+def test_single_request_generates():
+    eng = make_engine()
+    rid = eng.add_request(prompts(1)[0], max_new_tokens=8)
+    outs = eng.run()
+    assert len(outs) == 1
+    assert outs[0].req_id == rid
+    assert len(outs[0].tokens) == 8 or outs[0].finish_reason == "eos"
+    st = eng.get_statistics()
+    assert st["engine"]["tokens_generated"] >= len(outs[0].tokens)
+
+
+def test_batch_requests_complete():
+    eng = make_engine(batch=4)
+    ids = [eng.add_request(p, max_new_tokens=6) for p in prompts(6)]
+    outs = eng.run()
+    assert sorted(o.req_id for o in outs) == sorted(ids)
+    for o in outs:
+        assert 1 <= len(o.tokens) <= 6
+
+
+def test_oversubscription_matches_ample_hbm():
+    """8 requests x up to ~40 tokens each vs an HBM pool of only 12 blocks
+    (96 token slots): blocks must migrate constantly. Outputs must match the
+    ample-HBM run token-for-token."""
+    ps = prompts(8, rng_seed=3, lo=6, hi=24)
+
+    ample = make_engine(hbm_blocks=256, batch=2)
+    for p in ps:
+        ample.add_request(p, max_new_tokens=12)
+    outs_a = {o.req_id: o.tokens for o in ample.run()}
+
+    tight = make_engine(hbm_blocks=12, host_blocks=256, batch=2)
+    for p in ps:
+        tight.add_request(p, max_new_tokens=12)
+    outs_t = {o.req_id: o.tokens for o in tight.run()}
+
+    assert outs_a.keys() == outs_t.keys()
+    for rid in outs_a:
+        assert outs_a[rid] == outs_t[rid], f"request {rid} diverged under tiering"
+
+    st = tight.get_statistics()
+    assert st["transfer"]["down_transfers"] > 0, "no demotions — not oversubscribed?"
+    assert st["transfer"]["up_transfers"] > 0, "no promotions happened"
+
+
+def test_prefetcher_converts_misses_to_hits():
+    """With prefetch enabled, most accesses should be HBM hits even when
+    oversubscribed; demand fetches should be a small fraction."""
+    eng = make_engine(hbm_blocks=16, host_blocks=256, batch=2)
+    for p in prompts(8, rng_seed=5, lo=8, hi=16):
+        eng.add_request(p, max_new_tokens=10)
+    eng.run()
+    st = eng.get_statistics()
+    d = st["directory"]
+    assert d["accesses"] > 0
+    assert d["hit_rate"] > 0.6, f"hit rate too low: {d['hit_rate']}"
+    assert st["prefetch"]["prefetches_issued"] > 0
+
+
+def test_deterministic_given_seed():
+    outs1 = None
+    for _ in range(2):
+        eng = make_engine(seed=7)
+        for p in prompts(3, rng_seed=9):
+            eng.add_request(p, max_new_tokens=5, temperature=0.8)
+        outs = {o.req_id: o.tokens for o in eng.run()}
+        if outs1 is None:
+            outs1 = outs
+        else:
+            assert outs == outs1
+
+
+def test_eos_stops_generation():
+    eng = make_engine()
+    # eos_token_id=0 in tiny config; force it immediately via a crafted request
+    rid = eng.add_request([5, 5, 5], max_new_tokens=50, eos_token_id=None)
+    # find what greedy generates; then re-run with eos set to that token
+    outs = eng.run()
+    first_tok = outs[0].tokens[0]
+    eng2 = make_engine()
+    eng2.add_request([5, 5, 5], max_new_tokens=50, eos_token_id=first_tok)
+    outs2 = eng2.run()
+    assert outs2[0].finish_reason == "eos"
+    assert len(outs2[0].tokens) == 1
+
+
+def test_statistics_surface_complete():
+    eng = make_engine(lstm=True)
+    eng.add_request(prompts(1)[0], max_new_tokens=4)
+    eng.run()
+    st = eng.get_statistics()
+    for section in ("engine", "scheduler", "prefetch", "directory",
+                    "transfer", "pool", "runtime"):
+        assert section in st, f"missing stats section {section}"
+    assert "hit_rate" in st["directory"]
+    assert "decode_tokens_per_s" in st["engine"]
+    eng.reset_statistics()
+    assert eng.get_statistics()["engine"]["tokens_generated"] == 0
+
+
+def test_runtime_prefetch_depth_knob():
+    eng = make_engine()
+    eng.set_prefetch_depth(6)
+    assert eng.prefetcher.depth == 6
+    eng.set_prefetch_depth(100)
+    assert eng.prefetcher.depth == eng.config.prefetch.max_depth
