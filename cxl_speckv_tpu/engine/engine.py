@@ -37,6 +37,7 @@ from cxl_speckv_tpu.ops.pallas_utils import round_up
 from cxl_speckv_tpu.prefetcher.controller import PrefetchController
 from cxl_speckv_tpu.prefetcher.lstm import LSTMPredictor
 from cxl_speckv_tpu.runtime.kv_cache import TieredKVCache
+from cxl_speckv_tpu.utils.tracing import PhaseTimer
 
 
 @dataclass
@@ -97,9 +98,11 @@ class Engine:
             eos_token_id=self.eos_token_id)
         self.scheduler = Scheduler(ec, self.kvc)
         self.stats = EngineStatistics()
+        self.timers = PhaseTimer()
         self._next_req_id = 0
         self._rng = jax.random.PRNGKey(seed + 1)
         self._requests: dict[int, Request] = {}
+        self._tpots: list[float] = []
 
     # -- public API (the speckv_* C API analog) ------------------------------
 
@@ -144,19 +147,21 @@ class Engine:
 
         self.scheduler.admit(max_new=self.config.engine.max_batch_size)
         t0 = time.monotonic()
-        self._prefill_tick(finished)
+        with self.timers.phase("prefill"):
+            self._prefill_tick(finished)
         t1 = time.monotonic()
-        batch = self._decode_tick(finished)
+        with self.timers.phase("decode"):
+            batch = self._decode_tick(finished)
         t2 = time.monotonic()
 
-        # prefetch plan for upcoming rotation + adaptive depth
-        exclude = {r.req_id for r in batch}
-        upcoming = self.scheduler.upcoming_groups(
-            self.config.prefetch.max_depth, exclude)
-        self.prefetcher.plan(upcoming)
-        self.prefetcher.update_depth()
-
-        self.kvc.maintain()
+        with self.timers.phase("maintain"):
+            # prefetch plan for upcoming rotation + adaptive depth
+            exclude = {r.req_id for r in batch}
+            upcoming = self.scheduler.upcoming_groups(
+                self.config.prefetch.max_depth, exclude)
+            self.prefetcher.plan(upcoming)
+            self.prefetcher.update_depth()
+            self.kvc.maintain()
         t3 = time.monotonic()
         self.stats.prefill_time_s += t1 - t0
         self.stats.decode_time_s += t2 - t1
@@ -296,14 +301,21 @@ class Engine:
         self.prefetcher.forget_seq(req.seq_slot)
         self.scheduler.finish(req, reason)
         self.stats.requests_finished += 1
+        if req.tpot_ms > 0:
+            self._tpots.append(req.tpot_ms)
         return EngineOutput(req.req_id, list(req.output), reason,
                             req.ttft_ms, req.tpot_ms)
 
     # -- statistics (the aggregated SystemStatistics analog) ------------------
 
     def get_statistics(self) -> dict:
+        eng = self.stats.as_dict()
+        tp = sorted(self._tpots)
+        eng["p50_tpot_ms"] = tp[len(tp) // 2] if tp else 0.0
+        eng["p95_tpot_ms"] = tp[min(len(tp) - 1, int(len(tp) * 0.95))] if tp else 0.0
         return {
-            "engine": self.stats.as_dict(),
+            "engine": eng,
+            "phases": self.timers.summary(),
             "scheduler": self.scheduler.get_statistics().as_dict(),
             "prefetch": self.prefetcher.get_statistics().as_dict(),
             "prefetch_depth": self.prefetcher.depth,

@@ -146,7 +146,7 @@ def decode_step(
     kv_dtype: KVDtype,
     token_ids: jax.Array,     # [B] int32
     positions: jax.Array,     # [B] int32 — position of this token (= seq_len-1)
-    k_pools: jax.Array,       # [L, S, bs, Hkv, D/pack]
+    k_pools: jax.Array,       # [L, S, Hkv, bs, D/pack]
     v_pools: jax.Array,
     k_scales: jax.Array,      # [L, S, Hkv, bs]
     v_scales: jax.Array,
@@ -163,7 +163,7 @@ def decode_step(
     """
     c = config
     B = token_ids.shape[0]
-    bs = k_pools.shape[2]
+    bs = k_pools.shape[3]  # pools [L, S, Hkv, bs, D/pack]
     inv_freq = rope_frequencies(c)
     x = params["embed"][token_ids]  # [B, H]
 
@@ -192,8 +192,8 @@ def decode_step(
         vp = jax.lax.dynamic_index_in_dim(v_pools, li, 0, keepdims=False)
         ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
         vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
-        kp = kp.at[slots, offs].set(kq.astype(kp.dtype))
-        vp = vp.at[slots, offs].set(vq.astype(vp.dtype))
+        kp = kp.at[slots, :, offs].set(kq.astype(kp.dtype))
+        vp = vp.at[slots, :, offs].set(vq.astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[:, :, 0])
         vsc = vsc.at[slots, :, offs].set(vs[:, :, 0])
 
@@ -254,7 +254,7 @@ def prefill_chunk(
 
     c = config
     T = token_ids.shape[0]
-    bs = k_pools.shape[2]
+    bs = k_pools.shape[3]  # pools [L, S, Hkv, bs, D/pack]
     max_blocks = table_row.shape[0]
     guard_slot = k_pools.shape[1] - 1
     L_ctx = max_blocks * bs
@@ -292,8 +292,8 @@ def prefill_chunk(
         ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
         vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
 
-        k_ctx = _dequant_block(kp[table_row], kv_dtype).reshape(L_ctx, c.num_kv_heads, c.head_dim)
-        v_ctx = _dequant_block(vp[table_row], kv_dtype).reshape(L_ctx, c.num_kv_heads, c.head_dim)
+        k_ctx = _dequant_block(kp[table_row], kv_dtype).transpose(0, 2, 1, 3).reshape(L_ctx, c.num_kv_heads, c.head_dim)
+        v_ctx = _dequant_block(vp[table_row], kv_dtype).transpose(0, 2, 1, 3).reshape(L_ctx, c.num_kv_heads, c.head_dim)
         kss = ksc[table_row].transpose(0, 2, 1).reshape(L_ctx, c.num_kv_heads)
         vss = vsc[table_row].transpose(0, 2, 1).reshape(L_ctx, c.num_kv_heads)
         s_ctx = jnp.einsum("thgd,lhd->hgtl", qg, k_ctx) * kss.T[:, None, None, :] * sm
@@ -312,8 +312,8 @@ def prefill_chunk(
         # quantize + scatter the fresh chunk KV
         kq, ks = quantize_kv(k, kv_dtype)
         vq, vs = quantize_kv(v, kv_dtype)
-        kp = kp.at[slots, offs].set(kq.astype(kp.dtype))
-        vp = vp.at[slots, offs].set(vq.astype(vp.dtype))
+        kp = kp.at[slots, :, offs].set(kq.astype(kp.dtype))
+        vp = vp.at[slots, :, offs].set(vq.astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[:, :, 0])
         vsc = vsc.at[slots, :, offs].set(vs[:, :, 0])
         k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)

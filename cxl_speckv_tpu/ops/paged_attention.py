@@ -13,6 +13,9 @@ Design:
   the *physical* pool slot of each logical block before the pipeline DMAs it
   — the device-side page walk (analog of `hardware/rtl/atu.v`, reduced to one
   indexed gather).
+- Pool layout [num_slots, Hkv, block_size, D/pack] puts (block_size, head_dim)
+  in the tiling dims, satisfying the Mosaic (8, 128)-divisibility rule and
+  giving the MXU well-shaped [bs, D] tiles per (slot, head).
 - Per-row scales fold into the matmuls: K scales multiply score columns
   post-QK^T, V scales fold into the attention weights pre-WV. The MXU sees
   raw quantized values upcast in-register; HBM traffic stays compressed.
@@ -49,12 +52,12 @@ def _decode_kernel(
     table_ref,   # [B, max_blocks] int32 (SMEM)
     lens_ref,    # [B] int32 (SMEM)
     # blocks
-    q_ref,       # [1, G, D]
-    k_ref,       # [1, bs, 1, D/pack]
+    q_ref,       # [1, 1, G, D]
+    k_ref,       # [1, 1, bs, D/pack]
     v_ref,
-    ks_ref,      # [1, 1, bs] f32
+    ks_ref,      # [1, 1, bs, 1] f32 (this head's scale row)
     vs_ref,
-    o_ref,       # [1, G, D]
+    o_ref,       # [1, 1, G, D]
     # scratch
     acc_ref,     # [G, D] f32
     m_ref,       # [G, 1] f32
@@ -66,6 +69,7 @@ def _decode_kernel(
     sm_scale: float,
 ):
     b = pl.program_id(0)
+    h = pl.program_id(1)
     i = pl.program_id(2)
     num_blocks = pl.num_programs(2)
     seq_len = lens_ref[b]
@@ -80,13 +84,14 @@ def _decode_kernel(
 
     @pl.when(block_start < seq_len)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)                      # [G, D]
-        k = _dequant_tile(k_ref[0, :, 0, :], kv_dtype, head_dim)  # [bs, D]
+        q = q_ref[0, 0].astype(jnp.float32)                   # [G, D]
+        k = _dequant_tile(k_ref[0, 0], kv_dtype, head_dim)    # [bs, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                     # [G, bs]
-        s = s * ks_ref[0, 0, :][None, :] * sm_scale
+        kscale = ks_ref[0, 0, :, 0]                           # [bs]
+        s = s * kscale[None, :] * sm_scale
         pos = block_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(pos < seq_len, s, NEG_INF)
 
@@ -95,8 +100,9 @@ def _decode_kernel(
         p = jnp.exp(s - m_new)                                # [G, bs]
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = _dequant_tile(v_ref[0, :, 0, :], kv_dtype, head_dim)  # [bs, D]
-        pv = p * vs_ref[0, 0, :][None, :]
+        v = _dequant_tile(v_ref[0, 0], kv_dtype, head_dim)    # [bs, D]
+        vscale = vs_ref[0, 0, :, 0]                           # [bs]
+        pv = p * vscale[None, :]
         acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
             pv, v, preferred_element_type=jnp.float32
         )
@@ -104,7 +110,7 @@ def _decode_kernel(
 
     @pl.when(i == num_blocks - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -112,7 +118,7 @@ def _decode_kernel(
 )
 def paged_attention(
     q: jax.Array,              # [B, num_q_heads, head_dim]
-    k_pool: jax.Array,         # [num_slots, block_size, H_kv, D/pack]
+    k_pool: jax.Array,         # [num_slots, H_kv, block_size, D/pack]
     v_pool: jax.Array,
     k_scale: jax.Array,        # [num_slots, H_kv, block_size] f32
     v_scale: jax.Array,
@@ -123,7 +129,7 @@ def paged_attention(
     interpret: bool | None = None,
 ) -> jax.Array:
     B, num_q_heads, head_dim = q.shape
-    num_slots, block_size, num_kv_heads, _ = k_pool.shape
+    num_slots, num_kv_heads, block_size, _ = k_pool.shape
     max_blocks = block_table.shape[1]
     group = num_q_heads // num_kv_heads
     if sm_scale is None:
@@ -140,23 +146,30 @@ def paged_attention(
         sm_scale=float(sm_scale),
     )
 
+    # group-major q view: [B, Hkv, G, D] — (G, D) are the tiling dims
+    q4 = q.reshape(B, num_kv_heads, group, head_dim)
+    # trailing unit dim so BlockSpec can select the head without in-kernel
+    # dynamic indexing (unsupported by the Mosaic lowering)
+    ks4 = k_scale[..., None]
+    vs4 = v_scale[..., None]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, num_kv_heads, max_blocks),
         in_specs=[
-            pl.BlockSpec((1, group, head_dim), lambda b, h, i, t, l: (b, h, 0)),
-            pl.BlockSpec(
-                (1, block_size, 1, head_dim // pack),
-                lambda b, h, i, t, l: (t[b, i], 0, h, 0),
-            ),
-            pl.BlockSpec(
-                (1, block_size, 1, head_dim // pack),
-                lambda b, h, i, t, l: (t[b, i], 0, h, 0),
-            ),
-            pl.BlockSpec((1, 1, block_size), lambda b, h, i, t, l: (t[b, i], h, 0)),
-            pl.BlockSpec((1, 1, block_size), lambda b, h, i, t, l: (t[b, i], h, 0)),
+            pl.BlockSpec((1, 1, group, head_dim),
+                         lambda b, h, i, t, l: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_size, head_dim // pack),
+                         lambda b, h, i, t, l: (t[b, i], h, 0, 0)),
+            pl.BlockSpec((1, 1, block_size, head_dim // pack),
+                         lambda b, h, i, t, l: (t[b, i], h, 0, 0)),
+            pl.BlockSpec((1, 1, block_size, 1),
+                         lambda b, h, i, t, l: (t[b, i], h, 0, 0)),
+            pl.BlockSpec((1, 1, block_size, 1),
+                         lambda b, h, i, t, l: (t[b, i], h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, group, head_dim), lambda b, h, i, t, l: (b, h, 0)),
+        out_specs=pl.BlockSpec((1, 1, group, head_dim),
+                               lambda b, h, i, t, l: (b, h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((group, head_dim), jnp.float32),
             pltpu.VMEM((group, 1), jnp.float32),
@@ -164,9 +177,10 @@ def paged_attention(
         ],
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, num_q_heads, head_dim), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, num_kv_heads, group, head_dim), q.dtype),
         interpret=interpret,
-    )(block_table, seq_lens, q, k_pool, v_pool, k_scale, v_scale)
+    )(block_table, seq_lens, q4, k_pool, v_pool, ks4, vs4)
+    return out.reshape(B, num_q_heads, head_dim)

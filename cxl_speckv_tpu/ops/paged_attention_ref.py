@@ -6,8 +6,11 @@ masked softmax attention. This materializes dequantized KV (fine on CPU /
 for testing); the Pallas kernel streams blocks and never materializes them.
 
 Pool layout (per layer):
-    k_pool, v_pool : [num_slots, block_size, num_kv_heads, head_dim/pack]
+    k_pool, v_pool : [num_slots, num_kv_heads, block_size, head_dim/pack]
     k_scale, v_scale : [num_slots, num_kv_heads, block_size] float32
+
+(head-major so the Pallas kernel's per-(slot, head) tile is a well-shaped
+[block_size, head_dim] slab in the tiling dims)
 
 The per-row scales make dequantization *post-matmul*: for K,
 q . (k_q * s)^T == (q . k_q^T) * s^T, and for V, (w * s_v) . v_q — so the
@@ -37,7 +40,7 @@ def _dequant_block(q: jax.Array, kv_dtype: KVDtype) -> jax.Array:
 
 def paged_attention_ref(
     q: jax.Array,              # [B, num_q_heads, head_dim]
-    k_pool: jax.Array,         # [num_slots, block_size, H_kv, D/pack]
+    k_pool: jax.Array,         # [num_slots, H_kv, block_size, D/pack]
     v_pool: jax.Array,
     k_scale: jax.Array,        # [num_slots, H_kv, block_size]
     v_scale: jax.Array,
@@ -48,21 +51,21 @@ def paged_attention_ref(
 ) -> jax.Array:
     """Decode-step attention: one query token per sequence."""
     B, num_q_heads, head_dim = q.shape
-    _, block_size, num_kv_heads, _ = k_pool.shape
+    _, num_kv_heads, block_size, _ = k_pool.shape
     group = num_q_heads // num_kv_heads
     if sm_scale is None:
         sm_scale = head_dim**-0.5
 
     def per_seq(q_b, table_b, len_b):
         # gather and dequantize this sequence's blocks
-        k = _dequant_block(k_pool[table_b], kv_dtype)     # [M, bs, Hkv, D]
+        k = _dequant_block(k_pool[table_b], kv_dtype)     # [M, Hkv, bs, D]
         v = _dequant_block(v_pool[table_b], kv_dtype)
         ks = k_scale[table_b]                              # [M, Hkv, bs]
         vs = v_scale[table_b]
         M = table_b.shape[0]
         L = M * block_size
-        k = k.reshape(L, num_kv_heads, head_dim)
-        v = v.reshape(L, num_kv_heads, head_dim)
+        k = k.transpose(0, 2, 1, 3).reshape(L, num_kv_heads, head_dim)
+        v = v.transpose(0, 2, 1, 3).reshape(L, num_kv_heads, head_dim)
         ks = ks.transpose(0, 2, 1).reshape(L, num_kv_heads)  # [L, Hkv]
         vs = vs.transpose(0, 2, 1).reshape(L, num_kv_heads)
 
@@ -113,13 +116,13 @@ def prefill_attention_ref(
     scores_new = jnp.where(causal[None, None], scores_new, NEG_INF)
 
     if start_pos and k_pool is not None:
-        block_size = k_pool.shape[1]
+        block_size = k_pool.shape[2]
         k_ctx = _dequant_block(k_pool[block_table_row], kv_dtype)
         v_ctx = _dequant_block(v_pool[block_table_row], kv_dtype)
         M = block_table_row.shape[0]
         L = M * block_size
-        k_ctx = k_ctx.reshape(L, num_kv_heads, head_dim)
-        v_ctx = v_ctx.reshape(L, num_kv_heads, head_dim)
+        k_ctx = k_ctx.transpose(0, 2, 1, 3).reshape(L, num_kv_heads, head_dim)
+        v_ctx = v_ctx.transpose(0, 2, 1, 3).reshape(L, num_kv_heads, head_dim)
         ks = k_scale[block_table_row].transpose(0, 2, 1).reshape(L, num_kv_heads)
         vs = v_scale[block_table_row].transpose(0, 2, 1).reshape(L, num_kv_heads)
         scores_ctx = jnp.einsum("thgd,lhd->hgtl", qg, k_ctx) * ks.T[:, None, None, :] * sm_scale

@@ -51,9 +51,9 @@ def param_specs(config: LlamaConfig) -> dict[str, Any]:
 def pool_specs() -> tuple:
     """(k_pool, v_pool, k_scale, v_scale) specs: kv-head axis over tp.
 
-    Pools are [L, S, bs, Hkv, D/pack]; scales [L, S, Hkv, bs].
+    Pools are [L, S, Hkv, bs, D/pack]; scales [L, S, Hkv, bs].
     """
-    kv = P(None, None, None, "tp", None)
+    kv = P(None, None, "tp", None, None)
     sc = P(None, None, "tp", None)
     return kv, kv, sc, sc
 

@@ -15,7 +15,7 @@ the serving engine needs:
   retirement (the background tier management)
 
 Device pool layout (per layer, all layers stacked):
-    k_pools/v_pools [L, hbm_slots+1, block_size, Hkv, D/pack]
+    k_pools/v_pools [L, hbm_slots+1, Hkv, block_size, D/pack]
       (one extra guard slot so padded scatters can target it with mode=drop)
     k_scales/v_scales [L, hbm_slots+1, Hkv, block_size]
 """
@@ -60,7 +60,7 @@ class TieredKVCache:
         elem = kv_storage_dtype(self.kv_dtype)
         S = cache_config.num_hbm_blocks + 1  # +1 guard slot for dropped scatters
         put = device_put or jax.device_put
-        kv_shape = (c.num_layers, S, cache_config.block_size, c.num_kv_heads, dp)
+        kv_shape = (c.num_layers, S, c.num_kv_heads, cache_config.block_size, dp)
         sc_shape = (c.num_layers, S, c.num_kv_heads, cache_config.block_size)
         self.k_pools = put(jnp.zeros(kv_shape, elem))
         self.v_pools = put(jnp.zeros(kv_shape, elem))

@@ -61,13 +61,13 @@ class HostStore:
     """Host-DRAM block pool — the CXL-pool analog (`cxl_mem_if.v`, L3 tier).
 
     Layout: one block spans ALL layers (migration granularity, SURVEY.md
-    section 7.0): k/v [host_slots, L, bs, Hkv, D/pack], scales
+    section 7.0): k/v [host_slots, L, Hkv, bs, D/pack], scales
     [host_slots, L, Hkv, bs].
     """
 
     def __init__(self, host_slots: int, num_layers: int, block_size: int,
                  num_kv_heads: int, head_dim_packed: int, kv_elem_dtype):
-        shape = (host_slots, num_layers, block_size, num_kv_heads, head_dim_packed)
+        shape = (host_slots, num_layers, num_kv_heads, block_size, head_dim_packed)
         self.k = np.zeros(shape, dtype=kv_elem_dtype)
         self.v = np.zeros(shape, dtype=kv_elem_dtype)
         sshape = (host_slots, num_layers, num_kv_heads, block_size)
@@ -90,7 +90,7 @@ def _bucket(n: int) -> int:
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_in(pools: Pools, kd, vd, ksd, vsd, slots) -> Pools:
-    """Insert staged blocks. kd/vd: [N, L, bs, H, Dp] -> pools [L, S, ...]."""
+    """Insert staged blocks. kd/vd: [N, L, Hkv, bs, Dp] -> pools [L, S, ...]."""
     k, v, ks, vs = pools
     k = k.at[:, slots].set(kd.swapaxes(0, 1), mode="drop")
     v = v.at[:, slots].set(vd.swapaxes(0, 1), mode="drop")

@@ -21,7 +21,7 @@ def build_pools(keys, values, block_size, num_slots, kv_dtype, seed_tables=True)
     max_blocks = max(-(-k.shape[0] // block_size) for k in keys)
     B = len(keys)
     pack = 2 if kv_dtype == KVDtype.INT4 else 1
-    k_pool = np.zeros((num_slots, block_size, num_kv_heads, head_dim // pack),
+    k_pool = np.zeros((num_slots, num_kv_heads, block_size, head_dim // pack),
                       dtype=kv_storage_dtype(kv_dtype))
     v_pool = np.zeros_like(k_pool)
     k_scale = np.ones((num_slots, num_kv_heads, block_size), np.float32)
@@ -47,8 +47,8 @@ def build_pools(keys, values, block_size, num_slots, kv_dtype, seed_tables=True)
             slot = free.pop()
             table[b, i] = slot
             sl = slice(i * block_size, (i + 1) * block_size)
-            k_pool[slot] = np.asarray(kq[sl])
-            v_pool[slot] = np.asarray(vq[sl])
+            k_pool[slot] = np.asarray(kq[sl]).transpose(1, 0, 2)
+            v_pool[slot] = np.asarray(vq[sl]).transpose(1, 0, 2)
             k_scale[slot] = np.asarray(ks[sl, :, 0]).T
             v_scale[slot] = np.asarray(vs[sl, :, 0]).T
     return (jnp.asarray(k_pool), jnp.asarray(v_pool), jnp.asarray(k_scale),

@@ -16,11 +16,32 @@ from cxl_speckv_tpu.core.directory import (
     ResidencyDirectory,
 )
 
+# The same behavioral suite runs against the pure-Python directory and the
+# native C++ one (native/speckv_runtime.cpp via ctypes) — they must be
+# semantically indistinguishable.
+try:
+    from cxl_speckv_tpu.native import NativeResidencyDirectory, native_available
+    _HAVE_NATIVE = native_available()
+except Exception:
+    _HAVE_NATIVE = False
+
+IMPLS = ["python"] + (["native"] if _HAVE_NATIVE else [])
+_IMPL = {"python": ResidencyDirectory}
+if _HAVE_NATIVE:
+    _IMPL["native"] = NativeResidencyDirectory
+
+
+@pytest.fixture(params=IMPLS, autouse=True)
+def impl(request):
+    global _current_impl
+    _current_impl = _IMPL[request.param]
+    yield request.param
+
 
 def make_dir(hbm=8, host=16, reserve=0.0):
     cfg = CacheConfig(num_hbm_blocks=hbm, num_host_blocks=host,
                       prefetch_reserve_frac=reserve)
-    return ResidencyDirectory(cfg)
+    return _current_impl(cfg)
 
 
 # 1. initialization (test_coherence.cpp "Initialization")

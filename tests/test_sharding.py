@@ -65,7 +65,7 @@ def test_sharded_decode_step_matches(mesh):
     B, S, bs, MB = 4, 17, 8, 4
     pack = 1
     def make_pools():
-        kp = jnp.zeros((CFG.num_layers, S, bs, CFG.num_kv_heads, CFG.head_dim // pack),
+        kp = jnp.zeros((CFG.num_layers, S, CFG.num_kv_heads, bs, CFG.head_dim // pack),
                        kv_storage_dtype(kv_dtype))
         sc = jnp.ones((CFG.num_layers, S, CFG.num_kv_heads, bs), jnp.float32)
         return (kp, jnp.zeros_like(kp), sc, jnp.ones_like(sc))
