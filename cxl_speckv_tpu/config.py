@@ -115,6 +115,10 @@ class EngineConfig:
     prefill_chunk: int = 256            # chunked-prefill tile (token count)
     max_queue: int = 1024               # pending-request queue bound
     eos_token_id: int | None = None     # overrides model config when set
+    # decode steps fused into one device program (in-graph sampling);
+    # amortizes per-step dispatch overhead — tokens generated past a stop
+    # condition are discarded host-side
+    decode_horizon: int = 1
 
 
 @dataclass

@@ -67,7 +67,9 @@ class EngineStatistics(Statistics):
 class Engine:
     def __init__(self, model_config: LlamaConfig, system_config: SystemConfig,
                  params=None, *, use_pallas: bool | None = None,
-                 enable_lstm: bool | None = None, seed: int = 0):
+                 enable_lstm: bool | None = None, seed: int = 0,
+                 draft_config: LlamaConfig | None = None, draft_params=None,
+                 spec_gamma: int = 4):
         system_config.validate()
         self.model_config = model_config
         self.config = system_config
@@ -97,6 +99,16 @@ class Engine:
             system_config.prefetch, self.kvc, predictor=predictor,
             eos_token_id=self.eos_token_id)
         self.scheduler = Scheduler(ec, self.kvc)
+        self.spec = None
+        if draft_config is not None:
+            from cxl_speckv_tpu.engine.spec import SpecDecoder
+            from cxl_speckv_tpu.models.llama import init_params as _init
+
+            if draft_params is None:
+                draft_params = _init(draft_config, jax.random.PRNGKey(seed + 2))
+            self.spec = SpecDecoder(draft_config, draft_params, self.kvc,
+                                    gamma=spec_gamma)
+            self.scheduler.free_seq_hook = self.spec.on_free_seq
         self.stats = EngineStatistics()
         self.timers = PhaseTimer()
         self._next_req_id = 0
@@ -173,6 +185,8 @@ class Engine:
     def _prefill_tick(self, finished: list[EngineOutput]) -> None:
         chunk = self.config.engine.prefill_chunk
         for req in self.scheduler.prefill_candidates():
+            if req.seq_slot < 0 or req.state != RequestState.PREFILLING:
+                continue  # preempted by another request's allocation this tick
             remaining = len(req.prompt) - req.prefill_pos
             n = min(chunk, remaining)
             if not self.kvc.extend_seq(req.seq_slot, req.prefill_pos + n):
@@ -196,6 +210,9 @@ class Engine:
             blocks = self.kvc.pool.seq(req.seq_slot).blocks
             for bi in range(req.prefill_pos // bs, (req.prefill_pos + n - 1) // bs + 1):
                 self.kvc.directory.mark_dirty(blocks[bi])
+            if self.spec is not None:
+                self.spec.prefill(req.seq_slot, jnp.asarray(toks),
+                                  req.prefill_pos, n)
             req.prefill_pos += n
             self.prefetcher.observe_tokens(
                 req.seq_slot, req.prompt[req.prefill_pos - n : req.prefill_pos])
@@ -215,14 +232,22 @@ class Engine:
         batch = self.scheduler.decode_batch()
         if not batch:
             return batch
+        # speculative path: all-greedy batches with a draft model attached
+        if self.spec is not None and all(r.temperature <= 0.0 for r in batch):
+            return self._spec_decode_tick(batch, finished)
+        if self.config.engine.decode_horizon > 1:
+            return self._multi_decode_tick(batch, finished)
         B = self.config.engine.max_batch_size
         slots = [r.seq_slot for r in batch]
         # pin before fetching so eviction can't cannibalize the batch itself
         for s in slots:
             self.kvc.pin_seq(s, True)
-        self.kvc.ensure_resident(slots)
+        # record accesses BEFORE the demand fetch so misses are counted as
+        # misses (touching after ensure_resident would report every demand
+        # fetch as a hit)
         for s in slots:
             self.kvc.touch_seq(s)
+        self.kvc.ensure_resident(slots)
 
         guard = self.kvc.guard_slot
         max_blocks = self.kvc.pool.table.max_blocks_per_seq
@@ -272,6 +297,149 @@ class Engine:
         self.scheduler.stats.decode_tokens += len(batch)
         return batch
 
+    def _multi_decode_tick(self, batch: list[Request],
+                           finished: list[EngineOutput]) -> list[Request]:
+        """Fused multi-token decode: one dispatch, `decode_horizon` tokens."""
+        from cxl_speckv_tpu.models.llama import decode_multi
+
+        h = self.config.engine.decode_horizon
+        B = self.config.engine.max_batch_size
+        bs = self.config.cache.block_size
+        max_tokens = self.kvc.pool.table.max_blocks_per_seq * bs
+        slots = [r.seq_slot for r in batch]
+        for s in slots:
+            self.kvc.pin_seq(s, True)
+        for s in slots:
+            self.kvc.touch_seq(s)
+        self.kvc.ensure_resident(slots)
+
+        for r in batch:
+            want = min(r.num_tokens + h - 1, max_tokens)
+            while r.seq_slot >= 0 and not self.kvc.extend_seq(r.seq_slot, want):
+                if self.scheduler.preempt_youngest() is None:
+                    raise RuntimeError("KV capacity exhausted with nothing to preempt")
+        batch = [r for r in batch if r.seq_slot >= 0]
+        if not batch:
+            return batch
+
+        guard = self.kvc.guard_slot
+        mb = self.kvc.pool.table.max_blocks_per_seq
+        tokens = np.zeros(B, np.int32)
+        positions = np.zeros(B, np.int32)
+        temps = np.zeros(B, np.float32)
+        btab = np.full((B, mb), guard, np.int32)
+        for i, r in enumerate(batch):
+            tokens[i] = r.output[-1]
+            positions[i] = r.num_tokens - 1
+            temps[i] = r.temperature
+            row = self.kvc.pool.table.row(r.seq_slot)
+            btab[i] = np.where(row >= 0, row, guard)
+
+        self._rng, sub = jax.random.split(self._rng)
+        toks, *pools = decode_multi(
+            self.params, self.model_config, self.kvc.kv_dtype,
+            jnp.asarray(tokens), jnp.asarray(positions), *self.kvc.pools,
+            jnp.asarray(btab), sub, jnp.asarray(temps),
+            horizon=h, use_pallas=self.use_pallas)
+        self.kvc.set_pools(tuple(pools))
+        toks = np.asarray(toks)
+
+        for i, r in enumerate(batch):
+            blocks = self.kvc.pool.seq(r.seq_slot).blocks
+            lo, hi = int(positions[i]) // bs, min(
+                (int(positions[i]) + h - 1) // bs, len(blocks) - 1)
+            for bi in range(lo, hi + 1):
+                self.kvc.directory.mark_dirty(blocks[bi])
+            for j in range(h):
+                if r.state != RequestState.RUNNING:
+                    break
+                self._record_token(r, int(toks[i, j]))
+                out = self._maybe_finish(r)
+                if out is not None:
+                    finished.append(out)
+        for r in batch:
+            if r.state == RequestState.RUNNING:
+                self.kvc.pin_seq(r.seq_slot, False)
+        self.scheduler.stats.decode_batches += 1
+        self.scheduler.stats.decode_tokens += sum(
+            min(h, len(r.output)) for r in batch)
+        return batch
+
+    def _spec_decode_tick(self, batch: list[Request],
+                          finished: list[EngineOutput]) -> list[Request]:
+        """Draft-propose + verify + greedy-accept one round for the batch."""
+        from cxl_speckv_tpu.models.llama import verify_step
+
+        gamma = self.spec.gamma
+        B = self.config.engine.max_batch_size
+        slots = [r.seq_slot for r in batch]
+        for s in slots:
+            self.kvc.pin_seq(s, True)
+        # record accesses BEFORE the demand fetch so misses are counted as
+        # misses (touching after ensure_resident would report every demand
+        # fetch as a hit)
+        for s in slots:
+            self.kvc.touch_seq(s)
+        self.kvc.ensure_resident(slots)
+
+        for r in batch:
+            # capacity for verify appends at positions n-1 .. n-1+gamma
+            while r.seq_slot >= 0 and not self.kvc.extend_seq(
+                    r.seq_slot, r.num_tokens + gamma):
+                if self.scheduler.preempt_youngest() is None:
+                    raise RuntimeError("KV capacity exhausted with nothing to preempt")
+            if r.seq_slot >= 0:
+                self.spec.sync_seq(r.seq_slot)
+        batch = [r for r in batch if r.seq_slot >= 0]
+        if not batch:
+            return batch
+
+        guard = self.kvc.guard_slot
+        mb = self.kvc.pool.table.max_blocks_per_seq
+        last = np.zeros(B, np.int32)
+        positions = np.zeros(B, np.int32)
+        active = np.zeros(B, bool)
+        ttab = np.full((B, mb), guard, np.int32)
+        dtab = np.full((B, mb), self.spec.guard_slot, np.int32)
+        for i, r in enumerate(batch):
+            last[i] = r.output[-1]
+            positions[i] = r.num_tokens - 1
+            active[i] = True
+            row = self.kvc.pool.table.row(r.seq_slot)
+            ttab[i] = np.where(row >= 0, row, guard)
+            dtab[i] = self.spec.table[r.seq_slot]
+
+        drafts = self.spec.propose(last, positions, dtab, active)
+        verify_tokens = np.concatenate([last[:, None], drafts], axis=1)  # [B, g+1]
+        logits, *pools = verify_step(
+            self.params, self.model_config, self.kvc.kv_dtype,
+            jnp.asarray(verify_tokens), jnp.asarray(positions),
+            *self.kvc.pools, jnp.asarray(ttab), jnp.asarray(active))
+        self.kvc.set_pools(tuple(pools))
+
+        emitted, n_acc = self.spec.accept_greedy(drafts, np.asarray(logits), active)
+        bs = self.config.cache.block_size
+        for i, r in enumerate(batch):
+            blocks = self.kvc.pool.seq(r.seq_slot).blocks
+            # appended KV covers positions n-1 .. n-1+accepted
+            for bi in range(int(positions[i]) // bs,
+                            (int(positions[i]) + int(n_acc[i])) // bs + 1):
+                if bi < len(blocks):
+                    self.kvc.directory.mark_dirty(blocks[bi])
+            for tok in emitted[i]:
+                if r.state != RequestState.RUNNING:
+                    break
+                self._record_token(r, tok)
+                out = self._maybe_finish(r)
+                if out is not None:
+                    finished.append(out)
+        for r in batch:
+            if r.state == RequestState.RUNNING:
+                self.kvc.pin_seq(r.seq_slot, False)
+        self.scheduler.stats.decode_batches += 1
+        self.scheduler.stats.decode_tokens += sum(len(e) for e in emitted)
+        return batch
+
     # -- helpers --------------------------------------------------------------
 
     def _sample_single(self, logits: jax.Array, req: Request) -> int:
@@ -315,6 +483,7 @@ class Engine:
         eng["p95_tpot_ms"] = tp[min(len(tp) - 1, int(len(tp) * 0.95))] if tp else 0.0
         return {
             "engine": eng,
+            **({"spec": self.spec.get_statistics().as_dict()} if self.spec else {}),
             "phases": self.timers.summary(),
             "scheduler": self.scheduler.get_statistics().as_dict(),
             "prefetch": self.prefetcher.get_statistics().as_dict(),

@@ -47,6 +47,9 @@ class Scheduler:
         self.running: dict[int, Request] = {}   # req_id -> Request (has seq_slot)
         self.stats = SchedulerStatistics()
         self._step = 0
+        # called with (seq_slot, block_ids) just before a sequence's blocks
+        # are freed (finish or preemption) — lets auxiliary caches clean up
+        self.free_seq_hook = None
 
     # -- admission -----------------------------------------------------------
 
@@ -55,10 +58,34 @@ class Scheduler:
             raise RuntimeError("request queue full")
         self.queue.append(req)
 
+    def _block_capacity(self) -> int:
+        """Conservative total logical-block capacity: with a host tier every
+        block may eventually need a host slot (HBM residents keep clean host
+        backing copies), so the host pool bounds it; HBM-only otherwise."""
+        cc = self.kvc.config
+        return cc.num_host_blocks if cc.num_host_blocks > 0 else cc.num_hbm_blocks
+
+    def _committed_blocks(self) -> int:
+        bs = self.kvc.config.block_size
+        return sum(-(-(len(r.prompt) + r.max_new_tokens) // bs)
+                   for r in self.running.values())
+
     def admit(self, max_new: int = 1) -> list[Request]:
-        """Move queued requests into the running set (assign seq slots)."""
+        """Move queued requests into the running set (assign seq slots).
+
+        Admission is capacity-gated: a request only enters once its worst-case
+        block footprint fits the remaining capacity — otherwise oversubmission
+        degenerates into preemption thrash (preemption stays as the
+        correctness backstop, not the steady state)."""
         admitted = []
+        capacity = self._block_capacity()
+        committed = self._committed_blocks()
+        bs = self.kvc.config.block_size
         while self.queue and len(admitted) < max_new:
+            need = -(-(len(self.queue[0].prompt)
+                       + self.queue[0].max_new_tokens) // bs)
+            if committed + need > capacity and self.running:
+                break
             slot = self.kvc.add_seq()
             if slot is None:
                 break
@@ -68,6 +95,7 @@ class Scheduler:
             self.running[req.req_id] = req
             self.stats.admissions += 1
             admitted.append(req)
+            committed += need
         return admitted
 
     # -- selection -----------------------------------------------------------
@@ -113,6 +141,9 @@ class Scheduler:
         if not victims:
             return None
         victim = max(victims, key=lambda r: r.arrival_time)
+        if self.free_seq_hook:
+            self.free_seq_hook(victim.seq_slot,
+                               list(self.kvc.pool.seq(victim.seq_slot).blocks))
         self.kvc.free_seq(victim.seq_slot)
         del self.running[victim.req_id]
         victim.seq_slot = -1
@@ -126,6 +157,9 @@ class Scheduler:
     def finish(self, req: Request, reason: str) -> None:
         req.state = RequestState.FINISHED
         req.finish_reason = reason
+        if self.free_seq_hook:
+            self.free_seq_hook(req.seq_slot,
+                               list(self.kvc.pool.seq(req.seq_slot).blocks))
         self.kvc.free_seq(req.seq_slot)
         del self.running[req.req_id]
 

@@ -36,6 +36,7 @@ Params = dict[str, Any]
 # parameter init / structure
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("config", "dtype"))
 def init_params(config: LlamaConfig, key: jax.Array, dtype=None) -> Params:
     """Random-init parameters with the canonical tree layout:
 
@@ -135,12 +136,7 @@ def _mlp(x, gate, up, down):
 # decode step (paged attention over the pools)
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "kv_dtype", "use_pallas"),
-    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
-)
-def decode_step(
+def _decode_core(
     params: Params,
     config: LlamaConfig,
     kv_dtype: KVDtype,
@@ -152,23 +148,18 @@ def decode_step(
     v_scales: jax.Array,
     block_table: jax.Array,   # [B, max_blocks] int32 (clamped)
     seq_lens: jax.Array,      # [B] int32 — length INCLUDING this token
-    *,
-    use_pallas: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """One decode step for a batch of sequences.
-
-    Appends this token's quantized KV into the pools (in-place under jit via
-    donation), then attends over the pool including it. Returns
-    (logits [B, V], k_pools, v_pools, k_scales, v_scales).
-    """
+    use_pallas: bool,
+):
+    """Single decode step, un-jitted (shared by decode_step/decode_multi)."""
     c = config
     B = token_ids.shape[0]
     bs = k_pools.shape[3]  # pools [L, S, Hkv, bs, D/pack]
     inv_freq = rope_frequencies(c)
     x = params["embed"][token_ids]  # [B, H]
 
-    # physical scatter coordinates of this token
-    blk = positions // bs
+    # physical scatter coordinates of this token (clamped: overshoot steps of
+    # a fused multi-decode past a finished lane stay inside the table)
+    blk = jnp.clip(positions // bs, 0, block_table.shape[1] - 1)
     slots = jnp.take_along_axis(block_table, blk[:, None], axis=1)[:, 0]  # [B]
     offs = positions % bs
 
@@ -214,6 +205,193 @@ def decode_step(
         (params["layers"], layer_idx),
     )
 
+    x = rms_norm(x, params["final_norm"], c.rms_eps)
+    head = params["embed"].T if config.tie_embeddings else params["lm_head"]
+    logits = (x @ head).astype(jnp.float32)
+    return logits, k_pools, v_pools, k_scales, v_scales
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "use_pallas"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
+)
+def decode_step(
+    params: Params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    token_ids: jax.Array,
+    positions: jax.Array,
+    k_pools: jax.Array,
+    v_pools: jax.Array,
+    k_scales: jax.Array,
+    v_scales: jax.Array,
+    block_table: jax.Array,
+    seq_lens: jax.Array,
+    *,
+    use_pallas: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One decode step for a batch of sequences.
+
+    Appends this token's quantized KV into the pools (in-place under jit via
+    donation), then attends over the pool including it. Returns
+    (logits [B, V], k_pools, v_pools, k_scales, v_scales).
+    """
+    return _decode_core(params, config, kv_dtype, token_ids, positions,
+                        k_pools, v_pools, k_scales, v_scales, block_table,
+                        seq_lens, use_pallas)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
+)
+def decode_multi(
+    params: Params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    first_tokens: jax.Array,   # [B] int32 — last sampled token per lane
+    start_positions: jax.Array,  # [B] int32 — its position (= current len - 1)
+    k_pools: jax.Array,
+    v_pools: jax.Array,
+    k_scales: jax.Array,
+    v_scales: jax.Array,
+    block_table: jax.Array,    # [B, max_blocks], must cover horizon new tokens
+    key: jax.Array,            # PRNG key for in-graph sampling
+    temperatures: jax.Array,   # [B] f32; <= 0 means greedy
+    *,
+    horizon: int = 8,
+    use_pallas: bool = False,
+    top_k: int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """`horizon` decode steps fused into one device program — sampling
+    happens in-graph, so one dispatch emits `horizon` tokens per lane.
+
+    On remote-dispatch TPU runtimes every host->device round trip costs
+    milliseconds; a fused multi-step loop amortizes the per-step engine
+    overhead by `horizon`x. Callers must pre-extend sequences so the block
+    table covers positions start .. start+horizon-1 (tokens generated past a
+    stop condition are simply discarded host-side — lanes are independent,
+    so overshoot wastes only compute).
+
+    Returns (tokens [B, horizon], k_pools, v_pools, k_scales, v_scales)
+    where tokens[:, j] was sampled after feeding the j-th token.
+    """
+    from cxl_speckv_tpu.engine.sampling import sample_tokens
+
+    def step(carry, j):
+        toks, kp, vp, ks, vs, key = carry
+        positions = start_positions + j
+        logits, kp, vp, ks, vs = _decode_core(
+            params, config, kv_dtype, toks, positions, kp, vp, ks, vs,
+            block_table, positions + 1, use_pallas)
+        key, sub = jax.random.split(key)
+        nxt = sample_tokens(logits, temperatures, sub, top_k).astype(jnp.int32)
+        return (nxt, kp, vp, ks, vs, key), nxt
+
+    (_, k_pools, v_pools, k_scales, v_scales, _), toks = jax.lax.scan(
+        step, (first_tokens, k_pools, v_pools, k_scales, v_scales, key),
+        jnp.arange(horizon))
+    return toks.T, k_pools, v_pools, k_scales, v_scales
+
+
+# ---------------------------------------------------------------------------
+# verify step (speculative decoding: score a chunk of proposed tokens)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
+)
+def verify_step(
+    params: Params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    token_ids: jax.Array,     # [B, T] int32: [last_accepted, draft_1..draft_{T-1}]
+    start_pos: jax.Array,     # [B] int32: absolute position of token_ids[:, 0]
+    k_pools: jax.Array,       # [L, S, Hkv, bs, D/pack]
+    v_pools: jax.Array,
+    k_scales: jax.Array,
+    v_scales: jax.Array,
+    block_tables: jax.Array,  # [B, max_blocks] int32 (guard-clamped)
+    active: jax.Array,        # [B] bool — inactive lanes scatter to guard
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Target-model scoring of T tokens per sequence in one pass (the
+    speculative-decoding verification step). Returns logits [B, T, V]: row t
+    is the distribution for position start_pos+t+1, i.e. the verdict on
+    draft token t+1 (and row T-1 samples the bonus token).
+
+    KV for every fed token is appended (quantized) at its position; tokens
+    past the accepted prefix are simply never covered by seq_len and get
+    overwritten on the next append — speculative KV needs no rollback (the
+    reference's lazy-invalidation philosophy,
+    `speculative_prefetcher.cpp:84-97`, applied to the cache itself).
+    """
+    from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
+
+    c = config
+    B, T = token_ids.shape
+    bs = k_pools.shape[3]
+    max_blocks = block_tables.shape[1]
+    guard_slot = k_pools.shape[1] - 1
+    inv_freq = rope_frequencies(c)
+    positions = start_pos[:, None] + jnp.arange(T)[None, :]   # [B, T]
+    x = params["embed"][token_ids]                            # [B, T, H]
+
+    blk = jnp.clip(positions // bs, 0, max_blocks - 1)
+    slots = jnp.take_along_axis(block_tables, blk, axis=1)    # [B, T]
+    slots = jnp.where(active[:, None], slots, guard_slot)
+    offs = positions % bs
+
+    def layer(carry, xs):
+        x, k_pools, v_pools, k_scales, v_scales = carry
+        (lp, li) = xs
+        h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+        q = (h @ lp["q"]).reshape(B, T, c.num_q_heads, c.head_dim)
+        k = (h @ lp["k"]).reshape(B, T, c.num_kv_heads, c.head_dim)
+        v = (h @ lp["v"]).reshape(B, T, c.num_kv_heads, c.head_dim)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+
+        kp = jax.lax.dynamic_index_in_dim(k_pools, li, 0, keepdims=False)
+        vp = jax.lax.dynamic_index_in_dim(v_pools, li, 0, keepdims=False)
+        ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
+        vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
+
+        # quantize the chunk KV first and attend to the *dequantized* values,
+        # so verification sees exactly what a later decode step would read
+        # from the pool — otherwise fresh-f32 in-chunk KV systematically
+        # disagrees with the draft's quantized-cache view near ties
+        from cxl_speckv_tpu.ops.quant import dequantize_kv
+
+        kq, ks = quantize_kv(k, kv_dtype)   # [B, T, Hkv, D/pack], [B, T, Hkv, 1]
+        vq, vs = quantize_kv(v, kv_dtype)
+        k_use = dequantize_kv(kq, ks, kv_dtype).astype(k.dtype)
+        v_use = dequantize_kv(vq, vs, kv_dtype).astype(v.dtype)
+
+        o = paged_chunk_attention(q, k_use, v_use, kp, vp, ksc, vsc,
+                                  block_tables, start_pos, kv_dtype)
+        x = x + (o.reshape(B, T, -1).astype(x.dtype) @ lp["o"])
+        h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
+        x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
+        kp = kp.at[slots, :, offs].set(kq.astype(kp.dtype))
+        vp = vp.at[slots, :, offs].set(vq.astype(vp.dtype))
+        ksc = ksc.at[slots, :, offs].set(ks[..., 0])
+        vsc = vsc.at[slots, :, offs].set(vs[..., 0])
+
+        k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)
+        v_pools = jax.lax.dynamic_update_index_in_dim(v_pools, vp, li, 0)
+        k_scales = jax.lax.dynamic_update_index_in_dim(k_scales, ksc, li, 0)
+        v_scales = jax.lax.dynamic_update_index_in_dim(v_scales, vsc, li, 0)
+        return (x, k_pools, v_pools, k_scales, v_scales), None
+
+    layer_idx = jnp.arange(c.num_layers)
+    (x, k_pools, v_pools, k_scales, v_scales), _ = jax.lax.scan(
+        layer, (x, k_pools, v_pools, k_scales, v_scales),
+        (params["layers"], layer_idx),
+    )
     x = rms_norm(x, params["final_norm"], c.rms_eps)
     head = params["embed"].T if config.tie_embeddings else params["lm_head"]
     logits = (x @ head).astype(jnp.float32)

@@ -81,11 +81,14 @@ class HostStore:
         return per_slot
 
 
+_TRANSFER_BATCH = 16  # fixed migration batch (descriptor-ring depth analog)
+
+
 def _bucket(n: int) -> int:
-    b = 1
-    while b < n:
-        b *= 2
-    return b
+    """Fixed-size batches: one scatter/gather program compiles per pool
+    geometry instead of one per power-of-two size — first-execution compile
+    cost on remote TPU backends is tens of seconds per distinct program."""
+    return _TRANSFER_BATCH * (-(-n // _TRANSFER_BATCH))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -149,12 +152,12 @@ class TransferEngine:
         Promotes complete immediately (dispatch-ordered, see module doc);
         demotes become pending until `poll()` sees the D2H copy finish.
         """
-        if self._up_queue:
+        nb = _TRANSFER_BATCH
+        while self._up_queue:
             t0 = time.monotonic()
-            ups = self._up_queue
-            self._up_queue = []
+            ups = self._up_queue[:nb]
+            del self._up_queue[:nb]
             n = len(ups)
-            nb = _bucket(n)
             hs = [u[1] for u in ups]
             kd = np.zeros((nb, *self.host.k.shape[1:]), self.host.k.dtype)
             vd = np.zeros_like(kd)
@@ -175,11 +178,13 @@ class TransferEngine:
             self.stats.bytes_up += n * self.host.bytes_per_block
             self.stats.up_wait_ms += (time.monotonic() - t0) * 1e3
 
-        if self._down_queue and self.inflight_down < self.max_inflight_down:
-            downs = self._down_queue
-            self._down_queue = []
-            slots = jnp.asarray(np.array([d[1] for d in downs], np.int32))
-            arrs = _gather_out(pools, slots)
+        while self._down_queue and self.inflight_down < self.max_inflight_down:
+            downs = self._down_queue[:nb]
+            del self._down_queue[:nb]
+            n = len(downs)
+            slots = np.zeros(nb, np.int32)  # pad gathers slot 0, sliced off in poll
+            slots[:n] = [d[1] for d in downs]
+            arrs = _gather_out(pools, jnp.asarray(slots))
             for a in arrs:
                 a.copy_to_host_async()
             self._pending_down.append(_PendingDown(
@@ -208,8 +213,9 @@ class TransferEngine:
             k, v, ks, vs = (np.asarray(a) for a in p.arrays)  # blocks if !ready
             self.stats.down_wait_ms += (time.monotonic() - t0) * 1e3
             hs = p.host_slots
-            self.host.k[hs], self.host.v[hs] = k, v
-            self.host.ks[hs], self.host.vs[hs] = ks, vs
+            n = len(hs)
+            self.host.k[hs], self.host.v[hs] = k[:n], v[:n]
+            self.host.ks[hs], self.host.vs[hs] = ks[:n], vs[:n]
             for bid in p.bids:
                 directory.complete_demote(bid)
             done += len(p.bids)

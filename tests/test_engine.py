@@ -27,13 +27,13 @@ PARAMS = init_params(CFG, jax.random.PRNGKey(42))
 
 
 def make_engine(hbm_blocks=256, host_blocks=256, batch=4, kv_dtype=KVDtype.INT8,
-                lstm=False, seed=0):
+                lstm=False, seed=0, horizon=1):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm_blocks,
                           num_host_blocks=host_blocks, kv_dtype=kv_dtype),
         prefetch=PrefetchConfig(depth=2),
         engine=EngineConfig(max_batch_size=batch, max_seq_len=128,
-                            prefill_chunk=32),
+                            prefill_chunk=32, decode_horizon=horizon),
     )
     return Engine(CFG, sc, params=PARAMS, use_pallas=False,
                   enable_lstm=lstm, seed=seed)
@@ -102,6 +102,26 @@ def test_prefetcher_converts_misses_to_hits():
     assert d["accesses"] > 0
     assert d["hit_rate"] > 0.6, f"hit rate too low: {d['hit_rate']}"
     assert st["prefetch"]["prefetches_issued"] > 0
+
+
+def test_multi_horizon_matches_single_step():
+    """Fused 4-token decode must emit the same greedy tokens as step-by-step,
+    including under oversubscription (migration between fused steps)."""
+    ps = prompts(6, rng_seed=11, lo=6, hi=20)
+    single = make_engine(batch=2, horizon=1)
+    for p in ps:
+        single.add_request(p, max_new_tokens=11)
+    want = {o.req_id: o.tokens for o in single.run()}
+
+    fused = make_engine(batch=2, horizon=4, hbm_blocks=14, host_blocks=256)
+    for p in ps:
+        fused.add_request(p, max_new_tokens=11)
+    got = {o.req_id: o.tokens for o in fused.run()}
+    assert want.keys() == got.keys()
+    for rid in want:
+        assert got[rid] == want[rid], f"request {rid} diverged under horizon=4"
+    st = fused.get_statistics()
+    assert st["transfer"]["up_transfers"] > 0  # tiering active during fusion
 
 
 def test_deterministic_given_seed():

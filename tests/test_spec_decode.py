@@ -1,0 +1,143 @@
+"""Speculative decoding tests.
+
+The decisive invariant: greedy speculative decoding emits EXACTLY the same
+tokens as plain greedy decoding — the draft model only affects speed, never
+output. Verified end-to-end through the engine, including under KV
+oversubscription (spec + tiering together).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cxl_speckv_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    KVDtype,
+    PrefetchConfig,
+    SystemConfig,
+)
+from cxl_speckv_tpu.engine.engine import Engine
+from cxl_speckv_tpu.models.configs import LlamaConfig, tiny_test_config
+from cxl_speckv_tpu.models.llama import (
+    forward_dense,
+    init_params,
+    verify_step,
+)
+from cxl_speckv_tpu.ops.quant import kv_storage_dtype
+
+CFG = tiny_test_config()
+PARAMS = init_params(CFG, jax.random.PRNGKey(42))
+DRAFT_CFG = LlamaConfig(
+    vocab_size=CFG.vocab_size, hidden_size=32, intermediate_size=64,
+    num_layers=1, num_q_heads=2, num_kv_heads=2, head_dim=16,
+    rope_theta=10000.0, tie_embeddings=False, max_seq_len=512,
+    eos_token_id=0, dtype="float32",
+)
+DRAFT_PARAMS = init_params(DRAFT_CFG, jax.random.PRNGKey(7))
+
+
+def make_engine(spec=False, hbm_blocks=256, gamma=3, seed=0):
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=hbm_blocks,
+                          num_host_blocks=256, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(depth=2),
+        engine=EngineConfig(max_batch_size=4, max_seq_len=128, prefill_chunk=32),
+    )
+    kw = {}
+    if spec:
+        kw = dict(draft_config=DRAFT_CFG, draft_params=DRAFT_PARAMS,
+                  spec_gamma=gamma)
+    return Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False,
+                  seed=seed, **kw)
+
+
+def prompts(n, rng_seed=0):
+    rng = np.random.RandomState(rng_seed)
+    return [rng.randint(1, CFG.vocab_size, rng.randint(5, 18)).tolist()
+            for _ in range(n)]
+
+
+def test_verify_step_matches_dense():
+    """verify_step logits over the paged cache match forward_dense rows."""
+    # simpler: run via BF16 pools for losslessness
+    bs, slots, mb = 8, 32, 8
+    kv_dtype = KVDtype.BF16
+    pack = 1
+    shape = (CFG.num_layers, slots, CFG.num_kv_heads, bs, CFG.head_dim // pack)
+    kp = jnp.zeros(shape, kv_storage_dtype(kv_dtype))
+    vp = jnp.zeros_like(kp)
+    sc = jnp.ones((CFG.num_layers, slots, CFG.num_kv_heads, bs), jnp.float32)
+    vs = jnp.ones_like(sc)
+    from cxl_speckv_tpu.models.llama import prefill_chunk
+
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (20,), 1, CFG.vocab_size)
+    table = jnp.arange(1, mb + 1, dtype=jnp.int32)
+    # prefill the first 12 tokens
+    _, kp, vp, sc, vs = prefill_chunk(PARAMS, CFG, kv_dtype, tokens[:12],
+                                      jnp.int32(0), kp, vp, sc, vs, table)
+    # verify chunk: tokens 12..19 (T=8), start_pos=12
+    logits, *_ = verify_step(
+        PARAMS, CFG, kv_dtype, tokens[None, 12:], jnp.array([12], jnp.int32),
+        kp, vp, sc, vs, table[None], jnp.array([True]))
+    want = np.asarray(forward_dense(PARAMS, CFG, tokens[None])[0])[12:]
+    np.testing.assert_allclose(np.asarray(logits[0]), want, rtol=3e-2, atol=3e-2)
+    assert (np.asarray(logits[0]).argmax(-1) == want.argmax(-1)).all()
+
+
+def test_spec_matches_plain_greedy():
+    ps = prompts(6, rng_seed=1)
+    plain = make_engine(spec=False)
+    for p in ps:
+        plain.add_request(p, max_new_tokens=10)
+    want = {o.req_id: o.tokens for o in plain.run()}
+
+    spec = make_engine(spec=True, gamma=3)
+    for p in ps:
+        spec.add_request(p, max_new_tokens=10)
+    got = {o.req_id: o.tokens for o in spec.run()}
+
+    assert want.keys() == got.keys()
+    for rid in want:
+        assert got[rid] == want[rid], f"request {rid} diverged under spec decode"
+    st = spec.get_statistics()
+    assert st["spec"]["rounds"] > 0
+    assert st["spec"]["tokens_per_round"] >= 1.0
+
+
+def test_spec_with_oversubscription():
+    ps = prompts(6, rng_seed=2)
+    plain = make_engine(spec=False, hbm_blocks=256)
+    for p in ps:
+        plain.add_request(p, max_new_tokens=8)
+    want = {o.req_id: o.tokens for o in plain.run()}
+
+    tight = make_engine(spec=True, hbm_blocks=14, gamma=3)
+    for p in ps:
+        tight.add_request(p, max_new_tokens=8)
+    got = {o.req_id: o.tokens for o in tight.run()}
+    for rid in want:
+        assert got[rid] == want[rid], f"request {rid} diverged (spec+tiering)"
+    st = tight.get_statistics()
+    assert st["transfer"]["up_transfers"] > 0
+
+
+def test_spec_self_draft_accepts_everything():
+    """Draft == target with identical (BF16) caches: every draft token must
+    be accepted, so each round emits gamma+1 tokens."""
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=256,
+                          num_host_blocks=256, kv_dtype=KVDtype.BF16),
+        prefetch=PrefetchConfig(depth=2),
+        engine=EngineConfig(max_batch_size=4, max_seq_len=128, prefill_chunk=32),
+    )
+    eng2 = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False,
+                  draft_config=CFG, draft_params=PARAMS, spec_gamma=3)
+    p = prompts(1, rng_seed=3)[0]
+    eng2.add_request(p, max_new_tokens=9)
+    outs = eng2.run()
+    st = eng2.get_statistics()["spec"]
+    assert outs[0].tokens is not None
+    assert st["acceptance_rate"] == 1.0, st
+    assert st["tokens_per_round"] == 4.0, st
