@@ -47,6 +47,28 @@ class EngineOutput:
     finish_reason: str
     ttft_ms: float
     tpot_ms: float
+    session_id: int = -1
+
+
+@dataclass
+class Session:
+    """Multi-turn conversation whose KV persists between requests.
+
+    The engine-level realization of the reference's serving pattern: a
+    request's KV pages stay in the pooled tier between accesses
+    (`README.md:16-19`) and are restored (prefetched/promoted) instead of
+    recomputed when the conversation returns. `live=False` means the KV was
+    reclaimed under capacity pressure — the next turn transparently
+    re-prefills the stored history (the HBM-only fallback)."""
+
+    session_id: int
+    seq_slot: int
+    tokens: list[int] = field(default_factory=list)  # full conversation
+    live: bool = True
+    busy: bool = False
+    last_use: float = field(default_factory=time.monotonic)
+    restores: int = 0
+    reprefills: int = 0
 
 
 @dataclass
@@ -114,24 +136,116 @@ class Engine:
         self._next_req_id = 0
         self._rng = jax.random.PRNGKey(seed + 1)
         self._requests: dict[int, Request] = {}
+        self._sessions: dict[int, Session] = {}
         self._tpots: list[float] = []
+        self.scheduler.reclaim_hook = self._reclaim_idle_session
+        self.scheduler.extra_committed = self._idle_session_blocks
 
     # -- public API (the speckv_* C API analog) ------------------------------
 
     def add_request(self, prompt: list[int], max_new_tokens: int = 64,
                     temperature: float = 0.0,
-                    eos_token_id: int | None = None) -> int:
+                    eos_token_id: int | None = None,
+                    session: bool = False) -> int:
+        """Submit a request. With session=True the conversation's KV persists
+        after the reply (demotable to the host tier); follow it up with
+        `continue_session(req_id, ...)` to restore instead of re-prefill."""
         if not prompt:
             raise ValueError("empty prompt")
         if len(prompt) + max_new_tokens > self.config.engine.max_seq_len:
             raise ValueError("prompt + max_new_tokens exceeds max_seq_len")
         req = Request(req_id=self._next_req_id, prompt=list(prompt),
                       max_new_tokens=max_new_tokens, temperature=temperature,
-                      eos_token_id=eos_token_id)
+                      eos_token_id=eos_token_id, session=session)
+        if session:
+            req.session_id = req.req_id
         self._next_req_id += 1
         self._requests[req.req_id] = req
         self.scheduler.submit(req)
         return req.req_id
+
+    def continue_session(self, session_id: int, new_tokens: list[int],
+                         max_new_tokens: int = 64,
+                         temperature: float = 0.0) -> int:
+        """Next conversation turn. If the session's KV is still allocated
+        (HBM- or host-resident), only the new tokens are prefilled and the
+        context is restored by the tiering machinery; if it was reclaimed,
+        the stored history is transparently re-prefilled."""
+        sess = self._sessions.get(session_id)
+        if sess is None:
+            raise ValueError(f"unknown session {session_id}")
+        if sess.busy:
+            raise ValueError(f"session {session_id} already has a turn in flight")
+        if not new_tokens:
+            raise ValueError("empty continuation")
+        sess.busy = True
+        sess.last_use = time.monotonic()
+        if sess.live:
+            # KV covers tokens[:-1]; feed the last reply token + new tokens
+            prompt = [sess.tokens[-1]] + list(new_tokens)
+            context_len = len(sess.tokens) - 1
+            seq_slot = sess.seq_slot
+            sess.restores += 1
+        else:
+            prompt = sess.tokens + list(new_tokens)
+            context_len = 0
+            seq_slot = -1
+            sess.reprefills += 1
+        total = context_len + len(prompt) + max_new_tokens
+        if total > self.config.engine.max_seq_len:
+            sess.busy = False
+            raise ValueError("session exceeds max_seq_len")
+        req = Request(req_id=self._next_req_id, prompt=prompt,
+                      max_new_tokens=max_new_tokens, temperature=temperature,
+                      session=True, session_id=session_id,
+                      context_len=context_len)
+        req.seq_slot = seq_slot
+        self._next_req_id += 1
+        self._requests[req.req_id] = req
+        self.scheduler.submit(req)
+        return req.req_id
+
+    def get_session(self, session_id: int) -> Session:
+        return self._sessions[session_id]
+
+    def end_session(self, session_id: int) -> None:
+        """Free a session's KV for good."""
+        sess = self._sessions.pop(session_id)
+        if sess.live:
+            self._free_session_seq(sess)
+
+    # -- session capacity management ----------------------------------------
+
+    def _free_session_seq(self, sess: Session) -> None:
+        if self.scheduler.free_seq_hook:
+            self.scheduler.free_seq_hook(
+                sess.seq_slot, list(self.kvc.pool.seq(sess.seq_slot).blocks))
+        self.kvc.free_seq(sess.seq_slot)
+        sess.live = False
+        sess.seq_slot = -1
+
+    def _idle_session_blocks(self) -> int:
+        return sum(len(self.kvc.pool.seq(s.seq_slot).blocks)
+                   for s in self._sessions.values() if s.live and not s.busy)
+
+    def _make_capacity(self) -> bool:
+        """Free capacity under pressure: idle session KV first (cheap — a
+        later re-prefill), then preemption of the youngest non-session
+        request (loses in-flight work)."""
+        if self._reclaim_idle_session():
+            return True
+        return self.scheduler.preempt_youngest() is not None
+
+    def _reclaim_idle_session(self) -> bool:
+        """Free the least-recently-used idle session's KV (capacity
+        pressure) — its next turn will re-prefill. Returns True if one was
+        reclaimed."""
+        idle = [s for s in self._sessions.values() if s.live and not s.busy]
+        if not idle:
+            return False
+        victim = min(idle, key=lambda s: s.last_use)
+        self._free_session_seq(victim)
+        return True
 
     def set_prefetch_depth(self, depth: int) -> None:
         """Runtime knob, `speckv_set_prefetch_depth` analog."""
@@ -173,6 +287,13 @@ class Engine:
                 self.config.prefetch.max_depth, exclude)
             self.prefetcher.plan(upcoming)
             self.prefetcher.update_depth()
+            # preload queued session restores (their seq is known before
+            # admission — the idle-KV warm-up the reference's prefetcher
+            # exists for)
+            for r in list(self.scheduler.queue)[:4]:
+                if r.session and r.seq_slot >= 0:
+                    self.kvc.prefetch_blocks(
+                        self.kvc.seq_nonresident_blocks(r.seq_slot))
             self.kvc.maintain()
         t3 = time.monotonic()
         self.stats.prefill_time_s += t1 - t0
@@ -189,30 +310,33 @@ class Engine:
                 continue  # preempted by another request's allocation this tick
             remaining = len(req.prompt) - req.prefill_pos
             n = min(chunk, remaining)
-            if not self.kvc.extend_seq(req.seq_slot, req.prefill_pos + n):
-                if self.scheduler.preempt_youngest() is None:
-                    self.scheduler.finish(req, "oom")
+            start = req.context_len + req.prefill_pos
+            if not self.kvc.extend_seq(req.seq_slot, start + n):
+                if not self._make_capacity():
+                    self._finish_request(req, "oom")
                     req.state = RequestState.FAILED
                 continue
             self.kvc.ensure_resident([req.seq_slot])
-            # bucket the chunk length for jit-cache stability
-            padded = min(round_up(n, 32) if n > 16 else round_up(n, 16), chunk)
+            # pad every chunk to the full prefill_chunk size: exactly ONE
+            # prefill program per engine (first execution of each distinct
+            # program costs tens of seconds on remote TPU runtimes; the
+            # padded compute is masked out and cheap by comparison)
+            padded = chunk
             toks = np.zeros(padded, np.int32)
             toks[:n] = req.prompt[req.prefill_pos : req.prefill_pos + n]
             row = self.kvc.pool.table.row(req.seq_slot)
             table_row = np.where(row >= 0, row, self.kvc.guard_slot).astype(np.int32)
             logits, *pools = prefill_chunk(
                 self.params, self.model_config, self.kvc.kv_dtype,
-                jnp.asarray(toks), jnp.int32(req.prefill_pos),
+                jnp.asarray(toks), jnp.int32(start),
                 *self.kvc.pools, jnp.asarray(table_row), jnp.int32(n))
             self.kvc.set_pools(tuple(pools))
             bs = self.config.cache.block_size
             blocks = self.kvc.pool.seq(req.seq_slot).blocks
-            for bi in range(req.prefill_pos // bs, (req.prefill_pos + n - 1) // bs + 1):
+            for bi in range(start // bs, (start + n - 1) // bs + 1):
                 self.kvc.directory.mark_dirty(blocks[bi])
             if self.spec is not None:
-                self.spec.prefill(req.seq_slot, jnp.asarray(toks),
-                                  req.prefill_pos, n)
+                self.spec.prefill(req.seq_slot, jnp.asarray(toks), start, n)
             req.prefill_pos += n
             self.prefetcher.observe_tokens(
                 req.seq_slot, req.prompt[req.prefill_pos - n : req.prefill_pos])
@@ -260,7 +384,7 @@ class Engine:
             # capacity for the KV row of the token being fed this step
             # (the previously sampled token, at position num_tokens - 1)
             while r.seq_slot >= 0 and not self.kvc.extend_seq(r.seq_slot, r.num_tokens):
-                if self.scheduler.preempt_youngest() is None:
+                if not self._make_capacity():
                     raise RuntimeError("KV capacity exhausted with nothing to preempt")
         # preemption may have evicted a batch member — drop dead lanes
         batch = [r for r in batch if r.seq_slot >= 0]
@@ -316,7 +440,7 @@ class Engine:
         for r in batch:
             want = min(r.num_tokens + h - 1, max_tokens)
             while r.seq_slot >= 0 and not self.kvc.extend_seq(r.seq_slot, want):
-                if self.scheduler.preempt_youngest() is None:
+                if not self._make_capacity():
                     raise RuntimeError("KV capacity exhausted with nothing to preempt")
         batch = [r for r in batch if r.seq_slot >= 0]
         if not batch:
@@ -386,7 +510,7 @@ class Engine:
             # capacity for verify appends at positions n-1 .. n-1+gamma
             while r.seq_slot >= 0 and not self.kvc.extend_seq(
                     r.seq_slot, r.num_tokens + gamma):
-                if self.scheduler.preempt_youngest() is None:
+                if not self._make_capacity():
                     raise RuntimeError("KV capacity exhausted with nothing to preempt")
             if r.seq_slot >= 0:
                 self.spec.sync_seq(r.seq_slot)
@@ -465,14 +589,35 @@ class Engine:
             reason = "length"
         if not reason:
             return None
+        return self._finish_request(req, reason)
+
+    def _finish_request(self, req: Request, reason: str) -> EngineOutput:
         req.finish_time = time.monotonic()
         self.prefetcher.forget_seq(req.seq_slot)
-        self.scheduler.finish(req, reason)
+        keep = req.session and reason != "oom" and req.seq_slot >= 0
+        if keep:
+            sid = req.session_id
+            sess = self._sessions.get(sid)
+            if sess is None:
+                sess = Session(session_id=sid, seq_slot=req.seq_slot)
+                self._sessions[sid] = sess
+            if req.context_len > 0:
+                # prompt[0] was the previous reply's last token, already stored
+                sess.tokens.extend(req.prompt[1:] + req.output)
+            else:
+                sess.tokens = list(req.prompt) + req.output
+            sess.seq_slot = req.seq_slot
+            sess.live = True
+            sess.busy = False
+            sess.last_use = time.monotonic()
+        elif req.session and req.session_id in self._sessions:
+            self._sessions[req.session_id].busy = False
+        self.scheduler.finish(req, reason, free=not keep)
         self.stats.requests_finished += 1
         if req.tpot_ms > 0:
             self._tpots.append(req.tpot_ms)
         return EngineOutput(req.req_id, list(req.output), reason,
-                            req.ttft_ms, req.tpot_ms)
+                            req.ttft_ms, req.tpot_ms, req.session_id)
 
     # -- statistics (the aggregated SystemStatistics analog) ------------------
 

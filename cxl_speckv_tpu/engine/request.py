@@ -29,6 +29,14 @@ class Request:
     max_new_tokens: int = 64
     temperature: float = 0.0     # 0 = greedy
     eos_token_id: int | None = None  # overrides engine default if set
+    # session requests keep their KV allocated after finishing (demotable to
+    # the host tier) so follow-up turns restore context instead of
+    # re-prefilling — the reference's core serving pattern: per-request KV
+    # persists in the CXL pool between accesses
+    session: bool = False
+    # for session continuations: tokens already materialized in the KV cache
+    # (attention context); prompt then holds only the not-yet-processed tail
+    context_len: int = 0
     state: RequestState = RequestState.QUEUED
     seq_slot: int = -1
     prefill_pos: int = 0         # tokens of the prompt already prefilled
@@ -40,10 +48,13 @@ class Request:
     last_scheduled_step: int = -1
     token_times: list[float] = field(default_factory=list)
 
+    session_id: int = -1         # set by the engine for session requests
+
     @property
     def num_tokens(self) -> int:
-        """Total tokens materialized in the KV cache."""
-        return self.prefill_pos + len(self.output)
+        """Total sequence length (restored context + processed prompt +
+        generated tokens)."""
+        return self.context_len + self.prefill_pos + len(self.output)
 
     @property
     def done_prefill(self) -> bool:

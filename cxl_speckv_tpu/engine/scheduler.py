@@ -50,6 +50,11 @@ class Scheduler:
         # called with (seq_slot, block_ids) just before a sequence's blocks
         # are freed (finish or preemption) — lets auxiliary caches clean up
         self.free_seq_hook = None
+        # called when admission is capacity-blocked; returns True if capacity
+        # was reclaimed (engine frees idle session KV) — retried once
+        self.reclaim_hook = None
+        # extra committed blocks not visible in `running` (idle session KV)
+        self.extra_committed = None
 
     # -- admission -----------------------------------------------------------
 
@@ -67,8 +72,12 @@ class Scheduler:
 
     def _committed_blocks(self) -> int:
         bs = self.kvc.config.block_size
-        return sum(-(-(len(r.prompt) + r.max_new_tokens) // bs)
-                   for r in self.running.values())
+        committed = sum(
+            -(-(r.context_len + len(r.prompt) + r.max_new_tokens) // bs)
+            for r in self.running.values())
+        if self.extra_committed is not None:
+            committed += self.extra_committed()
+        return committed
 
     def admit(self, max_new: int = 1) -> list[Request]:
         """Move queued requests into the running set (assign seq slots).
@@ -82,11 +91,19 @@ class Scheduler:
         committed = self._committed_blocks()
         bs = self.kvc.config.block_size
         while self.queue and len(admitted) < max_new:
-            need = -(-(len(self.queue[0].prompt)
-                       + self.queue[0].max_new_tokens) // bs)
-            if committed + need > capacity and self.running:
+            head = self.queue[0]
+            need = -(-(head.context_len + len(head.prompt)
+                       + head.max_new_tokens) // bs)
+            if head.seq_slot >= 0:
+                need = 0  # live session continuation: blocks already held
+            if committed + need > capacity and (self.running or committed):
+                if self.reclaim_hook is not None and self.reclaim_hook():
+                    # already-admitted requests are in `running`, so a fresh
+                    # recount includes them
+                    committed = self._committed_blocks()
+                    continue
                 break
-            slot = self.kvc.add_seq()
+            slot = head.seq_slot if head.seq_slot >= 0 else self.kvc.add_seq()
             if slot is None:
                 break
             req = self.queue.popleft()
@@ -137,7 +154,9 @@ class Scheduler:
     def preempt_youngest(self) -> Request | None:
         """Free the most recently admitted running sequence back to the queue."""
         victims = [r for r in self.running.values()
-                   if r.state in (RequestState.RUNNING, RequestState.PREFILLING)]
+                   if r.state in (RequestState.RUNNING, RequestState.PREFILLING)
+                   and not r.session]  # session KV is reclaimed via the
+                                       # engine's idle-session path instead
         if not victims:
             return None
         victim = max(victims, key=lambda r: r.arrival_time)
@@ -154,13 +173,18 @@ class Scheduler:
         self.stats.preemptions += 1
         return victim
 
-    def finish(self, req: Request, reason: str) -> None:
+    def finish(self, req: Request, reason: str, free: bool = True) -> None:
         req.state = RequestState.FINISHED
         req.finish_reason = reason
-        if self.free_seq_hook:
-            self.free_seq_hook(req.seq_slot,
-                               list(self.kvc.pool.seq(req.seq_slot).blocks))
-        self.kvc.free_seq(req.seq_slot)
+        if free:
+            if self.free_seq_hook:
+                self.free_seq_hook(req.seq_slot,
+                                   list(self.kvc.pool.seq(req.seq_slot).blocks))
+            self.kvc.free_seq(req.seq_slot)
+        else:
+            # session request: KV stays allocated (and demotable) for the
+            # next turn; only the scheduling entry retires
+            self.kvc.pin_seq(req.seq_slot, False)
         del self.running[req.req_id]
 
     def tick(self) -> int:

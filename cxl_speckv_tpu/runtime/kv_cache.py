@@ -153,9 +153,14 @@ class TieredKVCache:
         cands = self.directory.evict_candidates(max(1, self.directory.hbm_pressure()))
         if not cands:
             return False
+        from cxl_speckv_tpu.core.directory import DirectoryError
+
         before = self.directory.hbm_free
         for bid in cands:
-            res = self.directory.start_demote(bid, eviction=True)
+            try:
+                res = self.directory.start_demote(bid, eviction=True)
+            except DirectoryError:
+                break  # host tier full/absent — nothing to demote into
             if res is not None:
                 self.transfer.enqueue_demote(bid, *res)
             self.stats.maintain_demotes += 1
@@ -195,8 +200,13 @@ class TieredKVCache:
         self.pool.sync_moved()
 
     def _evict(self, n: int) -> None:
+        from cxl_speckv_tpu.core.directory import DirectoryError
+
         for bid in self.directory.evict_candidates(n):
-            res = self.directory.start_demote(bid, eviction=True)
+            try:
+                res = self.directory.start_demote(bid, eviction=True)
+            except DirectoryError:
+                break  # no host slot free (e.g. HBM-only config): can't demote
             if res is not None:
                 hbm_slot, host_slot = res
                 self.transfer.enqueue_demote(bid, hbm_slot, host_slot)
