@@ -1,22 +1,21 @@
-"""Headline benchmark: multi-turn session serving with tiered KV.
+"""Headline benchmark: decode throughput at 4x KV oversubscription —
+speculative prefetch ON vs OFF.
 
-The reference system's reason to exist (README.md:16-19): per-request KV
-persists in pooled memory between accesses and is *restored* instead of
-recomputed. We measure exactly that on TPU:
+This is the reference's headline mechanism measured directly
+(`README.md:17-19`: the speculative prefetcher hides pool-fetch latency;
+without it every access to non-resident KV is a synchronous stall — the
+`sync_fetch_page` busy-wait, `host/src/speckv_allocator.cpp:132-134`):
 
-- treatment: HBM pool + host-DRAM tier; idle sessions' KV demotes to host
-  and is promoted back (prefetched) when the conversation returns.
-- baseline: HBM-only with the SAME HBM pool; idle session KV is reclaimed
-  under capacity pressure and every returning turn re-prefills its history.
+- 4x more live sequences than the HBM pool holds; the scheduler rotates
+  decode groups on a quantum; group KV swaps host<->HBM on rotation.
+- treatment: prefetch controller preloads the next groups' blocks during the
+  current group's decode quantum (overlapped H2D).
+- baseline: identical engine, prefetch disabled — every rotation demand-
+  fetches synchronously on the decode critical path.
 
-Workload: S concurrent multi-turn conversations, T turns each, fixed new
-prompt + generation per turn. Both runs use identical engine geometry (same
-jit programs — first execution of each distinct program costs tens of
-seconds on remote-dispatch TPU runtimes, so the warmup engine covers them).
-
-Prints ONE JSON line:
-  {"metric": ..., "value": total serving throughput tok/s (treatment),
-   "unit": "tok/s", "vs_baseline": treatment/baseline}
+Identical jit-program geometry between runs. Prints ONE JSON line:
+  {"metric": ..., "value": decode tok/s (prefetch on), "unit": "tok/s",
+   "vs_baseline": prefetch_on / prefetch_off}
 """
 
 from __future__ import annotations
@@ -29,7 +28,7 @@ import numpy as np
 
 
 def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
-                 max_seq_len, horizon, use_pallas):
+                 max_seq_len, horizon, quantum, use_pallas, prefetch):
     from cxl_speckv_tpu.config import (
         CacheConfig, EngineConfig, KVDtype, PrefetchConfig, SystemConfig)
     from cxl_speckv_tpu.engine.engine import Engine
@@ -37,31 +36,26 @@ def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
     sc = SystemConfig(
         cache=CacheConfig(block_size=32, num_hbm_blocks=hbm_blocks,
                           num_host_blocks=host_blocks, kv_dtype=KVDtype.INT8,
-                          prefetch_reserve_frac=0.1),
-        prefetch=PrefetchConfig(depth=4),
+                          prefetch_reserve_frac=0.15),
+        prefetch=PrefetchConfig(depth=4, enabled=prefetch),
         engine=EngineConfig(max_batch_size=batch, max_seq_len=max_seq_len,
-                            prefill_chunk=256, decode_horizon=horizon),
+                            prefill_chunk=128, decode_horizon=horizon,
+                            sched_quantum=quantum),
     )
     return Engine(model_config, sc, params=params, use_pallas=use_pallas,
                   enable_lstm=False, seed=0)
 
 
-def run_sessions(eng, *, n_sessions, turns, turn_prompt, gen, seed=0):
-    """Serve the whole multi-turn workload; returns (total_new_tokens, dt)."""
+def run_workload(eng, *, n_requests, prompt_len, gen, seed=0):
     rng = np.random.RandomState(seed)
     vocab = eng.model_config.vocab_size
+    for _ in range(n_requests):
+        eng.add_request(rng.randint(1, vocab, prompt_len).tolist(),
+                        max_new_tokens=gen)
     t0 = time.monotonic()
-    sids = [eng.add_request(rng.randint(1, vocab, turn_prompt).tolist(),
-                            max_new_tokens=gen, session=True)
-            for _ in range(n_sessions)]
-    total = sum(len(o.tokens) for o in eng.run())
-    for _ in range(turns - 1):
-        for sid in sids:
-            eng.continue_session(sid, rng.randint(1, vocab, turn_prompt).tolist(),
-                                 max_new_tokens=gen)
-        total += sum(len(o.tokens) for o in eng.run())
+    outs = eng.run()
     dt = time.monotonic() - t0
-    return total, dt
+    return sum(len(o.tokens) for o in outs), dt
 
 
 def main():
@@ -82,59 +76,60 @@ def main():
     jax.block_until_ready(params)
 
     if on_tpu:
-        n_sessions, turns, turn_prompt, gen = 8, 5, 224, 32
-        batch, horizon, bs = 2, 8, 32
+        n_requests, prompt_len, gen = 16, 64, 64
+        batch, horizon, quantum, bs = 2, 8, 4, 32
     else:
-        n_sessions, turns, turn_prompt, gen = 4, 3, 48, 8
-        batch, horizon, bs = 2, 4, 32
-    per_turn = turn_prompt + gen
-    max_seq = turns * per_turn + 64
-    blocks_per_session = -(-max_seq // bs)
-    # HBM sized for the active batch + ~half an idle session; total session
-    # demand is ~3-4x this — the oversubscription the host tier absorbs
-    hbm_blocks = batch * blocks_per_session + blocks_per_session // 2 + 2
-    host_blocks = n_sessions * blocks_per_session + 8
+        n_requests, prompt_len, gen = 12, 32, 24
+        batch, horizon, quantum, bs = 2, 4, 3, 32
+    max_seq = prompt_len + gen + bs
+    blocks_per_seq = -(-max_seq // bs)
+    # HBM double-buffers: the pinned active batch + the prefetching next
+    # group + demand headroom; live demand is ~4x this
+    hbm_blocks = 2 * batch * blocks_per_seq + max(3, blocks_per_seq // 2)
+    host_blocks = n_requests * blocks_per_seq + 8
+    total_demand = n_requests * blocks_per_seq
+    geo = dict(hbm_blocks=hbm_blocks, host_blocks=host_blocks, batch=batch,
+               max_seq_len=max_seq, horizon=horizon, quantum=quantum,
+               use_pallas=on_tpu)
+    print(f"# geometry: hbm={hbm_blocks} blocks, live demand={total_demand} "
+          f"({total_demand/hbm_blocks:.1f}x oversubscribed), "
+          f"{n_requests} seqs x {prompt_len}+{gen} tok", file=sys.stderr)
 
-    geo = dict(hbm_blocks=hbm_blocks, batch=batch, max_seq_len=max_seq,
-               horizon=horizon, use_pallas=on_tpu)
-    print(f"# geometry: hbm={hbm_blocks} host={host_blocks} "
-          f"blocks/session={blocks_per_session} sessions={n_sessions}",
-          file=sys.stderr)
-
-    # warmup engine (same geometry -> same jit programs, incl. migrations)
+    # warmup: same geometry, forces every program incl. both migration
+    # directions (same request count so rotation/demotion actually happens)
     t0 = time.monotonic()
-    warm = build_engine(config, params, host_blocks=host_blocks, **geo)
-    run_sessions(warm, n_sessions=3, turns=2, turn_prompt=turn_prompt,
-                 gen=horizon, seed=99)
+    warm = build_engine(config, params, prefetch=True, **geo)
+    run_workload(warm, n_requests=n_requests, prompt_len=prompt_len,
+                 gen=horizon * 2, seed=99)
     print(f"# warmup {time.monotonic()-t0:.0f}s", file=sys.stderr)
 
-    eng_t = build_engine(config, params, host_blocks=host_blocks, **geo)
-    tok_t, dt_t = run_sessions(eng_t, n_sessions=n_sessions, turns=turns,
-                               turn_prompt=turn_prompt, gen=gen)
+    eng_t = build_engine(config, params, prefetch=True, **geo)
+    tok_t, dt_t = run_workload(eng_t, n_requests=n_requests,
+                               prompt_len=prompt_len, gen=gen)
     st = eng_t.get_statistics()
 
-    eng_b = build_engine(config, params, host_blocks=0, **geo)
-    tok_b, dt_b = run_sessions(eng_b, n_sessions=n_sessions, turns=turns,
-                               turn_prompt=turn_prompt, gen=gen)
+    eng_b = build_engine(config, params, prefetch=False, **geo)
+    tok_b, dt_b = run_workload(eng_b, n_requests=n_requests,
+                               prompt_len=prompt_len, gen=gen)
     sb = eng_b.get_statistics()
 
     tps_t, tps_b = tok_t / dt_t, tok_b / dt_b
-    restores = sum(s.restores for s in eng_t._sessions.values())
-    reprefills_b = sum(s.reprefills for s in eng_b._sessions.values())
     print(json.dumps({
-        "metric": "session_serving_throughput_tiered_kv_int8",
+        "metric": "decode_tok_s_4x_oversubscribed_int8kv_prefetch",
         "value": round(tps_t, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps_t / tps_b, 3) if tps_b > 0 else None,
     }))
+    d, db = st["directory"], sb["directory"]
     print(
-        f"# treatment: {tok_t} tok / {dt_t:.1f}s = {tps_t:.1f} tok/s | "
-        f"restores={restores} hit_rate={st['directory']['hit_rate']:.3f} "
+        f"# prefetch ON:  {tok_t} tok / {dt_t:.1f}s = {tps_t:.1f} tok/s | "
+        f"hit_rate={d['hit_rate']:.3f} demand_misses={d['demand_misses']} "
+        f"prefetch_acc={d['prefetch_accuracy']:.2f} "
         f"up/down={st['transfer']['up_transfers']}/{st['transfer']['down_transfers']} "
-        f"prefill_chunks={st['scheduler']['prefill_chunks']} || "
-        f"baseline: {tok_b} tok / {dt_b:.1f}s = {tps_b:.1f} tok/s | "
-        f"reprefills={reprefills_b} "
-        f"prefill_chunks={sb['scheduler']['prefill_chunks']}",
+        f"p50_tpot={st['engine']['p50_tpot_ms']:.0f}ms || "
+        f"OFF: {tok_b} tok / {dt_b:.1f}s = {tps_b:.1f} tok/s | "
+        f"hit_rate={db['hit_rate']:.3f} demand_misses={db['demand_misses']} "
+        f"p50_tpot={sb['engine']['p50_tpot_ms']:.0f}ms",
         file=sys.stderr,
     )
 

@@ -119,6 +119,11 @@ class EngineConfig:
     # amortizes per-step dispatch overhead — tokens generated past a stop
     # condition are discarded host-side
     decode_horizon: int = 1
+    # scheduling quantum: a decode group keeps its slot for this many engine
+    # steps before the round-robin rotates — batches stay stable long enough
+    # for prefetched groups to amortize their migration (1 = rotate every
+    # step)
+    sched_quantum: int = 1
 
 
 @dataclass

@@ -316,6 +316,11 @@ class ResidencyDirectory:
             raise DirectoryError(f"complete_promote of block {bid} in state {e.state.name}")
         e.state = BlockState.HBM
         e.dirty = False  # host copy retained as clean backing store
+        # arrival counts as a touch: a freshly-promoted block must not look
+        # LRU-cold, or eviction reclaims prefetched blocks before their turn
+        # (prefetch->evict->prefetch thrash)
+        self._clock += 1
+        e.last_access = self._clock
         self._moved.add(bid)
         self.stats.promotions += 1
         if e.prefetched:

@@ -47,6 +47,8 @@ class Scheduler:
         self.running: dict[int, Request] = {}   # req_id -> Request (has seq_slot)
         self.stats = SchedulerStatistics()
         self._step = 0
+        self._batch_ids: list[int] = []
+        self._batch_started = 0
         # called with (seq_slot, block_ids) just before a sequence's blocks
         # are freed (finish or preemption) — lets auxiliary caches clean up
         self.free_seq_hook = None
@@ -134,7 +136,22 @@ class Scheduler:
         )
 
     def decode_batch(self) -> list[Request]:
-        batch = self._decode_order()[: self.config.max_batch_size]
+        """Pick the decode group. With sched_quantum > 1 the group is sticky:
+        it keeps its slot for that many steps (unless a member finished or
+        slots freed up), so prefetch for the NEXT group can overlap a whole
+        quantum of decode instead of racing a per-step rotation."""
+        q = max(1, self.config.sched_quantum)
+        B = self.config.max_batch_size
+        held = [self.running[rid] for rid in self._batch_ids
+                if rid in self.running
+                and self.running[rid].state == RequestState.RUNNING]
+        if (q > 1 and held and len(held) == len(self._batch_ids)
+                and self._step - self._batch_started < q):
+            batch = held
+        else:
+            batch = self._decode_order()[:B]
+            self._batch_ids = [r.req_id for r in batch]
+            self._batch_started = self._step
         for r in batch:
             r.last_scheduled_step = self._step
         return batch

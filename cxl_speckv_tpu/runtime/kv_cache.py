@@ -124,6 +124,7 @@ class TieredKVCache:
         """Demand-fetch every non-resident block of the given sequences,
         synchronously (the stall path). Returns blocks fetched."""
         fetched = 0
+        settle_up = False
         for s in seq_slots:
             # settle any blocks mid-flight downward first: their HBM slot is
             # being reclaimed, so wait for the writeback, then re-promote
@@ -140,17 +141,36 @@ class TieredKVCache:
                 host_slot, hbm_slot = self.directory.start_promote(bid)
                 self.transfer.enqueue_promote(bid, host_slot, hbm_slot)
                 fetched += 1
-        if fetched:
-            self.stats.demand_fetch_events += 1
-            self.stats.demand_fetch_blocks += fetched
-            self.set_pools(self.transfer.flush(self.pools, self.directory))
+            # prefetched blocks still staging (IN_FLIGHT_UP) must land before
+            # this sequence decodes — its table row points at their slots
+            settle_up = settle_up or any(
+                self.directory.entry(b).state == BlockState.IN_FLIGHT_UP
+                for b in self.pool.seq(s).blocks)
+        if fetched or settle_up:
+            if fetched:
+                self.stats.demand_fetch_events += 1
+                self.stats.demand_fetch_blocks += fetched
+            self.set_pools(self.transfer.flush(self.pools, self.directory,
+                                               wait_up=True))
             self._sync_tables(seq_slots)
         return fetched
 
     def _make_room(self) -> bool:
-        """Synchronously free at least one HBM slot via eviction. False if
-        nothing is evictable."""
-        cands = self.directory.evict_candidates(max(1, self.directory.hbm_pressure()))
+        """Synchronously free at least one HBM slot. False if nothing can be
+        reclaimed (everything pinned)."""
+        before = self.directory.hbm_free
+        if self.transfer.queued or self.transfer.inflight_down:
+            # settle in-flight traffic: completed writebacks free their slots
+            # outright; completed promotes turn reserved slots into evictable
+            # (unpinned) blocks
+            self.set_pools(self.transfer.flush(self.pools, self.directory,
+                                               wait_up=True))
+            self.transfer.poll(self.directory, wait=True)
+            self.pool.sync_moved()
+            if self.directory.hbm_free > before:
+                return True
+        cands = self.directory.evict_candidates(
+            max(1, self.directory.hbm_pressure()))
         if not cands:
             return False
         from cxl_speckv_tpu.core.directory import DirectoryError
@@ -171,11 +191,14 @@ class TieredKVCache:
     def prefetch_blocks(self, bids: list[int]) -> int:
         """Asynchronous promote of specific blocks (prefetcher path)."""
         started = 0
+        # keep the landing-zone reserve free for demand fetches: prefetch
+        # must never occupy the last slots the current batch may need
+        headroom = max(2, self.config.num_reserved_blocks)
         for bid in bids:
             e = self.directory.entry(bid)
             if e.state != BlockState.HOST:
                 continue
-            if self.directory.hbm_free == 0:
+            if self.directory.hbm_free <= headroom:
                 break
             host_slot, hbm_slot = self.directory.start_promote(bid, prefetch=True)
             self.transfer.enqueue_promote(bid, host_slot, hbm_slot)
@@ -235,8 +258,34 @@ class TieredKVCache:
             "transfer": self.transfer.get_statistics().as_dict(),
             "pool": self.pool.get_statistics().as_dict(),
             "runtime": self.stats.as_dict(),
+            "compression": self.compression_statistics(),
             "hbm_free": self.directory.hbm_free,
             "host_free": self.directory.host_free,
+        }
+
+    def compression_statistics(self) -> dict:
+        """The compression/capacity surface (analog of the FPGA engine stats,
+        `cache_engine.h:65-72`, and the capacity-expansion claims,
+        `README.md:16-18`): storage ratio vs bf16 KV and the effective
+        token capacity expansion vs an uncompressed HBM-only cache."""
+        from cxl_speckv_tpu.ops.quant import compressed_bytes_per_token
+
+        c = self.model_config
+        cc = self.config
+        bytes_tok = compressed_bytes_per_token(c.num_kv_heads, c.head_dim,
+                                               self.kv_dtype) * c.num_layers
+        bf16_tok = compressed_bytes_per_token(c.num_kv_heads, c.head_dim,
+                                              KVDtype.BF16) * c.num_layers
+        pooling = (cc.num_hbm_blocks + cc.num_host_blocks) / cc.num_hbm_blocks
+        ratio = bf16_tok / bytes_tok
+        return {
+            "kv_dtype": self.kv_dtype.value,
+            "bytes_per_token_per_layer": bytes_tok // c.num_layers,
+            "storage_ratio_vs_bf16": round(ratio, 3),
+            "capacity_expansion_pooling": round(pooling, 2),
+            "effective_capacity_expansion": round(pooling * ratio, 2),
+            "hbm_token_capacity": cc.num_hbm_blocks * cc.block_size,
+            "total_token_capacity": cc.total_blocks * cc.block_size,
         }
 
     def reset_statistics(self) -> None:

@@ -117,16 +117,54 @@ class _PendingDown:
     started: float = field(default_factory=time.monotonic)
 
 
+@dataclass
+class _PendingUp:
+    ups: list[tuple[int, int, int]]
+    future: object  # Future -> (kd, vd, ksd, vsd, slots) device arrays
+
+
 class TransferEngine:
-    """Batches block migrations between the HBM pools and the host store."""
+    """Batches block migrations between the HBM pools and the host store.
+
+    Promotes are two-phase so the slow host->device copy overlaps decode:
+    a background stager thread slices the host store and issues the H2D
+    transfer (phase a); the next `flush()` applies already-staged batches to
+    the pools with one fast device scatter (phase b) and only then marks the
+    blocks HBM-resident. Without the thread, staging would serialize on the
+    engine's decode-sync point and the prefetcher could never hide latency.
+    """
 
     def __init__(self, host_store: HostStore, max_inflight_down: int = 16):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.host = host_store
         self.max_inflight_down = max_inflight_down
         self._up_queue: list[tuple[int, int, int]] = []    # (bid, host_slot, hbm_slot)
         self._down_queue: list[tuple[int, int, int]] = []  # (bid, hbm_slot, host_slot)
         self._pending_down: list[_PendingDown] = []
+        self._pending_up: list[_PendingUp] = []
+        self._stager = ThreadPoolExecutor(max_workers=1,
+                                          thread_name_prefix="speckv-stager")
         self.stats = TransferStatistics()
+
+    def _stage_up(self, ups, num_pool_slots):
+        """Worker: host store -> device staging arrays (the tunnel-bound H2D)."""
+        nb = _TRANSFER_BATCH
+        n = len(ups)
+        hs = [u[1] for u in ups]
+        kd = np.zeros((nb, *self.host.k.shape[1:]), self.host.k.dtype)
+        vd = np.zeros_like(kd)
+        ksd = np.ones((nb, *self.host.ks.shape[1:]), np.float32)
+        vsd = np.ones_like(ksd)
+        kd[:n], vd[:n] = self.host.k[hs], self.host.v[hs]
+        ksd[:n], vsd[:n] = self.host.ks[hs], self.host.vs[hs]
+        slots = np.full(nb, num_pool_slots, np.int32)  # pad -> dropped
+        slots[:n] = [u[2] for u in ups]
+        arrs = (jnp.asarray(kd), jnp.asarray(vd), jnp.asarray(ksd),
+                jnp.asarray(vsd), jnp.asarray(slots))
+        for a in arrs[:4]:
+            a.block_until_ready()
+        return arrs
 
     # -- enqueue (the descriptor ring analog) -------------------------------
 
@@ -141,42 +179,48 @@ class TransferEngine:
         return sum(len(p.bids) for p in self._pending_down)
 
     @property
+    def inflight_up(self) -> int:
+        return sum(len(p.ups) for p in self._pending_up)
+
+    @property
     def queued(self) -> int:
-        return len(self._up_queue) + len(self._down_queue)
+        return len(self._up_queue) + len(self._down_queue) + self.inflight_up
 
     # -- flush: one batched scatter + one batched gather per step -----------
 
-    def flush(self, pools: Pools, directory) -> Pools:
-        """Apply all queued migrations. Returns the updated pools tuple.
+    def flush(self, pools: Pools, directory, *, wait_up: bool = False) -> Pools:
+        """Apply migrations. Returns the updated pools tuple.
 
-        Promotes complete immediately (dispatch-ordered, see module doc);
-        demotes become pending until `poll()` sees the D2H copy finish.
+        Queued promotes are handed to the stager thread (phase a); staged
+        batches whose H2D finished are scattered into the pools (phase b) and
+        their blocks complete. With wait_up=True (demand-fetch path) all
+        in-flight promotes are forced to completion before returning.
+        Demotes become pending until `poll()` sees the D2H copy finish.
         """
         nb = _TRANSFER_BATCH
+        num_pool_slots = int(pools[0].shape[1])
         while self._up_queue:
-            t0 = time.monotonic()
             ups = self._up_queue[:nb]
             del self._up_queue[:nb]
-            n = len(ups)
-            hs = [u[1] for u in ups]
-            kd = np.zeros((nb, *self.host.k.shape[1:]), self.host.k.dtype)
-            vd = np.zeros_like(kd)
-            ksd = np.ones((nb, *self.host.ks.shape[1:]), np.float32)
-            vsd = np.ones_like(ksd)
-            kd[:n], vd[:n] = self.host.k[hs], self.host.v[hs]
-            ksd[:n], vsd[:n] = self.host.ks[hs], self.host.vs[hs]
-            num_hbm_slots = int(pools[0].shape[1])
-            slots = np.full(nb, num_hbm_slots, np.int32)  # pad -> dropped
-            slots[:n] = [u[2] for u in ups]
-            pools = _scatter_in(pools, jnp.asarray(kd), jnp.asarray(vd),
-                                jnp.asarray(ksd), jnp.asarray(vsd),
-                                jnp.asarray(slots))
-            for bid, _, _ in ups:
-                directory.complete_promote(bid)
-            self.stats.up_transfers += n
-            self.stats.up_batches += 1
-            self.stats.bytes_up += n * self.host.bytes_per_block
+            self._pending_up.append(_PendingUp(
+                ups=ups,
+                future=self._stager.submit(self._stage_up, ups, num_pool_slots)))
+
+        still = []
+        for p in self._pending_up:
+            if not (wait_up or p.future.done()):
+                still.append(p)
+                continue
+            t0 = time.monotonic()
+            kd, vd, ksd, vsd, slots = p.future.result()  # blocks if wait_up
             self.stats.up_wait_ms += (time.monotonic() - t0) * 1e3
+            pools = _scatter_in(pools, kd, vd, ksd, vsd, slots)
+            for bid, _, _ in p.ups:
+                directory.complete_promote(bid)
+            self.stats.up_transfers += len(p.ups)
+            self.stats.up_batches += 1
+            self.stats.bytes_up += len(p.ups) * self.host.bytes_per_block
+        self._pending_up = still
 
         while self._down_queue and self.inflight_down < self.max_inflight_down:
             downs = self._down_queue[:nb]
@@ -227,8 +271,8 @@ class TransferEngine:
     def drain(self, pools: Pools, directory) -> Pools:
         """Flush everything and wait (destructor-flush analog,
         `coherence_manager.cpp:28-31`)."""
-        while self._up_queue or self._down_queue:
-            pools = self.flush(pools, directory)
+        while self._up_queue or self._down_queue or self._pending_up:
+            pools = self.flush(pools, directory, wait_up=True)
             self.poll(directory, wait=True)
         self.poll(directory, wait=True)
         return pools

@@ -110,6 +110,9 @@ int32_t ResidencyDirectory::CompletePromote(int64_t bid) {
   if (e->state != BlockState::kInFlightUp) return kErrBadState;
   e->state = BlockState::kHbm;
   e->dirty = false;  // host copy retained as clean backing store
+  // arrival counts as a touch so LRU eviction doesn't reclaim freshly
+  // prefetched blocks before their turn (prefetch->evict thrash)
+  e->last_access = ++clock_;
   moved_.insert(bid);
   ++stats_.promotions;
   if (e->prefetched) ++stats_.prefetch_fills;

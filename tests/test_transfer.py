@@ -55,7 +55,7 @@ def test_demote_promote_roundtrip():
     # overwrite the HBM slot it used to occupy, then promote back
     host_slot, hbm_slot = kvc.directory.start_promote(bid)
     kvc.transfer.enqueue_promote(bid, host_slot, hbm_slot)
-    kvc.set_pools(kvc.transfer.flush(kvc.pools, kvc.directory))
+    kvc.set_pools(kvc.transfer.flush(kvc.pools, kvc.directory, wait_up=True))
     assert kvc.directory.entry(bid).state == BlockState.HBM
     got = np.asarray(kvc.pools[0][:, hbm_slot])
     np.testing.assert_array_equal(got, np.full_like(got, 7))
@@ -85,7 +85,7 @@ def test_batched_migrations_preserve_distinct_contents():
     for bid in bids:
         kvc.transfer.enqueue_promote(bid, kvc.directory.entry(bid).host_slot,
                                      kvc.directory.start_promote(bid)[1])
-    kvc.set_pools(kvc.transfer.flush(kvc.pools, kvc.directory))
+    kvc.set_pools(kvc.transfer.flush(kvc.pools, kvc.directory, wait_up=True))
     for i, bid in enumerate(bids):
         slot = kvc.directory.entry(bid).hbm_slot
         assert np.asarray(kvc.pools[0])[0, slot, 0, 0, 0] == i + 1
