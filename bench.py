@@ -76,8 +76,8 @@ def main():
     jax.block_until_ready(params)
 
     if on_tpu:
-        n_requests, prompt_len, gen = 16, 64, 64
-        batch, horizon, quantum, bs = 2, 8, 4, 32
+        n_requests, prompt_len, gen = 24, 64, 64
+        batch, horizon, quantum, bs = 4, 16, 2, 32
     else:
         n_requests, prompt_len, gen = 12, 32, 24
         batch, horizon, quantum, bs = 2, 4, 3, 32

@@ -111,7 +111,10 @@ class BlockPool:
         seq = self._seqs[seq_slot]
         need = self.blocks_needed(seq_slot, new_total_tokens)
         for _ in range(need):
-            bid = self.directory.allocate(pinned=True)
+            # blocks are born unpinned: only the active decode batch pins
+            # (a pinned-at-birth block would deadlock the pool once more
+            # sequences have prefilled than HBM holds)
+            bid = self.directory.allocate(pinned=False)
             if bid is None:
                 self.stats.alloc_failures += 1
                 return False

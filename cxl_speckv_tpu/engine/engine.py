@@ -134,7 +134,10 @@ class Engine:
         self.stats = EngineStatistics()
         self.timers = PhaseTimer()
         self._next_req_id = 0
-        self._rng = jax.random.PRNGKey(seed + 1)
+        # PRNG keys are built host-side (raw threefry uint32[2]) so each
+        # step costs zero extra device dispatches
+        self._rng_seed = seed + 1
+        self._rng_counter = 0
         self._requests: dict[int, Request] = {}
         self._sessions: dict[int, Session] = {}
         self._tpots: list[float] = []
@@ -388,6 +391,8 @@ class Engine:
                     raise RuntimeError("KV capacity exhausted with nothing to preempt")
         # preemption may have evicted a batch member — drop dead lanes
         batch = [r for r in batch if r.seq_slot >= 0]
+        for r in batch:  # re-pin: covers blocks allocated by the extends
+            self.kvc.pin_seq(r.seq_slot, True)
         for i, r in enumerate(batch):
             tokens[i] = r.output[-1]
             positions[i] = r.num_tokens - 1
@@ -400,11 +405,11 @@ class Engine:
 
         logits, *pools = decode_step(
             self.params, self.model_config, self.kvc.kv_dtype,
-            jnp.asarray(tokens), jnp.asarray(positions), *self.kvc.pools,
-            jnp.asarray(btab), jnp.asarray(lens), use_pallas=self.use_pallas)
+            tokens, positions, *self.kvc.pools,
+            btab, lens, use_pallas=self.use_pallas)
         self.kvc.set_pools(tuple(pools))
 
-        self._rng, sub = jax.random.split(self._rng)
+        sub = self._next_key()
         sampled = np.asarray(sample_tokens(logits, jnp.asarray(temps), sub))
         bs = self.config.cache.block_size
         for i, r in enumerate(batch):
@@ -445,6 +450,8 @@ class Engine:
         batch = [r for r in batch if r.seq_slot >= 0]
         if not batch:
             return batch
+        for r in batch:  # re-pin: covers blocks allocated by the extends
+            self.kvc.pin_seq(r.seq_slot, True)
 
         guard = self.kvc.guard_slot
         mb = self.kvc.pool.table.max_blocks_per_seq
@@ -459,11 +466,10 @@ class Engine:
             row = self.kvc.pool.table.row(r.seq_slot)
             btab[i] = np.where(row >= 0, row, guard)
 
-        self._rng, sub = jax.random.split(self._rng)
+        sub = self._next_key()
         toks, *pools = decode_multi(
             self.params, self.model_config, self.kvc.kv_dtype,
-            jnp.asarray(tokens), jnp.asarray(positions), *self.kvc.pools,
-            jnp.asarray(btab), sub, jnp.asarray(temps),
+            tokens, positions, *self.kvc.pools, btab, sub, temps,
             horizon=h, use_pallas=self.use_pallas)
         self.kvc.set_pools(tuple(pools))
         toks = np.asarray(toks)
@@ -517,6 +523,8 @@ class Engine:
         batch = [r for r in batch if r.seq_slot >= 0]
         if not batch:
             return batch
+        for r in batch:  # re-pin: covers blocks allocated by the extends
+            self.kvc.pin_seq(r.seq_slot, True)
 
         guard = self.kvc.guard_slot
         mb = self.kvc.pool.table.max_blocks_per_seq
@@ -566,8 +574,12 @@ class Engine:
 
     # -- helpers --------------------------------------------------------------
 
+    def _next_key(self) -> np.ndarray:
+        self._rng_counter += 1
+        return np.array([self._rng_seed, self._rng_counter], dtype=np.uint32)
+
     def _sample_single(self, logits: jax.Array, req: Request) -> int:
-        self._rng, sub = jax.random.split(self._rng)
+        sub = self._next_key()
         tok = sample_tokens(logits[None], jnp.asarray([req.temperature], jnp.float32), sub)
         return int(np.asarray(tok)[0])
 

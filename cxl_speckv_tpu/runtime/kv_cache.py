@@ -46,12 +46,22 @@ class CacheRuntimeStatistics(Statistics):
 
 class TieredKVCache:
     def __init__(self, cache_config: CacheConfig, model_config: LlamaConfig,
-                 max_seqs: int, max_blocks_per_seq: int, device_put=None):
+                 max_seqs: int, max_blocks_per_seq: int, device_put=None,
+                 native: bool | None = None):
         cache_config.validate()
         self.config = cache_config
         self.model_config = model_config
         self.kv_dtype = cache_config.kv_dtype
-        self.directory = ResidencyDirectory(cache_config)
+        # directory backend: pure-Python or the C++ runtime (identical
+        # semantics, tests run both); SPECKV_NATIVE=1 selects native
+        if native is None:
+            import os
+            native = os.environ.get("SPECKV_NATIVE") == "1"
+        if native:
+            from cxl_speckv_tpu.native import NativeResidencyDirectory
+            self.directory = NativeResidencyDirectory(cache_config)
+        else:
+            self.directory = ResidencyDirectory(cache_config)
         self.pool = BlockPool(cache_config, self.directory, max_seqs, max_blocks_per_seq)
 
         c = model_config
