@@ -314,11 +314,22 @@ class Engine:
             remaining = len(req.prompt) - req.prefill_pos
             n = min(chunk, remaining)
             start = req.context_len + req.prefill_pos
+            bs_ = self.config.cache.block_size
+            # prefill attends over the sequence's full context, which must be
+            # HBM-resident: a single sequence cannot exceed the HBM pool
+            # (streamed host-context prefill is not supported yet)
+            if -(-(start + n) // bs_) > self.config.cache.num_hbm_blocks - 2:
+                finished.append(self._finish_request(req, "oom"))
+                req.state = RequestState.FAILED
+                continue
             if not self.kvc.extend_seq(req.seq_slot, start + n):
                 if not self._make_capacity():
-                    self._finish_request(req, "oom")
+                    finished.append(self._finish_request(req, "oom"))
                     req.state = RequestState.FAILED
                 continue
+            # pin while the chunk runs so residency can't be evicted from
+            # under the context gather
+            self.kvc.pin_seq(req.seq_slot, True)
             self.kvc.ensure_resident([req.seq_slot])
             # pad every chunk to the full prefill_chunk size: exactly ONE
             # prefill program per engine (first execution of each distinct
@@ -340,6 +351,7 @@ class Engine:
                 self.kvc.directory.mark_dirty(blocks[bi])
             if self.spec is not None:
                 self.spec.prefill(req.seq_slot, jnp.asarray(toks), start, n)
+            self.kvc.pin_seq(req.seq_slot, False)
             req.prefill_pos += n
             self.prefetcher.observe_tokens(
                 req.seq_slot, req.prompt[req.prefill_pos - n : req.prefill_pos])

@@ -149,7 +149,18 @@ class Scheduler:
                 and self._step - self._batch_started < q):
             batch = held
         else:
-            batch = self._decode_order()[:B]
+            # cap the batch by HBM working set: every member's blocks must be
+            # simultaneously resident during decode (+1 block each for growth)
+            ws_cap = self.kvc.config.num_hbm_blocks - 2
+            batch, ws = [], 0
+            for r in self._decode_order():
+                if len(batch) >= B:
+                    break
+                need = len(self.kvc.pool.seq(r.seq_slot).blocks) + 1
+                if batch and ws + need > ws_cap:
+                    continue
+                batch.append(r)
+                ws += need
             self._batch_ids = [r.req_id for r in batch]
             self._batch_started = self._step
         for r in batch:

@@ -137,9 +137,11 @@ class TieredKVCache:
         settle_up = False
         for s in seq_slots:
             # settle any blocks mid-flight downward first: their HBM slot is
-            # being reclaimed, so wait for the writeback, then re-promote
-            if any(self.directory.entry(b).state == BlockState.IN_FLIGHT_DOWN
-                   for b in self.pool.seq(s).blocks):
+            # being reclaimed, so wait out the writeback, then re-promote.
+            # Loop: the in-flight cap means one flush+poll pass may not drain
+            # every queued writeback.
+            while any(self.directory.entry(b).state == BlockState.IN_FLIGHT_DOWN
+                      for b in self.pool.seq(s).blocks):
                 self.set_pools(self.transfer.flush(self.pools, self.directory))
                 self.transfer.poll(self.directory, wait=True)
             for bid in self.seq_nonresident_blocks(s):
@@ -201,9 +203,9 @@ class TieredKVCache:
     def prefetch_blocks(self, bids: list[int]) -> int:
         """Asynchronous promote of specific blocks (prefetcher path)."""
         started = 0
-        # keep the landing-zone reserve free for demand fetches: prefetch
-        # must never occupy the last slots the current batch may need
-        headroom = max(2, self.config.num_reserved_blocks)
+        # the landing-zone reserve exists FOR prefetch (the L2-buffer
+        # analog); keep only a small constant headroom for demand fetches
+        headroom = 2
         for bid in bids:
             e = self.directory.entry(bid)
             if e.state != BlockState.HOST:

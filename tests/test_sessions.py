@@ -75,7 +75,7 @@ def test_session_restore_under_tiering():
     t1, t2 = turn_tokens(3, 16), turn_tokens(4, 10)
     want1, want2 = reference_two_turn(t1, 8, t2, 8)
 
-    eng = make_engine(hbm_blocks=6, host_blocks=256)  # tiny HBM
+    eng = make_engine(hbm_blocks=10, host_blocks=256)  # tiny HBM
     sid = eng.add_request(t1, max_new_tokens=8, session=True)
     got1 = {o.req_id: o for o in eng.run()}[sid].tokens
     assert got1 == want1
