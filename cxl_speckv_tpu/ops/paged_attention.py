@@ -41,9 +41,11 @@ NEG_INF = -1e30
 def _dequant_tile(raw: jax.Array, kv_dtype: KVDtype, head_dim: int) -> jax.Array:
     """Raw quantized [bs, D/pack] tile -> float32 [bs, D] (scales separate)."""
     if kv_dtype == KVDtype.INT4:
-        lo = (raw << 4).astype(jnp.int8) >> 4
-        hi = raw >> 4
-        raw = jnp.stack([lo, hi], axis=-1).reshape(raw.shape[0], head_dim)
+        # Mosaic has no 8-bit shifts: sign-extend nibbles via 32-bit shifts
+        r = raw.astype(jnp.int32)
+        lo = (r << 28) >> 28
+        hi = (r << 24) >> 28
+        raw = jnp.concatenate([lo, hi], axis=-1)  # half-split packing
     return raw.astype(jnp.float32)
 
 

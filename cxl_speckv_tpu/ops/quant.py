@@ -76,9 +76,13 @@ def quantize_kv(x: jax.Array, kv_dtype: KVDtype) -> tuple[jax.Array, jax.Array]:
     if kv_dtype == KVDtype.INT4:
         scale = _row_scale(xf, _INT4_MAX)
         q = jnp.clip(jnp.round(xf / scale), -_INT4_MAX, _INT4_MAX).astype(jnp.int8)
-        # Pack two signed nibbles per int8: low nibble = even idx, high = odd.
-        lo = q[..., 0::2] & 0x0F
-        hi = q[..., 1::2] & 0x0F
+        # Pack two signed nibbles per int8, HALF-SPLIT: low nibble holds
+        # element i, high nibble element i + D/2. Unpacking is then a pure
+        # lane concatenation — Mosaic cannot lower the interleaving reshape
+        # an even/odd packing would need.
+        d2 = q.shape[-1] // 2
+        lo = q[..., :d2] & 0x0F
+        hi = q[..., d2:] & 0x0F
         return (lo | (hi << 4)).astype(jnp.int8), scale
     if kv_dtype == KVDtype.FP8:
         scale = _row_scale(xf, _FP8_MAX)
@@ -88,12 +92,10 @@ def quantize_kv(x: jax.Array, kv_dtype: KVDtype) -> tuple[jax.Array, jax.Array]:
 
 
 def _unpack_int4(q: jax.Array) -> jax.Array:
-    """Unpack [..., D//2] int8 nibbles to [..., D] int8 in [-8, 7]."""
+    """Unpack [..., D//2] half-split nibbles to [..., D] int8 in [-8, 7]."""
     lo = (q << 4).astype(jnp.int8) >> 4          # sign-extend low nibble
     hi = q >> 4                                   # arithmetic shift: sign-extends
-    d2 = q.shape[-1]
-    out = jnp.stack([lo, hi], axis=-1).reshape(*q.shape[:-1], d2 * 2)
-    return out
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def dequantize_kv(q: jax.Array, scale: jax.Array, kv_dtype: KVDtype,

@@ -40,8 +40,9 @@ def _int4_kernel(x_ref, q_ref, s_ref):
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) * (1.0 / 7.0)
     q = jnp.clip(jnp.round(xf / scale), -7.0, 7.0).astype(jnp.int8)
-    lo = q[:, 0::2] & 0x0F
-    hi = q[:, 1::2] & 0x0F
+    d2 = q.shape[-1] // 2
+    lo = q[:, :d2] & 0x0F
+    hi = q[:, d2:] & 0x0F
     q_ref[:] = (lo | (hi << 4)).astype(jnp.int8)
     s_ref[:] = scale
 

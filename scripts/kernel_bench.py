@@ -34,7 +34,10 @@ def main():
         elem = {"int8": 1, "int4": 1, "bf16": 2}[name]
         for ctx in (2048, 8192):
             mb = ctx // bs
-            S = B * mb + 1
+            # pool must dwarf VMEM or XLA parks it on-chip and the "HBM"
+            # stream never leaves VMEM (bandwidth reads >100% of peak)
+            block_bytes = Hkv * bs * (D // pack) * elem
+            S = max(B * mb + 1, (512 * 1024 * 1024) // block_bytes)
             kp = jnp.zeros((S, Hkv, bs, D // pack),
                            jnp.int8 if name != "bf16" else jnp.bfloat16)
             vp = jnp.zeros_like(kp)
@@ -46,12 +49,18 @@ def main():
             q = jnp.zeros((B, Hq, D), jnp.bfloat16)
 
             out = paged_attention(q, kp, vp, ks, vs, table, lens, kv_dtype)
-            out.block_until_ready()
-            N = 50
+            np.asarray(out)
+            # chain q <- out for a data dependency between calls, and force a
+            # VALUE fetch at the end: on remote-dispatch runtimes
+            # block_until_ready can return before execution completes.
+            # CAVEAT: through a remote tunnel the per-dispatch latency is
+            # ~10ms, so numbers here are an upper bound on kernel time, not a
+            # clean HBM-bandwidth measurement — treat GB/s as a lower bound.
+            N = 30
             t0 = time.perf_counter()
             for _ in range(N):
-                out = paged_attention(q, kp, vp, ks, vs, table, lens, kv_dtype)
-            out.block_until_ready()
+                out = paged_attention(out, kp, vp, ks, vs, table, lens, kv_dtype)
+            np.asarray(out)
             dt = (time.perf_counter() - t0) / N
             # bytes of KV actually streamed per call
             kv_bytes = B * ctx * Hkv * (D // pack) * elem * 2  # K and V
