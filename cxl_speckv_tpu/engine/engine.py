@@ -334,17 +334,28 @@ class Engine:
             # pad every chunk to the full prefill_chunk size: exactly ONE
             # prefill program per engine (first execution of each distinct
             # program costs tens of seconds on remote TPU runtimes; the
-            # padded compute is masked out and cheap by comparison)
-            padded = chunk
-            toks = np.zeros(padded, np.int32)
-            toks[:n] = req.prompt[req.prefill_pos : req.prefill_pos + n]
+            # padded compute is masked out and cheap by comparison). All
+            # inputs ride one packed int32 array (single H2D per chunk) and
+            # the first-token sample is fused in-graph.
+            from cxl_speckv_tpu.models.llama import prefill_chunk_packed
+
+            mb = self.kvc.pool.table.max_blocks_per_seq
+            self._rng_counter += 1
+            packed = np.zeros(4 + mb + chunk, np.int32)
+            packed[0] = start
+            packed[1] = n
+            packed[2] = int(req.temperature * 1000)
+            packed[3] = self._rng_counter
             row = self.kvc.pool.table.row(req.seq_slot)
-            table_row = np.where(row >= 0, row, self.kvc.guard_slot).astype(np.int32)
-            logits, *pools = prefill_chunk(
+            packed[4:4 + mb] = np.where(row >= 0, row, self.kvc.guard_slot)
+            packed[4 + mb:4 + mb + n] = req.prompt[
+                req.prefill_pos : req.prefill_pos + n]
+            tok_dev, *pools = prefill_chunk_packed(
                 self.params, self.model_config, self.kvc.kv_dtype,
-                jnp.asarray(toks), jnp.int32(start),
-                *self.kvc.pools, jnp.asarray(table_row), jnp.int32(n))
+                packed, *self.kvc.pools, max_blocks=mb,
+                rng_seed=self._rng_seed)
             self.kvc.set_pools(tuple(pools))
+            toks = packed[4 + mb:]  # for the draft-model prefill below
             bs = self.config.cache.block_size
             blocks = self.kvc.pool.seq(req.seq_slot).blocks
             for bi in range(start // bs, (start + n - 1) // bs + 1):
@@ -357,8 +368,8 @@ class Engine:
                 req.seq_slot, req.prompt[req.prefill_pos - n : req.prefill_pos])
             self.scheduler.stats.prefill_chunks += 1
             if req.done_prefill:
-                # the prefill logits produce the first generated token
-                tok = self._sample_single(logits, req)
+                # the fused in-graph sample produced the first token
+                tok = int(np.asarray(tok_dev))
                 self._record_token(req, tok, first=True)
                 req.state = RequestState.RUNNING
                 out = self._maybe_finish(req)
@@ -467,29 +478,31 @@ class Engine:
 
         guard = self.kvc.guard_slot
         mb = self.kvc.pool.table.max_blocks_per_seq
-        tokens = np.zeros(B, np.int32)
-        positions = np.zeros(B, np.int32)
-        temps = np.zeros(B, np.float32)
-        btab = np.full((B, mb), guard, np.int32)
+        # ONE packed int32 array carries every per-round input (single H2D)
+        packed = np.full((B, mb + 4), guard, np.int32)
+        packed[:, :4] = 0
+        self._rng_counter += 1
+        packed[:, 3] = self._rng_counter
         for i, r in enumerate(batch):
-            tokens[i] = r.output[-1]
-            positions[i] = r.num_tokens - 1
-            temps[i] = r.temperature
+            packed[i, 0] = r.output[-1]
+            packed[i, 1] = r.num_tokens - 1
+            packed[i, 2] = int(r.temperature * 1000)
             row = self.kvc.pool.table.row(r.seq_slot)
-            btab[i] = np.where(row >= 0, row, guard)
+            packed[i, 4:] = np.where(row >= 0, row, guard)
 
-        sub = self._next_key()
-        toks, *pools = decode_multi(
+        from cxl_speckv_tpu.models.llama import decode_multi_packed
+
+        toks, *pools = decode_multi_packed(
             self.params, self.model_config, self.kvc.kv_dtype,
-            tokens, positions, *self.kvc.pools, btab, sub, temps,
-            horizon=h, use_pallas=self.use_pallas)
+            packed, *self.kvc.pools,
+            horizon=h, use_pallas=self.use_pallas, rng_seed=self._rng_seed)
         self.kvc.set_pools(tuple(pools))
         toks = np.asarray(toks)
 
         for i, r in enumerate(batch):
             blocks = self.kvc.pool.seq(r.seq_slot).blocks
-            lo, hi = int(positions[i]) // bs, min(
-                (int(positions[i]) + h - 1) // bs, len(blocks) - 1)
+            pos0 = int(packed[i, 1])
+            lo, hi = pos0 // bs, min((pos0 + h - 1) // bs, len(blocks) - 1)
             for bi in range(lo, hi + 1):
                 self.kvc.directory.mark_dirty(blocks[bi])
             for j in range(h):

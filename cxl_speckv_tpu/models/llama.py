@@ -296,6 +296,84 @@ def decode_multi(
     return toks.T, k_pools, v_pools, k_scales, v_scales
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
+                     "rng_seed"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
+)
+def decode_multi_packed(
+    params: Params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    packed: jax.Array,  # [B, max_blocks + 4] int32:
+                        # col 0 = first token, 1 = start position,
+                        # 2 = temperature * 1000, 3 = rng counter,
+                        # 4: = block-table row (guard-clamped)
+    k_pools: jax.Array,
+    v_pools: jax.Array,
+    k_scales: jax.Array,
+    v_scales: jax.Array,
+    *,
+    horizon: int = 8,
+    use_pallas: bool = False,
+    top_k: int = 0,
+    rng_seed: int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """`decode_multi` with all per-round host inputs packed into ONE array —
+    a single host->device transfer per engine round. On remote-dispatch
+    runtimes each argument transfer costs a round trip; this is the decode
+    hot path, so everything rides one int32 matrix."""
+    first_tokens = packed[:, 0]
+    start_positions = packed[:, 1]
+    temperatures = packed[:, 2].astype(jnp.float32) * 1e-3
+    key = jnp.array([rng_seed, 0], jnp.uint32) + jnp.array(
+        [0, 1], jnp.uint32) * packed[0, 3].astype(jnp.uint32)
+    block_table = packed[:, 4:]
+    return decode_multi(
+        params, config, kv_dtype, first_tokens, start_positions,
+        k_pools, v_pools, k_scales, v_scales, block_table, key, temperatures,
+        horizon=horizon, use_pallas=use_pallas, top_k=top_k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
+)
+def prefill_chunk_packed(
+    params: Params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    packed: jax.Array,  # [4 + max_blocks + T] int32:
+                        # 0 = start_pos, 1 = valid_len, 2 = temp*1000,
+                        # 3 = rng counter, 4:4+mb = table row, rest = tokens
+    k_pools: jax.Array,
+    v_pools: jax.Array,
+    k_scales: jax.Array,
+    v_scales: jax.Array,
+    *,
+    max_blocks: int,
+    rng_seed: int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Prefill one chunk AND sample the next token in one dispatch (single
+    packed H2D in, single scalar token out — the per-request prefill path
+    otherwise costs ~5 host->device round trips)."""
+    from cxl_speckv_tpu.engine.sampling import sample_tokens
+
+    start, valid_len = packed[0], packed[1]
+    temps = (packed[2].astype(jnp.float32) * 1e-3)[None]
+    key = jnp.array([rng_seed, 0], jnp.uint32) + jnp.array(
+        [0, 1], jnp.uint32) * packed[3].astype(jnp.uint32)
+    table_row = packed[4:4 + max_blocks]
+    token_ids = packed[4 + max_blocks:]
+    logits, k_pools, v_pools, k_scales, v_scales = prefill_chunk(
+        params, config, kv_dtype, token_ids, start,
+        k_pools, v_pools, k_scales, v_scales, table_row, valid_len)
+    tok = sample_tokens(logits[None], temps, key)[0].astype(jnp.int32)
+    return tok, k_pools, v_pools, k_scales, v_scales
+
+
 # ---------------------------------------------------------------------------
 # verify step (speculative decoding: score a chunk of proposed tokens)
 # ---------------------------------------------------------------------------
