@@ -288,6 +288,19 @@ class Engine:
             exclude = {r.req_id for r in batch}
             upcoming = self.scheduler.upcoming_groups(
                 self.config.prefetch.max_depth, exclude)
+            # protect the current batch's and upcoming groups' blocks from
+            # proactive eviction (writebacks should target the cold tail,
+            # not the blocks the prefetcher is about to need)
+            live = set(self.kvc.pool.live_seqs())
+            protected: set[int] = set()
+            for r in batch:
+                if r.seq_slot in live:
+                    protected.update(self.kvc.pool.seq(r.seq_slot).blocks)
+            for g in upcoming[: self.prefetcher.depth]:
+                for s in g:
+                    if s in live:
+                        protected.update(self.kvc.pool.seq(s).blocks)
+            self.kvc.protected = protected
             self.prefetcher.plan(upcoming)
             self.prefetcher.update_depth()
             # preload queued session restores (their seq is known before
@@ -412,10 +425,10 @@ class Engine:
             while r.seq_slot >= 0 and not self.kvc.extend_seq(r.seq_slot, r.num_tokens):
                 if not self._make_capacity():
                     raise RuntimeError("KV capacity exhausted with nothing to preempt")
+            if r.seq_slot >= 0:
+                self.kvc.pin_seq(r.seq_slot, True)
         # preemption may have evicted a batch member — drop dead lanes
         batch = [r for r in batch if r.seq_slot >= 0]
-        for r in batch:  # re-pin: covers blocks allocated by the extends
-            self.kvc.pin_seq(r.seq_slot, True)
         for i, r in enumerate(batch):
             tokens[i] = r.output[-1]
             positions[i] = r.num_tokens - 1
@@ -470,11 +483,13 @@ class Engine:
             while r.seq_slot >= 0 and not self.kvc.extend_seq(r.seq_slot, want):
                 if not self._make_capacity():
                     raise RuntimeError("KV capacity exhausted with nothing to preempt")
+            if r.seq_slot >= 0:
+                # pin immediately: blocks born in this extend must not be
+                # evictable while the NEXT member's extend makes room
+                self.kvc.pin_seq(r.seq_slot, True)
         batch = [r for r in batch if r.seq_slot >= 0]
         if not batch:
             return batch
-        for r in batch:  # re-pin: covers blocks allocated by the extends
-            self.kvc.pin_seq(r.seq_slot, True)
 
         guard = self.kvc.guard_slot
         mb = self.kvc.pool.table.max_blocks_per_seq
@@ -544,12 +559,11 @@ class Engine:
                 if not self._make_capacity():
                     raise RuntimeError("KV capacity exhausted with nothing to preempt")
             if r.seq_slot >= 0:
+                self.kvc.pin_seq(r.seq_slot, True)
                 self.spec.sync_seq(r.seq_slot)
         batch = [r for r in batch if r.seq_slot >= 0]
         if not batch:
             return batch
-        for r in batch:  # re-pin: covers blocks allocated by the extends
-            self.kvc.pin_seq(r.seq_slot, True)
 
         guard = self.kvc.guard_slot
         mb = self.kvc.pool.table.max_blocks_per_seq

@@ -81,6 +81,10 @@ class TieredKVCache:
             cache_config.num_host_blocks, c.num_layers, cache_config.block_size,
             c.num_kv_heads, dp, np.dtype(elem))
         self.transfer = TransferEngine(self.host)
+        # blocks the scheduler expects to need soon (current + upcoming decode
+        # groups): eviction takes them only as a last resort, so proactive
+        # writebacks don't fight the prefetcher over the same blocks
+        self.protected: set[int] = set()
         self.stats = CacheRuntimeStatistics()
 
     # -- pools plumbing (donation-safe single ownership) --------------------
@@ -181,7 +185,7 @@ class TieredKVCache:
             self.pool.sync_moved()
             if self.directory.hbm_free > before:
                 return True
-        cands = self.directory.evict_candidates(
+        cands = self._evict_candidates(
             max(1, self.directory.hbm_pressure()))
         if not cands:
             return False
@@ -234,10 +238,24 @@ class TieredKVCache:
         self.set_pools(self.transfer.flush(self.pools, self.directory))
         self.pool.sync_moved()
 
+    def _evict_candidates(self, n: int) -> list[int]:
+        """Eviction order for round-robin decode: among unprotected blocks,
+        evict MOST-recently-used first — under a cyclic schedule the block
+        that just finished its quantum is the one needed furthest in the
+        future (plain LRU would evict exactly the next groups up, putting
+        their writeback on the schedule's critical path). Protected blocks
+        (current + upcoming groups) go only as a last resort."""
+        cands = self.directory.evict_candidates(
+            n + len(self.protected) + self.config.num_hbm_blocks // 2)
+        unprot = [b for b in cands if b not in self.protected]
+        unprot.sort(key=lambda b: -self.directory.entry(b).last_access)
+        ordered = unprot + [b for b in cands if b in self.protected]
+        return ordered[:n]
+
     def _evict(self, n: int) -> None:
         from cxl_speckv_tpu.core.directory import DirectoryError
 
-        for bid in self.directory.evict_candidates(n):
+        for bid in self._evict_candidates(n):
             try:
                 res = self.directory.start_demote(bid, eviction=True)
             except DirectoryError:
