@@ -104,6 +104,13 @@ class PrefetchConfig:
     # Max in-flight prefetch transfers (reference bounded DMA queue of 16,
     # speculative_prefetcher.cpp:162-172).
     max_inflight: int = 16
+    # Online LSTM training on observed token streams (the reference's
+    # load_model/save_model were stubs and its gates hardcoded — here the
+    # predictor can actually learn while serving).
+    train_online: bool = False
+    train_interval: int = 8         # engine steps between training steps
+    train_batch: int = 64
+    replay_capacity: int = 4096
 
 
 @dataclass

@@ -303,6 +303,7 @@ class Engine:
             self.kvc.protected = protected
             self.prefetcher.plan(upcoming)
             self.prefetcher.update_depth()
+            self.prefetcher.maybe_train()
             # preload queued session restores (their seq is known before
             # admission — the idle-KV warm-up the reference's prefetcher
             # exists for)

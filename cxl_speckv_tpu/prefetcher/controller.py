@@ -50,6 +50,8 @@ class PrefetchStatistics(Statistics):
     depth_raises: int = 0
     depth_lowers: int = 0
     predict_latency_ms: float = 0.0
+    train_steps: int = 0
+    last_train_loss: float = 0.0
 
     def as_dict(self) -> dict:
         d = super().as_dict()
@@ -70,13 +72,22 @@ class PrefetchController:
         self._window: deque[bool] = deque(maxlen=config.accuracy_window)
         self._last_hits = 0
         self._last_wasted = 0
+        # replay buffer of (history window, next token) for online training
+        self._replay: deque[tuple[tuple[int, ...], int]] = deque(
+            maxlen=config.replay_capacity)
+        self._ticks = 0
         self.stats = PrefetchStatistics()
 
     # -- history (the reference's 16-token sliding window) -------------------
 
     def observe_tokens(self, seq_slot: int, tokens) -> None:
         h = self._histories.setdefault(seq_slot, deque(maxlen=self.config.history_len))
-        h.extend(int(t) for t in np.atleast_1d(np.asarray(tokens)))
+        collect = self.config.train_online and self.predictor is not None
+        for t in np.atleast_1d(np.asarray(tokens)):
+            t = int(t)
+            if collect and len(h) >= 2:
+                self._replay.append((tuple(h), t))
+            h.append(t)
 
     def forget_seq(self, seq_slot: int) -> None:
         self._histories.pop(seq_slot, None)
@@ -149,6 +160,32 @@ class PrefetchController:
                 self.depth -= 1
                 self.stats.depth_lowers += 1
         return self.depth
+
+    # -- online training (real learning; the reference's was a stub) ---------
+
+    def maybe_train(self) -> float | None:
+        """Train the predictor on replayed (history, next-token) pairs every
+        `train_interval` ticks. Returns the loss when a step ran."""
+        if not (self.config.train_online and self.predictor is not None):
+            return None
+        self._ticks += 1
+        if self._ticks % self.config.train_interval:
+            return None
+        n = min(self.config.train_batch, len(self._replay))
+        if n < 8:
+            return None
+        idx = np.random.randint(0, len(self._replay), n)
+        T = self.config.history_len
+        H = np.zeros((n, T), np.int32)
+        y = np.zeros(n, np.int32)
+        for i, j in enumerate(idx):
+            hist, t = self._replay[j]
+            H[i, T - len(hist):] = hist[-T:]
+            y[i] = t
+        loss = self.predictor.train_batch(H, y)
+        self.stats.train_steps += 1
+        self.stats.last_train_loss = float(loss)
+        return loss
 
     def get_statistics(self) -> PrefetchStatistics:
         return self.stats

@@ -127,3 +127,25 @@ def test_inflight_budget_respected():
         seqs.append(s)
     issued = ctl.plan([seqs])
     assert issued == 3  # bounded queue, reference's 16-deep DMA queue analog
+
+
+def test_online_training_learns_pattern():
+    """Controller-driven online training: a periodic token stream becomes
+    predictable (the reference's training path was a no-op stub)."""
+    kvc = make_kvc()
+    cfg = PrefetchConfig(depth=2, train_online=True, train_interval=1,
+                         train_batch=64, history_len=8)
+    ctl = PrefetchController(cfg, kvc,
+                             predictor=LSTMPredictor(vocab_size=16, history_len=8, seed=0),
+                             eos_token_id=0)
+    s = kvc.add_seq()
+    pattern = [3, 5, 7, 9, 11, 13]
+    for rep in range(120):
+        ctl.observe_tokens(s, [pattern[rep % len(pattern)]])
+        ctl.maybe_train()
+    assert ctl.stats.train_steps > 50
+    # prediction: after seeing ...9, 11, 13 the next is 3
+    hist = ctl.history_matrix([s])
+    ids, _ = ctl.predictor.predict_top_k(hist, 2)
+    nxt = pattern[(120) % len(pattern)]
+    assert nxt in ids[0], (ids, nxt, ctl.stats.last_train_loss)
