@@ -618,11 +618,6 @@ class Engine:
         self._rng_counter += 1
         return np.array([self._rng_seed, self._rng_counter], dtype=np.uint32)
 
-    def _sample_single(self, logits: jax.Array, req: Request) -> int:
-        sub = self._next_key()
-        tok = sample_tokens(logits[None], jnp.asarray([req.temperature], jnp.float32), sub)
-        return int(np.asarray(tok)[0])
-
     def _record_token(self, req: Request, tok: int, first: bool = False) -> None:
         now = time.monotonic()
         if first or not req.first_token_time:
