@@ -241,6 +241,7 @@ class ResidencyDirectory:
         if e.host_slot >= 0:
             self._host.put(e.host_slot)
         del self._entries[bid]
+        self._moved.discard(bid)
         self.stats.frees += 1
 
     # -- access path --------------------------------------------------------
