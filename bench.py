@@ -37,8 +37,8 @@ def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
     sc = SystemConfig(
         cache=CacheConfig(block_size=32, num_hbm_blocks=hbm_blocks,
                           num_host_blocks=host_blocks, kv_dtype=KVDtype.INT8,
-                          prefetch_reserve_frac=0.35),
-        prefetch=PrefetchConfig(depth=4, enabled=prefetch),
+                          prefetch_reserve_frac=0.25),
+        prefetch=PrefetchConfig(depth=4, min_depth=3, enabled=prefetch),
         engine=EngineConfig(max_batch_size=batch, max_seq_len=max_seq_len,
                             prefill_chunk=128, decode_horizon=horizon,
                             sched_quantum=quantum),
