@@ -32,7 +32,7 @@ import numpy as np
 from cxl_speckv_tpu.config import KVDtype
 from cxl_speckv_tpu.core.stats import Statistics, ratio
 from cxl_speckv_tpu.models.configs import LlamaConfig
-from cxl_speckv_tpu.models.llama import decode_step, prefill_chunk, verify_step
+from cxl_speckv_tpu.models.llama import prefill_chunk, verify_step
 from cxl_speckv_tpu.ops.quant import kv_storage_dtype
 
 
@@ -115,27 +115,30 @@ class SpecDecoder:
 
     def propose(self, last_tokens: np.ndarray, positions: np.ndarray,
                 tables: np.ndarray, active: np.ndarray) -> np.ndarray:
-        """Draft gamma tokens per lane. last_tokens [B] (the last accepted
-        token, KV not yet appended), positions [B] its position. Returns
-        drafts [B, gamma]."""
+        """Draft gamma tokens per lane in ONE fused device dispatch.
+
+        last_tokens [B] (the last accepted token, KV not yet appended),
+        positions [B] its position. Returns drafts [B, gamma].
+
+        Uses the fused multi-token decode with horizon gamma+1: the feed
+        chain (last, d_1, ..., d_gamma) is exactly the greedy draft chain,
+        and the extra feed appends the last draft token's KV so the draft
+        cache covers position n-1+gamma (on full acceptance the next round
+        starts from there)."""
+        from cxl_speckv_tpu.models.llama import decode_multi_packed
+
         B = last_tokens.shape[0]
-        drafts = np.zeros((B, self.gamma), np.int32)
-        toks = jnp.asarray(last_tokens)
-        tab = jnp.asarray(tables)
-        # gamma+1 feeds for gamma proposals: the extra feed appends the last
-        # draft token's KV so the draft cache always covers position
-        # n-1+gamma — on full acceptance the next round starts from there
-        # (without it the draft would read zeros at that position)
-        for j in range(self.gamma + 1):
-            pos = jnp.asarray(positions + j)
-            lens = pos + 1
-            logits, *pools = decode_step(
-                self.params, self.config, self.kv_dtype, toks, pos,
-                *self.pools, tab, lens)
-            self.pools = tuple(pools)
-            if j < self.gamma:
-                toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                drafts[:, j] = np.asarray(toks)
+        mb = tables.shape[1]
+        packed = np.zeros((B, mb + 4), np.int32)
+        packed[:, 0] = last_tokens
+        packed[:, 1] = positions
+        # cols 2 (temp) and 3 (rng counter) stay 0: greedy drafting
+        packed[:, 4:] = tables
+        toks, *pools = decode_multi_packed(
+            self.params, self.config, self.kv_dtype, packed, *self.pools,
+            horizon=self.gamma + 1)
+        self.pools = tuple(pools)
+        drafts = np.asarray(toks)[:, : self.gamma].astype(np.int32)
         self.stats.drafted += int(active.sum()) * self.gamma
         return drafts
 
