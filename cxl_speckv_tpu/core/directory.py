@@ -358,6 +358,19 @@ class ResidencyDirectory:
         e.state = BlockState.IN_FLIGHT_DOWN
         return e.hbm_slot, e.host_slot
 
+    def cancel_demote(self, bid: int) -> None:
+        """IN_FLIGHT_DOWN -> HBM for a writeback whose copy never started
+        (still queued): the HBM copy was readable all along, so the block
+        simply stays resident. The reserved host slot is released — a
+        dirty writeback means any prior host copy was already stale."""
+        e = self.entry(bid)
+        if e.state != BlockState.IN_FLIGHT_DOWN:
+            raise DirectoryError(f"cancel_demote of block {bid} in state {e.state.name}")
+        e.state = BlockState.HBM
+        if e.host_slot >= 0:
+            self._host.put(e.host_slot)
+            e.host_slot = -1
+
     def complete_demote(self, bid: int) -> None:
         e = self.entry(bid)
         if e.state != BlockState.IN_FLIGHT_DOWN:

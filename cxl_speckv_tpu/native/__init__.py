@@ -83,6 +83,7 @@ def load_library():
         "speckv_dir_complete_promote": ([u64, i64], i32),
         "speckv_dir_start_demote": ([u64, i64, i32, p32, p32], i32),
         "speckv_dir_complete_demote": ([u64, i64], i32),
+        "speckv_dir_cancel_demote": ([u64, i64], i32),
         "speckv_dir_evict_candidates": ([u64, i32, p64], i32),
         "speckv_dir_hbm_free": ([u64], i32),
         "speckv_dir_host_free": ([u64], i32),
@@ -252,6 +253,10 @@ class NativeResidencyDirectory:
     def complete_demote(self, bid: int) -> None:
         self._check(self._lib.speckv_dir_complete_demote(self._h, bid),
                     "complete_demote", bid)
+
+    def cancel_demote(self, bid: int) -> None:
+        self._check(self._lib.speckv_dir_cancel_demote(self._h, bid),
+                    "cancel_demote", bid)
 
     def evict_candidates(self, n: int) -> list[int]:
         out = (ctypes.c_int64 * max(n, 1))()

@@ -140,12 +140,22 @@ class TieredKVCache:
         fetched = 0
         settle_up = False
         for s in seq_slots:
-            # settle any blocks mid-flight downward first: their HBM slot is
-            # being reclaimed, so wait out the writeback, then re-promote.
-            # Loop: the in-flight cap means one flush+poll pass may not drain
-            # every queued writeback.
-            while any(self.directory.entry(b).state == BlockState.IN_FLIGHT_DOWN
-                      for b in self.pool.seq(s).blocks):
+            # blocks mid-flight downward: cancel writebacks still queued
+            # (instant — the HBM copy never moved); only copies already in
+            # flight force a wait. Loop: the in-flight cap means one
+            # flush+poll pass may not drain every queued writeback.
+            while True:
+                inflight_down = [
+                    b for b in self.pool.seq(s).blocks
+                    if self.directory.entry(b).state == BlockState.IN_FLIGHT_DOWN
+                ]
+                if not inflight_down:
+                    break
+                remaining = [b for b in inflight_down
+                             if not self.transfer.cancel_queued_demote(
+                                 b, self.directory)]
+                if not remaining:
+                    break
                 self.set_pools(self.transfer.flush(self.pools, self.directory))
                 self.transfer.poll(self.directory, wait=True)
             for bid in self.seq_nonresident_blocks(s):

@@ -174,6 +174,17 @@ class TransferEngine:
     def enqueue_demote(self, bid: int, hbm_slot: int, host_slot: int) -> None:
         self._down_queue.append((bid, hbm_slot, host_slot))
 
+    def cancel_queued_demote(self, bid: int, directory) -> bool:
+        """Cancel a writeback that has not been gathered yet: the block's HBM
+        copy was readable all along, so it just stays resident. Returns False
+        when the copy is already in flight (caller must wait it out)."""
+        for i, (b, _, _) in enumerate(self._down_queue):
+            if b == bid:
+                del self._down_queue[i]
+                directory.cancel_demote(bid)
+                return True
+        return False
+
     @property
     def inflight_down(self) -> int:
         return sum(len(p.bids) for p in self._pending_down)

@@ -102,6 +102,11 @@ int32_t speckv_dir_complete_demote(uint64_t h, int64_t bid) {
   return d ? d->CompleteDemote(bid) : speckv::kErrUnknownBlock;
 }
 
+int32_t speckv_dir_cancel_demote(uint64_t h, int64_t bid) {
+  ResidencyDirectory* d = get(h);
+  return d ? d->CancelDemote(bid) : speckv::kErrUnknownBlock;
+}
+
 int32_t speckv_dir_evict_candidates(uint64_t h, int32_t n, int64_t* out) {
   ResidencyDirectory* d = get(h);
   return d ? d->EvictCandidates(n, out) : speckv::kErrUnknownBlock;

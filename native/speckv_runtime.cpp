@@ -148,6 +148,18 @@ int32_t ResidencyDirectory::StartDemote(int64_t bid, bool eviction,
   return 1;  // writeback required
 }
 
+int32_t ResidencyDirectory::CancelDemote(int64_t bid) {
+  Entry* e = Get(bid);
+  if (!e) return kErrUnknownBlock;
+  if (e->state != BlockState::kInFlightDown) return kErrBadState;
+  e->state = BlockState::kHbm;
+  if (e->host_slot >= 0) {
+    host_.put(e->host_slot);
+    e->host_slot = -1;
+  }
+  return kOk;
+}
+
 int32_t ResidencyDirectory::CompleteDemote(int64_t bid) {
   Entry* e = Get(bid);
   if (!e) return kErrUnknownBlock;

@@ -106,6 +106,7 @@ class ResidencyDirectory {
   int32_t StartDemote(int64_t bid, bool eviction, int32_t* hbm_slot,
                       int32_t* host_slot);
   int32_t CompleteDemote(int64_t bid);
+  int32_t CancelDemote(int64_t bid);
   int32_t EvictCandidates(int32_t n, int64_t* out) const;
 
   int32_t hbm_free() const { return hbm_.num_free(); }

@@ -313,3 +313,24 @@ def test_pressure_and_dump():
     assert d.hbm_pressure() == 1
     text = d.dump_state()
     assert "hbm_free=1/8" in text
+
+
+def test_cancel_demote():
+    """Queued-writeback cancellation: IN_FLIGHT_DOWN -> HBM, host slot
+    released (a dirty writeback implies any prior host copy was stale)."""
+    d = make_dir()
+    bid = d.allocate()
+    d.unpin(bid)
+    assert d.start_demote(bid) is not None
+    host_free_mid = d.host_free
+    d.cancel_demote(bid)
+    e = d.entry(bid)
+    assert e.state == BlockState.HBM and e.host_slot == -1 and e.dirty
+    assert d.host_free == host_free_mid + 1
+    with pytest.raises(DirectoryError):
+        d.cancel_demote(bid)  # not in flight anymore
+    # block remains fully usable
+    d.access(bid)
+    d.start_demote(bid)
+    d.complete_demote(bid)
+    d.free(bid)

@@ -71,11 +71,13 @@ def test_lockstep_fuzz(seed):
                 return d.complete_demote(bid), None
             if op == 9:
                 return d.evict_candidates(3), None
+            if op == 10:
+                return d.cancel_demote(bid), None
         except DirectoryError:
             return None, "DirectoryError"
 
     for step in range(400):
-        op = rng.randint(0, 10)
+        op = rng.randint(0, 11)
         bid = int(rng.choice(live)) if live and rng.rand() < 0.9 else int(rng.randint(0, 40))
         flag = bool(rng.randint(0, 2))
 
