@@ -321,6 +321,84 @@ class Engine:
     # -- prefill --------------------------------------------------------------
 
     def _prefill_tick(self, finished: list[EngineOutput]) -> None:
+        if self.spec is None:
+            return self._prefill_tick_batched(finished)
+        return self._prefill_tick_serial(finished)
+
+    def _prefill_tick_batched(self, finished: list[EngineOutput]) -> None:
+        """One device dispatch prefills a chunk for up to max_batch_size
+        requests at once (causal within each chunk + that lane's quantized
+        pool context), with each lane's next token sampled in-graph."""
+        from cxl_speckv_tpu.models.llama import prefill_batch_packed
+
+        chunk = self.config.engine.prefill_chunk
+        B = self.config.engine.max_batch_size
+        bs = self.config.cache.block_size
+        mb = self.kvc.pool.table.max_blocks_per_seq
+        ready: list[tuple] = []  # (req, n, start)
+        for req in self.scheduler.prefill_candidates():
+            if len(ready) >= B:
+                break
+            if req.seq_slot < 0 or req.state != RequestState.PREFILLING:
+                continue
+            n = min(chunk, len(req.prompt) - req.prefill_pos)
+            start = req.context_len + req.prefill_pos
+            if -(-(start + n) // bs) > self.config.cache.num_hbm_blocks - 2:
+                finished.append(self._finish_request(req, "oom"))
+                req.state = RequestState.FAILED
+                continue
+            # cap the wave's combined working set: every selected lane's
+            # context must be simultaneously HBM-resident
+            need = -(-(start + n) // bs)
+            ws = sum(-(-(s0 + n0) // bs) for _, n0, s0 in ready)
+            if ready and ws + need > self.config.cache.num_hbm_blocks - 2:
+                continue
+            if not self.kvc.extend_seq(req.seq_slot, start + n):
+                if not self._make_capacity():
+                    finished.append(self._finish_request(req, "oom"))
+                    req.state = RequestState.FAILED
+                continue
+            self.kvc.pin_seq(req.seq_slot, True)
+            ready.append((req, n, start))
+        if not ready:
+            return
+        self.kvc.ensure_resident([r.seq_slot for r, _, _ in ready])
+
+        self._rng_counter += 1
+        packed = np.zeros((B, 4 + mb + chunk), np.int32)
+        packed[:, 4:4 + mb] = self.kvc.guard_slot
+        packed[:, 3] = self._rng_counter
+        for i, (req, n, start) in enumerate(ready):
+            packed[i, 0] = start
+            packed[i, 1] = n
+            packed[i, 2] = int(req.temperature * 1000)
+            row = self.kvc.pool.table.row(req.seq_slot)
+            packed[i, 4:4 + mb] = np.where(row >= 0, row, self.kvc.guard_slot)
+            packed[i, 4 + mb:4 + mb + n] = req.prompt[
+                req.prefill_pos : req.prefill_pos + n]
+        toks, *pools = prefill_batch_packed(
+            self.params, self.model_config, self.kvc.kv_dtype,
+            packed, *self.kvc.pools, max_blocks=mb, rng_seed=self._rng_seed)
+        self.kvc.set_pools(tuple(pools))
+        toks = np.asarray(toks)
+
+        for i, (req, n, start) in enumerate(ready):
+            blocks = self.kvc.pool.seq(req.seq_slot).blocks
+            for bi in range(start // bs, (start + n - 1) // bs + 1):
+                self.kvc.directory.mark_dirty(blocks[bi])
+            self.kvc.pin_seq(req.seq_slot, False)
+            req.prefill_pos += n
+            self.prefetcher.observe_tokens(
+                req.seq_slot, req.prompt[req.prefill_pos - n : req.prefill_pos])
+            self.scheduler.stats.prefill_chunks += 1
+            if req.done_prefill:
+                self._record_token(req, int(toks[i]), first=True)
+                req.state = RequestState.RUNNING
+                out = self._maybe_finish(req)
+                if out is not None:
+                    finished.append(out)
+
+    def _prefill_tick_serial(self, finished: list[EngineOutput]) -> None:
         chunk = self.config.engine.prefill_chunk
         for req in self.scheduler.prefill_candidates():
             if req.seq_slot < 0 or req.state != RequestState.PREFILLING:

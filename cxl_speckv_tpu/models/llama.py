@@ -341,6 +341,113 @@ def decode_multi_packed(
     static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
+def prefill_batch_packed(
+    params: Params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    packed: jax.Array,  # [B, 4 + max_blocks + T] int32 per lane:
+                        # 0 = start_pos, 1 = valid_len (0 = inactive lane),
+                        # 2 = temp*1000, 3 = rng counter,
+                        # 4:4+mb = table row (guard-clamped), rest = tokens
+    k_pools: jax.Array,
+    v_pools: jax.Array,
+    k_scales: jax.Array,
+    v_scales: jax.Array,
+    *,
+    max_blocks: int,
+    rng_seed: int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Batched chunked prefill: every prefilling lane's chunk runs in ONE
+    device program (causal within the chunk + streamed quantized pool
+    context), with each lane's next token sampled in-graph.
+
+    Returns (tokens [B], pools). Inactive lanes (valid_len 0) scatter to the
+    guard slot and their token is meaningless.
+    """
+    from cxl_speckv_tpu.engine.sampling import sample_tokens
+    from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
+    from cxl_speckv_tpu.ops.quant import dequantize_kv
+
+    c = config
+    B = packed.shape[0]
+    T = packed.shape[1] - 4 - max_blocks
+    bs = k_pools.shape[3]
+    guard_slot = k_pools.shape[1] - 1
+    inv_freq = rope_frequencies(c)
+
+    start = packed[:, 0]                                  # [B]
+    valid = packed[:, 1]
+    temps = packed[:, 2].astype(jnp.float32) * 1e-3
+    key = jnp.array([rng_seed, 0], jnp.uint32) + jnp.array(
+        [0, 1], jnp.uint32) * packed[0, 3].astype(jnp.uint32)
+    tables = packed[:, 4:4 + max_blocks]
+    token_ids = packed[:, 4 + max_blocks:]
+
+    positions = start[:, None] + jnp.arange(T)[None, :]   # [B, T]
+    t_idx = jnp.arange(T)[None, :]
+    blk = jnp.clip(positions // bs, 0, max_blocks - 1)
+    slots = jnp.take_along_axis(tables, blk, axis=1)
+    slots = jnp.where(t_idx < valid[:, None], slots, guard_slot)
+    offs = positions % bs
+    x = params["embed"][token_ids]                        # [B, T, H]
+
+    def layer(carry, xs):
+        x, k_pools, v_pools, k_scales, v_scales = carry
+        (lp, li) = xs
+        h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+        q = (h @ lp["q"]).reshape(B, T, c.num_q_heads, c.head_dim)
+        k = (h @ lp["k"]).reshape(B, T, c.num_kv_heads, c.head_dim)
+        v = (h @ lp["v"]).reshape(B, T, c.num_kv_heads, c.head_dim)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+
+        kp = jax.lax.dynamic_index_in_dim(k_pools, li, 0, keepdims=False)
+        vp = jax.lax.dynamic_index_in_dim(v_pools, li, 0, keepdims=False)
+        ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
+        vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
+
+        kq, ks = quantize_kv(k, kv_dtype)
+        vq, vs = quantize_kv(v, kv_dtype)
+        k_use = dequantize_kv(kq, ks, kv_dtype).astype(k.dtype)
+        v_use = dequantize_kv(vq, vs, kv_dtype).astype(v.dtype)
+
+        o = paged_chunk_attention(q, k_use, v_use, kp, vp, ksc, vsc,
+                                  tables, start, kv_dtype)
+        x = x + (o.reshape(B, T, -1).astype(x.dtype) @ lp["o"])
+        h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
+        x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
+
+        kp = kp.at[slots, :, offs].set(kq.astype(kp.dtype))
+        vp = vp.at[slots, :, offs].set(vq.astype(vp.dtype))
+        ksc = ksc.at[slots, :, offs].set(ks[..., 0])
+        vsc = vsc.at[slots, :, offs].set(vs[..., 0])
+        k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)
+        v_pools = jax.lax.dynamic_update_index_in_dim(v_pools, vp, li, 0)
+        k_scales = jax.lax.dynamic_update_index_in_dim(k_scales, ksc, li, 0)
+        v_scales = jax.lax.dynamic_update_index_in_dim(v_scales, vsc, li, 0)
+        return (x, k_pools, v_pools, k_scales, v_scales), None
+
+    layer_idx = jnp.arange(c.num_layers)
+    (x, k_pools, v_pools, k_scales, v_scales), _ = jax.lax.scan(
+        layer, (x, k_pools, v_pools, k_scales, v_scales),
+        (params["layers"], layer_idx),
+    )
+    # last-valid hidden state per lane -> logits -> sampled token
+    last = jnp.clip(valid - 1, 0, T - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None].astype(jnp.int32)
+                                 .repeat(x.shape[-1], axis=2), axis=1)[:, 0]
+    x_last = rms_norm(x_last, params["final_norm"], c.rms_eps)
+    head = params["embed"].T if config.tie_embeddings else params["lm_head"]
+    logits = (x_last @ head).astype(jnp.float32)          # [B, V]
+    toks = sample_tokens(logits, temps, key).astype(jnp.int32)
+    return toks, k_pools, v_pools, k_scales, v_scales
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
+)
 def prefill_chunk_packed(
     params: Params,
     config: LlamaConfig,
@@ -538,6 +645,16 @@ def prefill_chunk(
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
+        # attend to the quantize->dequantized chunk KV — exactly the values a
+        # later decode step will read from the pool (keeps every prefill
+        # implementation and decode numerically consistent)
+        from cxl_speckv_tpu.ops.quant import dequantize_kv as _deq
+
+        kq_pre, ks_pre = quantize_kv(k, kv_dtype)
+        vq_pre, vs_pre = quantize_kv(v, kv_dtype)
+        k = _deq(kq_pre, ks_pre, kv_dtype).astype(k.dtype)
+        v = _deq(vq_pre, vs_pre, kv_dtype).astype(v.dtype)
+
         qg = q.reshape(T, c.num_kv_heads, c.q_group, c.head_dim).astype(jnp.float32)
         kf, vf = k.astype(jnp.float32), v.astype(jnp.float32)
         s_new = jnp.einsum("thgd,shd->hgts", qg, kf) * sm
@@ -565,9 +682,8 @@ def prefill_chunk(
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
         x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
 
-        # quantize + scatter the fresh chunk KV
-        kq, ks = quantize_kv(k, kv_dtype)
-        vq, vs = quantize_kv(v, kv_dtype)
+        # scatter the (already) quantized chunk KV
+        kq, ks, vq, vs = kq_pre, ks_pre, vq_pre, vs_pre
         kp = kp.at[slots, :, offs].set(kq.astype(kp.dtype))
         vp = vp.at[slots, :, offs].set(vq.astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[:, :, 0])
