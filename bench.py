@@ -78,7 +78,7 @@ def main():
 
     if on_tpu:
         n_requests, prompt_len, gen = 24, 64, 64
-        batch, horizon, quantum, bs = 4, 16, 2, 32
+        batch, horizon, quantum, bs = 4, 16, 4, 32
     else:
         n_requests, prompt_len, gen = 12, 32, 24
         batch, horizon, quantum, bs = 2, 4, 3, 32
