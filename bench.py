@@ -77,7 +77,7 @@ def main():
     jax.block_until_ready(params)
 
     if on_tpu:
-        n_requests, prompt_len, gen = 24, 64, 64
+        n_requests, prompt_len, gen = 32, 64, 64
         batch, horizon, quantum, bs = 4, 16, 4, 32
     else:
         n_requests, prompt_len, gen = 12, 32, 24
@@ -100,8 +100,11 @@ def main():
     # directions (same request count so rotation/demotion actually happens)
     t0 = time.monotonic()
     warm = build_engine(config, params, prefetch=True, **geo)
-    run_workload(warm, n_requests=n_requests, prompt_len=prompt_len,
-                 gen=horizon * 2, seed=99)
+    # just enough live KV to overflow HBM: every program compiles, including
+    # both migration directions, at ~1/6 the treatment's work
+    n_warm = hbm_blocks // blocks_per_seq + 3
+    run_workload(warm, n_requests=n_warm, prompt_len=prompt_len,
+                 gen=horizon, seed=99)
     print(f"# warmup {time.monotonic()-t0:.0f}s", file=sys.stderr)
 
     eng_t = build_engine(config, params, prefetch=True, **geo)
