@@ -255,6 +255,15 @@ class Engine:
         pf = self.config.prefetch
         self.prefetcher.depth = max(pf.min_depth, min(pf.max_depth, depth))
 
+    def generate(self, prompts: list[list[int]], max_new_tokens: int = 64,
+                 temperature: float = 0.0) -> list[list[int]]:
+        """Convenience batch API: submit, serve to completion, return each
+        prompt's generated tokens in submission order."""
+        ids = [self.add_request(p, max_new_tokens=max_new_tokens,
+                                temperature=temperature) for p in prompts]
+        outs = {o.req_id: o.tokens for o in self.run()}
+        return [outs.get(i, []) for i in ids]
+
     @property
     def has_work(self) -> bool:
         return self.scheduler.num_waiting > 0 or self.scheduler.num_running > 0
