@@ -5,7 +5,11 @@ The fifth BASELINE.json configuration: a small draft model proposes
 positions in ONE `verify_step` over the paged quantized cache; the longest
 agreeing prefix is accepted plus one corrected/bonus token (greedy
 acceptance — emitted text is token-identical to plain greedy decoding, which
-the tests assert).
+the tests assert exactly on CPU; on TPU MXU the verify path's chunked
+attention and the decode kernel round differently at f32, so near-tie argmax
+picks can differ — the output remains a self-consistent greedy decode of the
+target model under the verify numerics, and agreement approaches 1 as logit
+margins grow, i.e. on trained checkpoints).
 
 Speculative KV discipline (the engine-level analog of the reference's
 lazy-invalidation misprediction handling, `speculative_prefetcher.cpp:

@@ -53,7 +53,8 @@ def paged_chunk_attention(
         vblk = _dequant_block(v_pool[slots], kv_dtype)
         ks = k_scale[slots]                            # [B, Hkv, bs]
         vs = v_scale[slots]
-        s = jnp.einsum("bthgd,bhsd->bhgts", qg, kblk)  # [B,Hkv,G,T,bs]
+        s = jnp.einsum("bthgd,bhsd->bhgts", qg, kblk,
+                       precision=jax.lax.Precision.HIGHEST)  # [B,Hkv,G,T,bs]
         s = s * ks[:, :, None, None, :] * sm_scale
         pos = m * block_size + jnp.arange(block_size)
         valid = pos[None, :] < start_pos[:, None]      # [B, bs]
@@ -64,7 +65,9 @@ def paged_chunk_attention(
         alpha = jnp.exp(m_acc - m_new)
         l_acc = l_acc * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = p * vs[:, :, None, None, :]
-        o_acc = o_acc * alpha + jnp.einsum("bhgts,bhsd->bhgtd", pv, vblk)
+        o_acc = o_acc * alpha + jnp.einsum(
+            "bhgts,bhsd->bhgtd", pv, vblk,
+            precision=jax.lax.Precision.HIGHEST)
         return (m_new, l_acc, o_acc), None
 
     shape5 = (B, num_kv_heads, group, T)
@@ -79,7 +82,8 @@ def paged_chunk_attention(
     # ---- in-chunk causal attention merged into the same running softmax ---
     kf = k_new.astype(jnp.float32)
     vf = v_new.astype(jnp.float32)
-    s = jnp.einsum("bthgd,bshd->bhgts", qg, kf) * sm_scale  # [B,Hkv,G,T,T]
+    s = jnp.einsum("bthgd,bshd->bhgts", qg, kf,
+                   precision=jax.lax.Precision.HIGHEST) * sm_scale  # [B,Hkv,G,T,T]
     t_idx = jnp.arange(T)
     causal = t_idx[:, None] >= t_idx[None, :]
     s = jnp.where(causal[None, None, None], s, NEG_INF)
@@ -87,7 +91,8 @@ def paged_chunk_attention(
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_acc - m_new)
     l_acc = l_acc * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    o_acc = o_acc * alpha + jnp.einsum("bhgts,bshd->bhgtd", p, vf)
+    o_acc = o_acc * alpha + jnp.einsum("bhgts,bshd->bhgtd", p, vf,
+                                       precision=jax.lax.Precision.HIGHEST)
 
     out = o_acc / l_acc                                # [B,Hkv,G,T,D]
     return out.transpose(0, 3, 1, 2, 4).reshape(B, T, num_q_heads, head_dim).astype(q.dtype)
