@@ -4,10 +4,12 @@ TPU-native analog of the reference's three config mechanisms
 (`src/cxl_speckv_system.h:19-39` SystemConfig struct, constructor defaults,
 and the runtime-mutable prefetch-depth / compression-scheme knobs flowing to
 FPGA registers via `speckv.h:65-66`). Here everything is a dataclass; the
-runtime-mutable knobs (`prefetch depth`, `kv quantization scheme`) remain
-mutable on the live engine via `Engine.set_prefetch_depth` /
-`Engine.set_kv_dtype` mirroring `speckv_set_prefetch_depth` /
-`speckv_set_compression_scheme`.
+runtime-mutable knobs are `Engine.set_prefetch_depth` (mirror of
+`speckv_set_prefetch_depth`) and `Engine.set_kv_dtype` (mirror of
+`speckv_set_compression_scheme`: switches the quantization scheme for
+subsequently allocated blocks among same-storage-width schemes; the storage
+width itself — e.g. INT4's packed layout — is fixed at engine construction,
+like the hardware datapath width).
 """
 
 from __future__ import annotations

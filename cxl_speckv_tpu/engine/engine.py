@@ -640,10 +640,15 @@ class Engine:
             self.kvc.touch_seq(s)
         self.kvc.ensure_resident(slots)
 
+        max_tokens = self.kvc.pool.table.max_blocks_per_seq * \
+            self.config.cache.block_size
         for r in batch:
-            # capacity for verify appends at positions n-1 .. n-1+gamma
+            # capacity for verify appends at positions n-1 .. n-1+gamma,
+            # clamped to table capacity (a lane within gamma of the cap
+            # writes fewer speculative rows; overshoot positions past its
+            # final length are never read)
             while r.seq_slot >= 0 and not self.kvc.extend_seq(
-                    r.seq_slot, r.num_tokens + gamma):
+                    r.seq_slot, min(r.num_tokens + gamma, max_tokens)):
                 if not self._make_capacity():
                     raise RuntimeError("KV capacity exhausted with nothing to preempt")
             if r.seq_slot >= 0:

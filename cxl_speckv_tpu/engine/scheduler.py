@@ -196,6 +196,11 @@ class Scheduler:
         victim.seq_slot = -1
         victim.prefill_pos = 0
         victim.output.clear()
+        # latency bookkeeping restarts with the request: mixing
+        # pre-preemption timestamps with post-restart tokens would corrupt
+        # the TTFT/TPOT metrics the benchmark reports
+        victim.token_times.clear()
+        victim.first_token_time = 0.0
         victim.state = RequestState.QUEUED
         self.queue.appendleft(victim)
         self.stats.preemptions += 1

@@ -55,11 +55,15 @@ class _EntryInfo(ctypes.Structure):
 
 
 def build_native(force: bool = False) -> Path:
-    """Build libspeckv_runtime.so with make (g++ is baked into the image)."""
-    if _SO.exists() and not force:
-        return _SO
-    subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                   capture_output=True)
+    """Build libspeckv_runtime.so with make (g++ is baked into the image).
+
+    Always invokes make — the Makefile is incremental (keyed on the
+    .cpp/.hpp sources), so an up-to-date .so costs one no-op make while a
+    stale one is rebuilt instead of silently loaded."""
+    cmd = ["make", "-C", str(_NATIVE_DIR)]
+    if force:
+        cmd.append("-B")
+    subprocess.run(cmd, check=True, capture_output=True)
     return _SO
 
 

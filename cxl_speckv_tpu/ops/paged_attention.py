@@ -112,7 +112,9 @@ def _decode_kernel(
 
     @pl.when(i == num_blocks - 1)
     def _finalize():
-        o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        # max(l, tiny) so a lane with seq_len == 0 (no _compute ran) yields
+        # zeros instead of NaN — flash-decoding convention for empty rows
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(

@@ -141,3 +141,23 @@ def test_spec_self_draft_accepts_everything():
     assert outs[0].tokens is not None
     assert st["acceptance_rate"] == 1.0, st
     assert st["tokens_per_round"] == 4.0, st
+
+
+def test_spec_at_table_capacity():
+    """A request whose prompt + max_new_tokens hits max_seq_len exactly must
+    finish cleanly under spec decoding: the verify-extend target is clamped
+    to table capacity (a lane within gamma of the cap writes fewer
+    speculative rows; overshoot past its final length is never read)."""
+    eng = make_engine(spec=True, gamma=3)
+    max_len = eng.config.engine.max_seq_len
+    prompt = list(np.random.RandomState(3).randint(1, CFG.vocab_size, 16))
+    prompt = [int(t) for t in prompt]
+    rid = eng.add_request(prompt, max_new_tokens=max_len - len(prompt))
+    outs = eng.run()
+    assert len(outs) == 1 and outs[0].req_id == rid
+    assert outs[0].finish_reason in ("length", "eos")
+
+    plain = make_engine(spec=False)
+    plain.add_request(prompt, max_new_tokens=max_len - len(prompt))
+    pouts = plain.run()
+    assert outs[0].tokens == pouts[0].tokens
