@@ -62,6 +62,12 @@ class CacheConfig:
     # for demotion while hotter candidates exist (reference hot/cold
     # classification, access_count > 10, cxl_memory_manager.cpp:245-255).
     hot_access_threshold: int = 10
+    # Host-tier backend: "device" keeps the pool in pinned-host device
+    # memory (memory_kind="pinned_host" on TPU) and migrates blocks with
+    # in-graph DMA (`runtime/hoststore.py` — the CXL-pool-as-deployed
+    # analog); "numpy" is the pageable host-process fallback with staged
+    # H2D/D2H copies (`runtime/transfer.py`).
+    host_store_backend: str = "device"
 
     @property
     def num_reserved_blocks(self) -> int:
@@ -78,6 +84,8 @@ class CacheConfig:
             raise ValueError("num_hbm_blocks must be positive")
         if self.num_host_blocks < 0:
             raise ValueError("num_host_blocks must be >= 0")
+        if self.host_store_backend not in ("device", "numpy"):
+            raise ValueError(f"unknown host_store_backend {self.host_store_backend}")
 
 
 @dataclass

@@ -131,6 +131,11 @@ class Engine:
             self.spec = SpecDecoder(draft_config, draft_params, self.kvc,
                                     gamma=spec_gamma)
             self.scheduler.free_seq_hook = self.spec.on_free_seq
+        # fused rounds: migration batch + model step in one dispatch (device
+        # store backend; the spec path and single-token decode still use
+        # standalone migrate programs)
+        self._fused_rounds = self.kvc.device_mode and self.spec is None
+        self.kvc.defer_migrations = self._fused_rounds
         self.stats = EngineStatistics()
         self.timers = PhaseTimer()
         self._next_req_id = 0
@@ -371,7 +376,10 @@ class Engine:
             ready.append((req, n, start))
         if not ready:
             return
-        self.kvc.ensure_resident([r.seq_slot for r, _, _ in ready])
+        if self._fused_rounds:
+            self.kvc.prepare_resident([r.seq_slot for r, _, _ in ready])
+        else:
+            self.kvc.ensure_resident([r.seq_slot for r, _, _ in ready])
 
         self._rng_counter += 1
         packed = np.zeros((B, 4 + mb + chunk), np.int32)
@@ -385,10 +393,23 @@ class Engine:
             packed[i, 4:4 + mb] = np.where(row >= 0, row, self.kvc.guard_slot)
             packed[i, 4 + mb:4 + mb + n] = req.prompt[
                 req.prefill_pos : req.prefill_pos + n]
-        toks, *pools = prefill_batch_packed(
-            self.params, self.model_config, self.kvc.kv_dtype,
-            packed, *self.kvc.pools, max_blocks=mb, rng_seed=self._rng_seed)
-        self.kvc.set_pools(tuple(pools))
+        if self._fused_rounds:
+            from cxl_speckv_tpu.models.llama import prefill_round_fused
+
+            mig, up_bids, down_bids = self.kvc.take_migration_plan()
+            toks, *rest = prefill_round_fused(
+                self.params, self.model_config, self.kvc.kv_dtype,
+                packed, mig, *self.kvc.pools, *self.kvc.store.arrays,
+                max_blocks=mb, rng_seed=self._rng_seed,
+                store_ops=self.kvc.store_ops)
+            self.kvc.set_pools(tuple(rest[:4]))
+            self.kvc.store.set_arrays(tuple(rest[4:]))
+            self.kvc.commit_migration(up_bids, down_bids)
+        else:
+            toks, *pools = prefill_batch_packed(
+                self.params, self.model_config, self.kvc.kv_dtype,
+                packed, *self.kvc.pools, max_blocks=mb, rng_seed=self._rng_seed)
+            self.kvc.set_pools(tuple(pools))
         toks = np.asarray(toks)
 
         for i, (req, n, start) in enumerate(ready):
@@ -564,7 +585,10 @@ class Engine:
             self.kvc.pin_seq(s, True)
         for s in slots:
             self.kvc.touch_seq(s)
-        self.kvc.ensure_resident(slots)
+        if self._fused_rounds:
+            self.kvc.prepare_resident(slots)
+        else:
+            self.kvc.ensure_resident(slots)
 
         for r in batch:
             want = min(r.num_tokens + h - 1, max_tokens)
@@ -593,13 +617,26 @@ class Engine:
             row = self.kvc.pool.table.row(r.seq_slot)
             packed[i, 4:] = np.where(row >= 0, row, guard)
 
-        from cxl_speckv_tpu.models.llama import decode_multi_packed
+        if self._fused_rounds:
+            from cxl_speckv_tpu.models.llama import decode_round_fused
 
-        toks, *pools = decode_multi_packed(
-            self.params, self.model_config, self.kvc.kv_dtype,
-            packed, *self.kvc.pools,
-            horizon=h, use_pallas=self.use_pallas, rng_seed=self._rng_seed)
-        self.kvc.set_pools(tuple(pools))
+            mig, up_bids, down_bids = self.kvc.take_migration_plan()
+            toks, *rest = decode_round_fused(
+                self.params, self.model_config, self.kvc.kv_dtype,
+                packed, mig, *self.kvc.pools, *self.kvc.store.arrays,
+                horizon=h, use_pallas=self.use_pallas,
+                rng_seed=self._rng_seed, store_ops=self.kvc.store_ops)
+            self.kvc.set_pools(tuple(rest[:4]))
+            self.kvc.store.set_arrays(tuple(rest[4:]))
+            self.kvc.commit_migration(up_bids, down_bids)
+        else:
+            from cxl_speckv_tpu.models.llama import decode_multi_packed
+
+            toks, *pools = decode_multi_packed(
+                self.params, self.model_config, self.kvc.kv_dtype,
+                packed, *self.kvc.pools,
+                horizon=h, use_pallas=self.use_pallas, rng_seed=self._rng_seed)
+            self.kvc.set_pools(tuple(pools))
         toks = np.asarray(toks)
 
         for i, r in enumerate(batch):

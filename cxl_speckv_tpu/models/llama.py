@@ -482,6 +482,98 @@ def prefill_chunk_packed(
 
 
 # ---------------------------------------------------------------------------
+# fused engine rounds: migration batch + model step in ONE device program
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
+                     "rng_seed", "store_ops"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales",
+                     "k_store", "v_store", "ks_store", "vs_store"),
+)
+def decode_round_fused(
+    params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    packed: jax.Array,   # [B, max_blocks + 4] int32 (see decode_multi_packed)
+    mig: jax.Array,      # [4, M] int32 migration batch (see hoststore)
+    k_pools: jax.Array,
+    v_pools: jax.Array,
+    k_scales: jax.Array,
+    v_scales: jax.Array,
+    k_store: jax.Array,
+    v_store: jax.Array,
+    ks_store: jax.Array,
+    vs_store: jax.Array,
+    *,
+    horizon: int = 8,
+    use_pallas: bool = False,
+    top_k: int = 0,
+    rng_seed: int = 0,
+    store_ops=None,
+):
+    """One complete engine decode round as a single dispatch: apply the
+    queued block migrations (host-tier DMA in/out — the descriptor-ring
+    batch), then run the fused multi-token decode over the updated pools.
+
+    The TPU-native collapse of the reference's ioctl-per-operation hot path
+    (`vllm_speckv_backend.py:117-126` issues one ioctl per layer per token;
+    here one program per `horizon` tokens x batch, migrations included).
+    Returns (tokens [B, horizon], pools..., stores...).
+    """
+    from cxl_speckv_tpu.runtime.hoststore import migrate_in_graph
+
+    pools, stores = migrate_in_graph(
+        (k_pools, v_pools, k_scales, v_scales),
+        (k_store, v_store, ks_store, vs_store), mig, store_ops)
+    toks, *pools = decode_multi_packed(
+        params, config, kv_dtype, packed, *pools,
+        horizon=horizon, use_pallas=use_pallas, top_k=top_k,
+        rng_seed=rng_seed)
+    return (toks, *pools, *stores)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed",
+                     "store_ops"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales",
+                     "k_store", "v_store", "ks_store", "vs_store"),
+)
+def prefill_round_fused(
+    params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    packed: jax.Array,   # [B, 4 + max_blocks + T] int32 (see prefill_batch_packed)
+    mig: jax.Array,      # [4, M] int32
+    k_pools: jax.Array,
+    v_pools: jax.Array,
+    k_scales: jax.Array,
+    v_scales: jax.Array,
+    k_store: jax.Array,
+    v_store: jax.Array,
+    ks_store: jax.Array,
+    vs_store: jax.Array,
+    *,
+    max_blocks: int,
+    rng_seed: int = 0,
+    store_ops=None,
+):
+    """Batched chunked prefill with the round's migration batch fused in
+    (session restores / evictions ride the same dispatch)."""
+    from cxl_speckv_tpu.runtime.hoststore import migrate_in_graph
+
+    pools, stores = migrate_in_graph(
+        (k_pools, v_pools, k_scales, v_scales),
+        (k_store, v_store, ks_store, vs_store), mig, store_ops)
+    toks, *pools = prefill_batch_packed(
+        params, config, kv_dtype, packed, *pools,
+        max_blocks=max_blocks, rng_seed=rng_seed)
+    return (toks, *pools, *stores)
+
+
+# ---------------------------------------------------------------------------
 # verify step (speculative decoding: score a chunk of proposed tokens)
 # ---------------------------------------------------------------------------
 

@@ -28,15 +28,35 @@ Params = dict[str, Any]
 
 class LSTMPredictor:
     def __init__(self, vocab_size: int, *, embed_dim: int = 64, hidden: int = 128,
-                 num_layers: int = 2, history_len: int = 16, seed: int = 0):
+                 num_layers: int = 2, history_len: int = 16, seed: int = 0,
+                 device=None):
         self.vocab_size = vocab_size
         self.embed_dim = embed_dim
         self.hidden = hidden
         self.num_layers = num_layers
         self.history_len = history_len
+        # The predictor runs on the HOST CPU device by default when the main
+        # backend is an accelerator: prediction sits on the scheduling path
+        # every engine step, and the reference's latency budget (<10us on a
+        # dedicated near-memory block, hardware/README.md:119-122) maps to
+        # "never spend an accelerator dispatch on it". On remote-dispatch
+        # runtimes a TPU round trip costs ~10ms — 1000x the budget.
+        if device is None:
+            try:
+                if jax.default_backend() != "cpu":
+                    device = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                device = None
+        self.device = device
         self.params = _init(vocab_size, embed_dim, hidden, num_layers,
                             jax.random.PRNGKey(seed))
+        if device is not None:
+            self.params = jax.device_put(self.params, device)
         self._opt_state = None
+
+    def _put(self, x, dtype=jnp.int32):
+        a = jnp.asarray(x, dtype)
+        return jax.device_put(a, self.device) if self.device is not None else a
 
     # -- inference ----------------------------------------------------------
 
@@ -44,13 +64,13 @@ class LSTMPredictor:
         """histories: [B, history_len] int32 (left-padded with 0 — matches
         the reference pad/trim, `lstm_predictor.cpp:44-51`).
         Returns (token_ids [B, k], probs [B, k]) as numpy."""
-        ids, probs = _top_k(self.params, jnp.asarray(histories, jnp.int32),
+        ids, probs = _top_k(self.params, self._put(histories),
                             self.num_layers, self.hidden, k)
         return np.asarray(ids), np.asarray(probs)
 
     def continue_probability(self, histories: np.ndarray, eos_token_id: int):
         """P(next token != eos) per sequence — drives prefetch skip."""
-        p = _token_prob(self.params, jnp.asarray(histories, jnp.int32),
+        p = _token_prob(self.params, self._put(histories),
                         self.num_layers, self.hidden, eos_token_id)
         return 1.0 - np.asarray(p)
 
@@ -64,8 +84,8 @@ class LSTMPredictor:
         if self._opt_state is None:
             self._tx = optax.adamw(lr)
             self._opt_state = self._tx.init(self.params)
-        loss, grads = _loss_and_grad(self.params, jnp.asarray(histories, jnp.int32),
-                                     jnp.asarray(targets, jnp.int32),
+        loss, grads = _loss_and_grad(self.params, self._put(histories),
+                                     self._put(targets),
                                      self.num_layers, self.hidden)
         updates, self._opt_state = self._tx.update(grads, self._opt_state, self.params)
         self.params = optax.apply_updates(self.params, updates)

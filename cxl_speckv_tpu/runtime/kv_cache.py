@@ -2,21 +2,30 @@
 
 Analog of the reference `CXLSpecKVSystem` + `CXLMemoryAllocator` wiring
 (`src/cxl_speckv_system.cpp:21-37`, `src/integration/memory_allocator.cpp:
-16-43`): owns the device pools, the host store, the residency directory, the
-per-sequence block pool, and the transfer engine, and exposes the operations
-the serving engine needs:
+16-43`): owns the device pools, the host-tier store, the residency
+directory, the per-sequence block pool, and the migration machinery, and
+exposes the operations the serving engine needs:
 
 - `extend_seq` / `free_seq`: capacity allocation with OOM backpressure
 - `ensure_resident`: demand-fetch for scheduled sequences (the synchronous
   `sync_fetch_page` slow path, `host/src/speckv_allocator.cpp:115-138` —
   counted as stall so the prefetcher's value is measurable)
 - `prefetch_blocks`: asynchronous promote (the prefetch DMA path)
-- `maintain`: eviction to keep the prefetch landing zone free + transfer
-  retirement (the background tier management)
+- `maintain`: eviction to keep the prefetch landing zone free + migration
+  dispatch (the background tier management)
+
+Two host-tier backends (CacheConfig.host_store_backend):
+
+- "device" (default): the pooled tier lives in pinned-host device memory
+  and migrations are in-graph DMA batches that complete at dispatch
+  (`runtime/hoststore.py`) — block data never crosses the host process.
+- "numpy": pageable host-process store with background-staged H2D and
+  polled D2H (`runtime/transfer.py`) — the fallback for runtimes without
+  host-memory-space support.
 
 Device pool layout (per layer, all layers stacked):
     k_pools/v_pools [L, hbm_slots+1, Hkv, block_size, D/pack]
-      (one extra guard slot so padded scatters can target it with mode=drop)
+      (one extra guard slot so padded scatters can target it)
     k_scales/v_scales [L, hbm_slots+1, Hkv, block_size]
 """
 
@@ -34,7 +43,19 @@ from cxl_speckv_tpu.core.directory import BlockState, ResidencyDirectory
 from cxl_speckv_tpu.core.stats import Statistics
 from cxl_speckv_tpu.models.configs import LlamaConfig
 from cxl_speckv_tpu.ops.quant import kv_storage_dtype
-from cxl_speckv_tpu.runtime.transfer import HostStore, TransferEngine
+from cxl_speckv_tpu.runtime.hoststore import (
+    MIGRATE_BATCH,
+    DeviceHostStore,
+    StoreOps,
+    migrate_program,
+    pad_migration,
+    single_device_store_ops,
+)
+from cxl_speckv_tpu.runtime.transfer import (
+    HostStore,
+    MigrationPlanner,
+    TransferEngine,
+)
 
 
 @dataclass
@@ -42,12 +63,13 @@ class CacheRuntimeStatistics(Statistics):
     demand_fetch_events: int = 0     # scheduler had to stall for a block
     demand_fetch_blocks: int = 0
     maintain_demotes: int = 0
+    migrate_dispatches: int = 0      # device-backend migrate programs issued
 
 
 class TieredKVCache:
     def __init__(self, cache_config: CacheConfig, model_config: LlamaConfig,
                  max_seqs: int, max_blocks_per_seq: int, device_put=None,
-                 native: bool | None = None):
+                 native: bool | None = None, store_ops: StoreOps | None = None):
         cache_config.validate()
         self.config = cache_config
         self.model_config = model_config
@@ -77,15 +99,34 @@ class TieredKVCache:
         self.k_scales = put(jnp.ones(sc_shape, jnp.float32))
         self.v_scales = put(jnp.ones(sc_shape, jnp.float32))
 
-        self.host = HostStore(
-            cache_config.num_host_blocks, c.num_layers, cache_config.block_size,
-            c.num_kv_heads, dp, np.dtype(elem))
-        self.transfer = TransferEngine(self.host)
+        self._device_mode = cache_config.host_store_backend == "device"
+        if self._device_mode:
+            self.store_ops = store_ops or single_device_store_ops()
+            self.store = DeviceHostStore(
+                cache_config.num_host_blocks, c.num_layers,
+                cache_config.block_size, c.num_kv_heads, dp, elem,
+                self.store_ops)
+            self.host = None
+            self.transfer = MigrationPlanner(self.store.bytes_per_block)
+        else:
+            self.host = HostStore(
+                cache_config.num_host_blocks, c.num_layers,
+                cache_config.block_size, c.num_kv_heads, dp, np.dtype(elem))
+            self.store = None
+            self.transfer = TransferEngine(self.host)
         # blocks the scheduler expects to need soon (current + upcoming decode
         # groups): eviction takes them only as a last resort, so proactive
         # writebacks don't fight the prefetcher over the same blocks
         self.protected: set[int] = set()
+        # device backend only: when True, maintain() leaves queued migrations
+        # for the engine's next fused round dispatch instead of issuing a
+        # standalone migrate program (set by engines using fused rounds)
+        self.defer_migrations = False
         self.stats = CacheRuntimeStatistics()
+
+    @property
+    def device_mode(self) -> bool:
+        return self._device_mode
 
     # -- pools plumbing (donation-safe single ownership) --------------------
 
@@ -100,6 +141,31 @@ class TieredKVCache:
     def guard_slot(self) -> int:
         return self.config.num_hbm_blocks
 
+    # -- device-backend migration dispatch ----------------------------------
+
+    def dispatch_migrations(self, limit_batches: int | None = None) -> int:
+        """Dispatch queued migrations as migrate programs (device backend).
+        Each dispatch completes its batch (dataflow ordering — see
+        hoststore.py). Returns blocks moved."""
+        assert self._device_mode
+        moved = 0
+        batches = 0
+        while self.transfer.queued:
+            if limit_batches is not None and batches >= limit_batches:
+                break
+            ups, downs, up_bids, down_bids = self.transfer.take_plan(MIGRATE_BATCH)
+            mig = pad_migration(ups, downs, self.guard_slot,
+                                self.store.guard_slot)
+            out = migrate_program(*self.pools, *self.store.arrays,
+                                  mig, ops=self.store_ops)
+            self.set_pools(out[:4])
+            self.store.set_arrays(out[4:])
+            self.transfer.commit(up_bids, down_bids, self.directory)
+            moved += len(up_bids) + len(down_bids)
+            batches += 1
+            self.stats.migrate_dispatches += 1
+        return moved
+
     # -- sequence capacity --------------------------------------------------
 
     def add_seq(self) -> int | None:
@@ -110,9 +176,12 @@ class TieredKVCache:
         need = self.pool.blocks_needed(seq_slot, new_total_tokens)
         if need > self.directory.hbm_free:
             self._evict(need - self.directory.hbm_free)
-            # only free-demotions take effect synchronously; dirty writebacks
-            # must be flushed and completed before their slots free up
-            if need > self.directory.hbm_free:
+            if self._device_mode:
+                # demotes complete at dispatch — slots free immediately
+                self.dispatch_migrations()
+            elif need > self.directory.hbm_free:
+                # only free-demotions take effect synchronously; dirty
+                # writebacks must be flushed and completed first
                 self.set_pools(self.transfer.flush(self.pools, self.directory))
                 self.transfer.poll(self.directory, wait=True)
         return self.pool.extend(seq_slot, new_total_tokens)
@@ -135,8 +204,65 @@ class TieredKVCache:
             self.directory.access(bid)
 
     def ensure_resident(self, seq_slots: list[int]) -> int:
-        """Demand-fetch every non-resident block of the given sequences,
-        synchronously (the stall path). Returns blocks fetched."""
+        """Demand-fetch every non-resident block of the given sequences.
+        Returns blocks fetched. In the device backend this is one migrate
+        dispatch (no host-process stall); in the numpy backend it blocks on
+        the staged H2D (the sync_fetch_page analog)."""
+        if self._device_mode:
+            return self._ensure_resident_device(seq_slots)
+        return self._ensure_resident_numpy(seq_slots)
+
+    def _ensure_resident_device(self, seq_slots: list[int]) -> int:
+        fetched = self.prepare_resident(seq_slots)
+        if self.transfer.queued:
+            self.dispatch_migrations()
+        return fetched
+
+    def prepare_resident(self, seq_slots: list[int]) -> int:
+        """Device backend: enqueue demand promotes (and cancel queued
+        writebacks) for the given sequences WITHOUT dispatching — the caller
+        folds them into its fused round via `take_migration_plan`. Block
+        table rows are synced to the reserved target slots immediately."""
+        assert self._device_mode
+        fetched = 0
+        for s in seq_slots:
+            for b in self.pool.seq(s).blocks:
+                if self.directory.entry(b).state == BlockState.IN_FLIGHT_DOWN:
+                    # queued writeback: always cancellable pre-dispatch
+                    self.transfer.cancel_queued_demote(b, self.directory)
+            for bid in self.seq_nonresident_blocks(s):
+                while self.directory.hbm_free == 0:
+                    if not self._make_room():
+                        raise RuntimeError(
+                            "cannot make HBM room for demand fetch: all "
+                            "resident blocks pinned — batch exceeds HBM capacity")
+                host_slot, hbm_slot = self.directory.start_promote(bid)
+                self.transfer.enqueue_promote(bid, host_slot, hbm_slot)
+                fetched += 1
+        if fetched:
+            self.stats.demand_fetch_events += 1
+            self.stats.demand_fetch_blocks += fetched
+        self._sync_tables(seq_slots)
+        return fetched
+
+    def take_migration_plan(self):
+        """Pop one migration batch for a fused round dispatch. Excess beyond
+        one batch per direction drains via standalone migrate programs first
+        (rare). Returns (mig [4, M] int32, up_bids, down_bids); pass the ids
+        to `commit_migration` right after dispatching the fused program."""
+        assert self._device_mode
+        while (self.transfer.pending_up > MIGRATE_BATCH
+               or self.transfer.pending_down > MIGRATE_BATCH):
+            self.dispatch_migrations(1)
+        ups, downs, up_bids, down_bids = self.transfer.take_plan(MIGRATE_BATCH)
+        mig = pad_migration(ups, downs, self.guard_slot, self.store.guard_slot)
+        return mig, up_bids, down_bids
+
+    def commit_migration(self, up_bids: list[int], down_bids: list[int]) -> None:
+        self.transfer.commit(up_bids, down_bids, self.directory)
+        self.pool.sync_moved()
+
+    def _ensure_resident_numpy(self, seq_slots: list[int]) -> int:
         fetched = 0
         settle_up = False
         for s in seq_slots:
@@ -184,6 +310,18 @@ class TieredKVCache:
     def _make_room(self) -> bool:
         """Synchronously free at least one HBM slot. False if nothing can be
         reclaimed (everything pinned)."""
+        if self._device_mode:
+            before = self.directory.hbm_free
+            if self.transfer.queued:
+                self.dispatch_migrations()
+                if self.directory.hbm_free > before:
+                    return True
+            cands = self._evict_candidates(max(1, self.directory.hbm_pressure()))
+            if not cands:
+                return False
+            self._demote(cands)
+            self.dispatch_migrations()
+            return self.directory.hbm_free > before
         before = self.directory.hbm_free
         if self.transfer.queued or self.transfer.inflight_down:
             # settle in-flight traffic: completed writebacks free their slots
@@ -199,17 +337,8 @@ class TieredKVCache:
             max(1, self.directory.hbm_pressure()))
         if not cands:
             return False
-        from cxl_speckv_tpu.core.directory import DirectoryError
-
         before = self.directory.hbm_free
-        for bid in cands:
-            try:
-                res = self.directory.start_demote(bid, eviction=True)
-            except DirectoryError:
-                break  # host tier full/absent — nothing to demote into
-            if res is not None:
-                self.transfer.enqueue_demote(bid, *res)
-            self.stats.maintain_demotes += 1
+        self._demote(cands)
         self.set_pools(self.transfer.flush(self.pools, self.directory))
         self.transfer.poll(self.directory, wait=True)
         return self.directory.hbm_free > before
@@ -238,8 +367,17 @@ class TieredKVCache:
     # -- background maintenance --------------------------------------------
 
     def maintain(self) -> None:
-        """One tick: retire finished transfers, demote under pressure,
-        flush queued migrations, re-sync block-table rows."""
+        """One tick: demote under pressure, dispatch/flush queued
+        migrations, re-sync block-table rows."""
+        if self._device_mode:
+            pressure = self.directory.hbm_pressure()
+            if pressure > 0:
+                self._evict(pressure)
+            self.pool.reap_deferred()
+            if not self.defer_migrations:
+                self.dispatch_migrations()
+            self.pool.sync_moved()
+            return
         self.transfer.poll(self.directory)
         pressure = self.directory.hbm_pressure()
         if pressure > 0:
@@ -262,10 +400,10 @@ class TieredKVCache:
         ordered = unprot + [b for b in cands if b in self.protected]
         return ordered[:n]
 
-    def _evict(self, n: int) -> None:
+    def _demote(self, bids: list[int]) -> None:
         from cxl_speckv_tpu.core.directory import DirectoryError
 
-        for bid in self._evict_candidates(n):
+        for bid in bids:
             try:
                 res = self.directory.start_demote(bid, eviction=True)
             except DirectoryError:
@@ -274,6 +412,9 @@ class TieredKVCache:
                 hbm_slot, host_slot = res
                 self.transfer.enqueue_demote(bid, hbm_slot, host_slot)
             self.stats.maintain_demotes += 1
+
+    def _evict(self, n: int) -> None:
+        self._demote(self._evict_candidates(n))
 
     def _sync_tables(self, seq_slots: list[int]) -> None:
         self.pool.sync_moved()
@@ -288,6 +429,9 @@ class TieredKVCache:
         self._sync_tables(self.pool.live_seqs())
 
     def drain(self) -> None:
+        if self._device_mode:
+            self.dispatch_migrations()
+            return
         self.set_pools(self.transfer.drain(self.pools, self.directory))
 
     # -- statistics ---------------------------------------------------------

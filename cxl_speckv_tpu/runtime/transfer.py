@@ -123,6 +123,87 @@ class _PendingUp:
     future: object  # Future -> (kd, vd, ksd, vsd, slots) device arrays
 
 
+class MigrationPlanner:
+    """Migration queue for the device-side host store (`runtime/hoststore.py`).
+
+    Replaces TransferEngine's staging/poll machinery when the host tier
+    lives in pinned-host device memory: block data never crosses the host
+    process, so a migration is just a (bid, src_slot, dst_slot) record that
+    rides the next `migrate_program` (or fused engine-round) dispatch and
+    *completes at dispatch* — XLA dataflow ordering through the chained
+    pools/store arrays is the completion guarantee (see hoststore.py).
+
+    The descriptor-ring analog survives as the fixed migration batch width;
+    `take_plan` pops up to one batch per direction, the caller dispatches,
+    then `commit` finalizes directory state.
+    """
+
+    def __init__(self, bytes_per_block: int):
+        self._up: list[tuple[int, int, int]] = []    # (bid, host_slot, hbm_slot)
+        self._down: list[tuple[int, int, int]] = []  # (bid, hbm_slot, host_slot)
+        self._bytes_per_block = bytes_per_block
+        self.stats = TransferStatistics()
+
+    def enqueue_promote(self, bid: int, host_slot: int, hbm_slot: int) -> None:
+        self._up.append((bid, host_slot, hbm_slot))
+
+    def enqueue_demote(self, bid: int, hbm_slot: int, host_slot: int) -> None:
+        self._down.append((bid, hbm_slot, host_slot))
+
+    def cancel_queued_demote(self, bid: int, directory) -> bool:
+        """Demotes only move at dispatch, so an undispatched writeback always
+        cancels instantly (the block's HBM copy never moved)."""
+        for i, (b, _, _) in enumerate(self._down):
+            if b == bid:
+                del self._down[i]
+                directory.cancel_demote(bid)
+                return True
+        return False
+
+    @property
+    def queued(self) -> int:
+        return len(self._up) + len(self._down)
+
+    @property
+    def pending_up(self) -> int:
+        return len(self._up)
+
+    @property
+    def pending_down(self) -> int:
+        return len(self._down)
+
+    def take_plan(self, batch: int):
+        """Pop up to `batch` ops per direction: (ups, downs) slot-pair lists
+        + bid lists for commit."""
+        ups, self._up = self._up[:batch], self._up[batch:]
+        downs, self._down = self._down[:batch], self._down[batch:]
+        return ([(h, d) for _, h, d in ups],
+                [(d, h) for _, d, h in downs],
+                [b for b, _, _ in ups],
+                [b for b, _, _ in downs])
+
+    def commit(self, up_bids: list[int], down_bids: list[int], directory) -> None:
+        """Mark a dispatched plan complete (the dispatch IS the completion)."""
+        for bid in up_bids:
+            directory.complete_promote(bid)
+        for bid in down_bids:
+            directory.complete_demote(bid)
+        if up_bids:
+            self.stats.up_transfers += len(up_bids)
+            self.stats.up_batches += 1
+            self.stats.bytes_up += len(up_bids) * self._bytes_per_block
+        if down_bids:
+            self.stats.down_transfers += len(down_bids)
+            self.stats.down_batches += 1
+            self.stats.bytes_down += len(down_bids) * self._bytes_per_block
+
+    def get_statistics(self) -> TransferStatistics:
+        return self.stats
+
+    def reset_statistics(self) -> None:
+        self.stats.reset()
+
+
 class TransferEngine:
     """Batches block migrations between the HBM pools and the host store.
 

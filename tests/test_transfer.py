@@ -15,8 +15,12 @@ from cxl_speckv_tpu.runtime.kv_cache import TieredKVCache
 
 
 def make_cache(hbm=8, host=16, bs=8, kv_dtype=KVDtype.INT8):
+    # these tests exercise the legacy numpy/staged TransferEngine directly
+    # (flush/poll/host-store contents); the device backend has its own suite
+    # in test_hoststore.py
     cc = CacheConfig(block_size=bs, num_hbm_blocks=hbm, num_host_blocks=host,
-                     kv_dtype=kv_dtype, prefetch_reserve_frac=0.25)
+                     kv_dtype=kv_dtype, prefetch_reserve_frac=0.25,
+                     host_store_backend="numpy")
     mc = tiny_test_config()
     return TieredKVCache(cc, mc, max_seqs=4, max_blocks_per_seq=8)
 
