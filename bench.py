@@ -38,13 +38,17 @@ def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
         cache=CacheConfig(block_size=32, num_hbm_blocks=hbm_blocks,
                           num_host_blocks=host_blocks, kv_dtype=KVDtype.INT8,
                           prefetch_reserve_frac=0.25),
-        prefetch=PrefetchConfig(depth=4, min_depth=3, enabled=prefetch),
+        prefetch=PrefetchConfig(depth=4, min_depth=3, enabled=prefetch,
+                                train_online=prefetch),
         engine=EngineConfig(max_batch_size=batch, max_seq_len=max_seq_len,
                             prefill_chunk=128, decode_horizon=horizon,
                             sched_quantum=quantum),
     )
+    # the LSTM predictor runs on the host CPU device (never costs a TPU
+    # dispatch) and gates prefetch by continuation probability while
+    # training online on the served token stream
     return Engine(model_config, sc, params=params, use_pallas=use_pallas,
-                  enable_lstm=False, seed=0)
+                  enable_lstm=prefetch, seed=0)
 
 
 def run_workload(eng, *, n_requests, prompt_len, gen, seed=0):
@@ -96,56 +100,66 @@ def main():
           f"({total_demand/hbm_blocks:.1f}x oversubscribed), "
           f"{n_requests} seqs x {prompt_len}+{gen} tok", file=sys.stderr)
 
-    # warmup: same geometry, forces every program incl. both migration
-    # directions (same request count so rotation/demotion actually happens)
+    ample_geo = dict(geo)
+    ample_geo["hbm_blocks"] = total_demand + batch * blocks_per_seq + 4
+    ample_geo["host_blocks"] = 0
+
+    # warmup: both geometries, so every program (incl. both migration
+    # directions) is compiled before measurement
     t0 = time.monotonic()
     warm = build_engine(config, params, prefetch=True, **geo)
-    # just enough live KV to overflow HBM: every program compiles, including
-    # both migration directions, at ~1/6 the treatment's work
     n_warm = hbm_blocks // blocks_per_seq + 3
     run_workload(warm, n_requests=n_warm, prompt_len=prompt_len,
                  gen=horizon, seed=99)
+    warm_a = build_engine(config, params, prefetch=False, **ample_geo)
+    run_workload(warm_a, n_requests=2, prompt_len=prompt_len,
+                 gen=horizon, seed=98)
+    del warm, warm_a
     print(f"# warmup {time.monotonic()-t0:.0f}s", file=sys.stderr)
 
-    eng_t = build_engine(config, params, prefetch=True, **geo)
-    tok_t, dt_t = run_workload(eng_t, n_requests=n_requests,
-                               prompt_len=prompt_len, gen=gen)
-    st = eng_t.get_statistics()
-
-    # ample-HBM baseline: everything resident, no tiering, same workload
-    ample_geo = dict(geo)
-    ample_geo["hbm_blocks"] = total_demand + batch * blocks_per_seq + 4
-    eng_a = build_engine(config, params, prefetch=False,
-                         **{**ample_geo, "host_blocks": 0})
-    # one mini-pass so the ample pool geometry's programs are compiled
-    run_workload(eng_a, n_requests=2, prompt_len=prompt_len,
-                 gen=horizon, seed=98)
-    eng_a = build_engine(config, params, prefetch=False,
-                         **{**ample_geo, "host_blocks": 0})
-    tok_a, dt_a = run_workload(eng_a, n_requests=n_requests,
-                               prompt_len=prompt_len, gen=gen)
-    sa = eng_a.get_statistics()
-
-    tps_t, tps_a = tok_t / dt_t, tok_a / dt_a
+    # measurement: alternating treatment/baseline pairs, so tunnel/runtime
+    # speed drift hits both sides of each ratio equally; the reported
+    # vs_baseline is the mean of per-pair ratios
     oversub = total_demand / hbm_blocks
-    per_hbm = (tps_t / tps_a) * oversub if tps_a > 0 else None
+    pairs = []
+    st = sa = None
+    for rep in range(2):
+        eng_t = build_engine(config, params, prefetch=True, **geo)
+        tok_t, dt_t = run_workload(eng_t, n_requests=n_requests,
+                                   prompt_len=prompt_len, gen=gen)
+        st = eng_t.get_statistics()
+        eng_a = build_engine(config, params, prefetch=False, **ample_geo)
+        tok_a, dt_a = run_workload(eng_a, n_requests=n_requests,
+                                   prompt_len=prompt_len, gen=gen)
+        sa = eng_a.get_statistics()
+        pairs.append((tok_t / dt_t, tok_a / dt_a))
+        print(f"# pair {rep}: tiered {tok_t}tok/{dt_t:.1f}s = "
+              f"{tok_t/dt_t:.1f} tok/s vs ample {tok_a}tok/{dt_a:.1f}s = "
+              f"{tok_a/dt_a:.1f} tok/s -> per-HBM "
+              f"{(tok_t/dt_t)/(tok_a/dt_a)*oversub:.2f}x", file=sys.stderr)
+
+    tps_t = sum(p[0] for p in pairs) / len(pairs)
+    ratios = [(t / a) * oversub for t, a in pairs]
+    per_hbm = sum(ratios) / len(ratios)
     print(json.dumps({
         "metric": "decode_throughput_per_hbm_vs_ample_4x_oversub_int8kv",
         "value": round(tps_t, 2),
         "unit": "tok/s",
-        "vs_baseline": round(per_hbm, 3) if per_hbm else None,
+        "vs_baseline": round(per_hbm, 3),
     }))
     d = st["directory"]
     print(
-        f"# tiered ({oversub:.1f}x oversub): {tok_t} tok / {dt_t:.1f}s = "
-        f"{tps_t:.1f} tok/s | hit_rate={d['hit_rate']:.3f} "
+        f"# tiered ({oversub:.1f}x oversub): {tps_t:.1f} tok/s mean | "
+        f"hit_rate={d['hit_rate']:.3f} "
         f"demand_misses={d['demand_misses']} "
         f"prefetch_acc={d['prefetch_accuracy']:.2f} "
         f"up/down={st['transfer']['up_transfers']}/{st['transfer']['down_transfers']} "
-        f"p50_tpot={st['engine']['p50_tpot_ms']:.0f}ms || "
-        f"ample-HBM ({ample_geo['hbm_blocks']} blocks): {tok_a} tok / "
-        f"{dt_a:.1f}s = {tps_a:.1f} tok/s "
+        f"p50_tpot={st['engine']['p50_tpot_ms']:.0f}ms "
+        f"lstm_train_steps={st['prefetch']['train_steps']} || "
+        f"ample-HBM ({ample_geo['hbm_blocks']} blocks): "
+        f"{sum(p[1] for p in pairs)/len(pairs):.1f} tok/s mean "
         f"p50_tpot={sa['engine']['p50_tpot_ms']:.0f}ms || "
+        f"per-pair ratios {['%.2f' % r for r in ratios]} -> "
         f"throughput-per-HBM advantage = {per_hbm:.2f}x",
         file=sys.stderr,
     )

@@ -141,6 +141,16 @@ class EngineConfig:
     # for prefetched groups to amortize their migration (1 = rotate every
     # step)
     sched_quantum: int = 1
+    # Host-streamed serving of sequences whose KV exceeds the HBM pool (or
+    # max_seq_len): context attention streams the host tier wave-by-wave
+    # (device store backend only). The 128k-context capability of BASELINE
+    # config 3.
+    stream_enabled: bool = True
+    # Max total length of a streamed sequence; None = bounded by the host
+    # pool (num_host_blocks - 2 blocks).
+    max_stream_seq_len: int | None = None
+    # Blocks fetched from the host tier per streamed-attention wave.
+    stream_wave: int = 4
 
 
 @dataclass

@@ -230,6 +230,28 @@ class ResidencyDirectory:
         self.stats.allocations += 1
         return bid
 
+    def allocate_host(self) -> int | None:
+        """Allocate a new logical block directly in the HOST tier (streamed
+        sequences whose KV never enters the HBM pool — the capacity-
+        expansion limit case, `docs/ARCHITECTURE.md:271`). The host copy is
+        authoritative from birth (dirty=False has no meaning host-side).
+        Returns the block id, or None on host-tier exhaustion."""
+        if self._host.num_free == 0:
+            self.stats.oom_events += 1
+            return None
+        bid = self._next_bid
+        self._next_bid += 1
+        self._clock += 1
+        e = DirectoryEntry(
+            bid=bid,
+            state=BlockState.HOST,
+            host_slot=self._host.take(),
+            last_access=self._clock,
+        )
+        self._entries[bid] = e
+        self.stats.allocations += 1
+        return bid
+
     def free(self, bid: int) -> None:
         e = self.entry(bid)
         if e.state in (BlockState.IN_FLIGHT_UP, BlockState.IN_FLIGHT_DOWN):

@@ -574,6 +574,157 @@ def prefill_round_fused(
 
 
 # ---------------------------------------------------------------------------
+# streamed step: serve a sequence whose KV exceeds HBM from the host tier
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "max_blocks", "wave", "rng_seed",
+                     "store_ops"),
+    donate_argnames=("k_store", "v_store", "ks_store", "vs_store"),
+)
+def stream_step(
+    params: Params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    packed: jax.Array,   # int32 [4 + table_width + T]:
+                         # 0 = start_pos, 1 = valid_len, 2 = temp*1000,
+                         # 3 = rng counter, 4:4+tw = host-slot row
+                         # (guard-padded), rest = T token ids
+    k_store: jax.Array,  # flat-row host store (runtime/hoststore.py)
+    v_store: jax.Array,
+    ks_store: jax.Array,
+    vs_store: jax.Array,
+    *,
+    max_blocks: int,     # context blocks the table row covers
+    wave: int = 4,       # blocks streamed per attention wave
+    rng_seed: int = 0,
+    store_ops=None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Process T tokens of a HOST-RESIDENT sequence in one dispatch: a
+    prefill chunk (T = chunk) or one decode token (T = 1).
+
+    The sequence's entire KV lives in the host tier; context attention
+    streams it wave-by-wave (`ops/stream_attention.py`) and the chunk's own
+    quantized KV is appended back to the store with a read-modify-write of
+    the touched blocks. HBM holds only the current wave + activations, so
+    sequence length is bounded by the HOST pool — the capacity-expansion
+    limit case (reference `README.md:16-19`, `docs/ARCHITECTURE.md:271`
+    32K-128K adaptation; BASELINE config 3).
+
+    Returns (next_token, stores...). The next token is sampled in-graph
+    from the last valid position.
+    """
+    from cxl_speckv_tpu.engine.sampling import sample_tokens
+    from cxl_speckv_tpu.ops.quant import dequantize_kv
+    from cxl_speckv_tpu.ops.stream_attention import (
+        merge_chunk_causal,
+        stream_context_attention,
+    )
+
+    c = config
+    bs = k_store.shape[2]
+    L = c.num_layers
+    ops = store_ops
+
+    n_waves = -(-max_blocks // wave)
+    table_width_ctx = n_waves * wave
+
+    start = packed[0]
+    valid = packed[1]
+    temps = (packed[2].astype(jnp.float32) * 1e-3)[None]
+    key = jnp.array([rng_seed, 0], jnp.uint32) + jnp.array(
+        [0, 1], jnp.uint32) * packed[3].astype(jnp.uint32)
+    # caller packs [4 + tw + T] with tw = table_width_ctx + nblk and
+    # nblk = T//bs + 1 (append pad); recover the static T from the length
+    rest = packed.shape[0] - 4 - table_width_ctx
+    T = _solve_chunk_len(rest, bs)
+    nblk = T // bs + 1
+    table_width = table_width_ctx + nblk
+    host_row = packed[4:4 + table_width]
+    token_ids = packed[4 + table_width:]
+
+    positions = start + jnp.arange(T)
+    inv_freq = rope_frequencies(c)
+    x = params["embed"][token_ids]  # [T, H]
+    stores = (k_store, v_store, ks_store, vs_store)
+
+    def layer(x, xs):
+        (lp, li) = xs
+        h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+        q = (h @ lp["q"]).reshape(T, c.num_q_heads, c.head_dim)
+        k = (h @ lp["k"]).reshape(T, c.num_kv_heads, c.head_dim)
+        v = (h @ lp["v"]).reshape(T, c.num_kv_heads, c.head_dim)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+
+        # store-consistent views of the fresh chunk KV
+        kq, ksc = quantize_kv(k, kv_dtype)
+        vq, vsc = quantize_kv(v, kv_dtype)
+        k_use = dequantize_kv(kq, ksc, kv_dtype).astype(k.dtype)
+        v_use = dequantize_kv(vq, vsc, kv_dtype).astype(v.dtype)
+
+        carry = stream_context_attention(
+            q, stores, host_row, start, li, kv_dtype, ops,
+            num_layers=L, block_size=bs, max_blocks=table_width_ctx,
+            wave=wave)
+        o = merge_chunk_causal(q, k_use, v_use, carry)
+        x = x + (o.reshape(T, -1).astype(x.dtype) @ lp["o"])
+        h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
+        x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
+        return x, (kq, ksc[..., 0], vq, vsc[..., 0])
+
+    layer_idx = jnp.arange(c.num_layers)
+    x, (kq_l, ks_l, vq_l, vs_l) = jax.lax.scan(
+        layer, x, (params["layers"], layer_idx))
+    # kq_l [L, T, Hkv, Dp] -> token-major [T, L, Hkv, Dp]
+
+    # -- append: read-modify-write of the touched blocks --------------------
+    b0 = start // bs
+    offs_in = start % bs
+    touched = jax.lax.dynamic_slice(host_row, (b0,), (nblk,))
+    fk, fv, fks, fvs = ops.fetch_blocks(stores, touched, L)
+    # [nblk, L, Hkv, bs, *] -> token-major [nblk*bs, L, Hkv, *]
+    tok_major = lambda a: a.transpose(0, 3, 1, 2, *range(4, a.ndim)).reshape(
+        nblk * bs, L, *a.shape[2:3], *a.shape[4:])
+
+    def insert(flat, chunk):
+        # flat [nblk*bs, L, Hkv, *]; chunk [L, T, Hkv, *] -> [T, L, Hkv, *]
+        t_idx = offs_in + jnp.arange(T)
+        idx = jnp.where(jnp.arange(T) < valid, t_idx, nblk * bs)
+        return flat.at[idx].set(chunk.swapaxes(0, 1).astype(flat.dtype),
+                                mode="drop")
+
+    def back(flat, ref):
+        # [nblk*bs, L, Hkv, *] -> [nblk, L, Hkv, bs, *]
+        a = flat.reshape(nblk, bs, *flat.shape[1:])
+        perm = (0, 2, 3, 1) + tuple(range(4, a.ndim))
+        return a.transpose(perm).astype(ref.dtype)
+
+    fk2 = back(insert(tok_major(fk), kq_l), fk)
+    fv2 = back(insert(tok_major(fv), vq_l), fv)
+    fks2 = back(insert(tok_major(fks), ks_l), fks)
+    fvs2 = back(insert(tok_major(fvs), vs_l), fvs)
+    stores = ops.stash_blocks(stores, (fk2, fv2, fks2, fvs2), touched, L)
+
+    last = jnp.clip(valid - 1, 0, T - 1)
+    x_last = jax.lax.dynamic_slice_in_dim(x, last, 1, axis=0)
+    x_last = rms_norm(x_last, params["final_norm"], c.rms_eps)
+    head = params["embed"].T if config.tie_embeddings else params["lm_head"]
+    logits = (x_last @ head).astype(jnp.float32)
+    tok = sample_tokens(logits, temps, key)[0].astype(jnp.int32)
+    return (tok, *stores)
+
+
+def _solve_chunk_len(rest: int, bs: int) -> int:
+    """Invert rest = T + T//bs + 1 for T (static ints)."""
+    for t in range(rest - 1, 0, -1):
+        if t + t // bs + 1 == rest:
+            return t
+    raise ValueError(f"no chunk length solves rest={rest} bs={bs}")
+
+
+# ---------------------------------------------------------------------------
 # verify step (speculative decoding: score a chunk of proposed tokens)
 # ---------------------------------------------------------------------------
 

@@ -79,6 +79,7 @@ def load_library():
         "speckv_dir_create": ([i32, i32, i32, i32], u64),
         "speckv_dir_destroy": ([u64], None),
         "speckv_dir_allocate": ([u64, i32], i64),
+        "speckv_dir_allocate_host": ([u64], i64),
         "speckv_dir_free_block": ([u64, i64], i32),
         "speckv_dir_access": ([u64, i64], i32),
         "speckv_dir_mark_dirty": ([u64, i64], i32),
@@ -218,6 +219,10 @@ class NativeResidencyDirectory:
 
     def allocate(self, *, pinned: bool = True) -> int | None:
         bid = self._lib.speckv_dir_allocate(self._h, int(pinned))
+        return None if bid < 0 else bid
+
+    def allocate_host(self) -> int | None:
+        bid = self._lib.speckv_dir_allocate_host(self._h)
         return None if bid < 0 else bid
 
     def free(self, bid: int) -> None:

@@ -1,0 +1,129 @@
+"""Streamed attention over HOST-resident quantized KV context.
+
+The capability that lifts the "sequence must fit HBM" limit (BASELINE
+config 3, 128k-context; reference premise `README.md:16-19`: serve KV far
+larger than fast memory): context blocks stay in the host tier and are
+STREAMED through the device wave-by-wave inside the attention itself —
+an online-softmax scan whose block fetch reads the pinned-host store
+directly (`runtime/hoststore.StoreOps.fetch_layer`), so peak HBM use is
+one wave regardless of context length.
+
+This is the logical extreme of the reference's tiering: rather than
+migrating blocks into the HBM pool before attending (the pooled serving
+path), the attention datapath itself reaches into the pool — the analog of
+the FPGA decompressor sitting on the CXL->HBM datapath
+(`hardware/rtl/kv_decompress.v`) with the HBM hop removed.
+
+Bandwidth note: every streamed token pays host-link bandwidth for the whole
+context (that IS the tiering trade; HBM-resident serving remains the fast
+path for everything that fits). Waves are sized so each host DMA moves
+wave * Hkv * bs * D bytes per layer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cxl_speckv_tpu.config import KVDtype
+from cxl_speckv_tpu.ops.paged_attention_ref import _dequant_block
+
+NEG_INF = -1e30
+
+
+def stream_context_attention(
+    q: jax.Array,             # [T, Hq, D] fresh queries (rope applied), f32-able
+    stores,                   # (k, v, ks, vs) flat-row host store arrays
+    host_row: jax.Array,      # [max_blocks_padded] int32 store SLOTS (guard-padded)
+    start_pos: jax.Array,     # scalar int32: pool tokens < start_pos are context
+    layer: jax.Array,         # scalar int32: current layer (inside the layer scan)
+    kv_dtype: KVDtype,
+    ops,                      # StoreOps
+    num_layers: int,
+    block_size: int,
+    max_blocks: int,
+    wave: int = 4,
+    sm_scale: float | None = None,
+):
+    """Online-softmax partial attention over host-resident context.
+
+    Returns carried accumulators (m [Hkv, G, T, 1], l [Hkv, G, T, 1],
+    o [Hkv, G, T, D]) for the caller to merge with in-chunk attention.
+    """
+    T, num_q_heads, head_dim = q.shape
+    num_kv_heads = stores[0].shape[1]
+    group = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    qg = q.reshape(T, num_kv_heads, group, head_dim).astype(jnp.float32)
+
+    n_waves = -(-max_blocks // wave)
+    # dynamic trip count: only waves overlapping real context run, so a
+    # 128k-capable table costs nothing for short sequences
+    n_used = jnp.minimum(
+        (start_pos + wave * block_size - 1) // (wave * block_size), n_waves)
+
+    def wave_step(w, carry):
+        m_acc, l_acc, o_acc = carry
+        slots = jax.lax.dynamic_slice(host_row, (w * wave,), (wave,))
+        kblk, vblk, ksb, vsb = ops.fetch_layer(stores, slots, layer, num_layers)
+        # [W, Hkv, bs, Dp] -> [Hkv, W*bs, D]
+        kblk = _dequant_block(kblk, kv_dtype)
+        vblk = _dequant_block(vblk, kv_dtype)
+        kc = kblk.transpose(1, 0, 2, 3).reshape(num_kv_heads, wave * block_size, head_dim)
+        vc = vblk.transpose(1, 0, 2, 3).reshape(num_kv_heads, wave * block_size, head_dim)
+        ks = ksb.transpose(1, 0, 2).reshape(num_kv_heads, wave * block_size)
+        vs = vsb.transpose(1, 0, 2).reshape(num_kv_heads, wave * block_size)
+
+        s = jnp.einsum("thgd,hsd->hgts", qg, kc) * ks[:, None, None, :] * sm_scale
+        pos = w * wave * block_size + jnp.arange(wave * block_size)
+        valid = pos < start_pos
+        s = jnp.where(valid[None, None, None, :], s, NEG_INF)
+
+        m_new = jnp.maximum(m_acc, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_acc - m_new)
+        l_acc = l_acc * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        o_acc = o_acc * alpha + jnp.einsum(
+            "hgts,hsd->hgtd", p * vs[:, None, None, :], vc)
+        return (m_new, l_acc, o_acc)
+
+    shape = (num_kv_heads, group, T)
+    init = (
+        jnp.full((*shape, 1), NEG_INF),
+        jnp.zeros((*shape, 1)),
+        jnp.zeros((*shape, head_dim)),
+    )
+    m_acc, l_acc, o_acc = jax.lax.fori_loop(0, n_used, wave_step, init)
+    return m_acc, l_acc, o_acc
+
+
+def merge_chunk_causal(
+    q: jax.Array,         # [T, Hq, D]
+    k_new: jax.Array,     # [T, Hkv, D] (already quantize->dequantized)
+    v_new: jax.Array,
+    carry,                # (m, l, o) from stream_context_attention
+    sm_scale: float | None = None,
+):
+    """Merge in-chunk causal attention into the streamed accumulators and
+    finalize. Returns [T, Hq, D]."""
+    T, num_q_heads, head_dim = q.shape
+    num_kv_heads = k_new.shape[1]
+    group = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    m_acc, l_acc, o_acc = carry
+    qg = q.reshape(T, num_kv_heads, group, head_dim).astype(jnp.float32)
+    kf = k_new.astype(jnp.float32)
+    vf = v_new.astype(jnp.float32)
+    s = jnp.einsum("thgd,shd->hgts", qg, kf) * sm_scale
+    t_idx = jnp.arange(T)
+    causal = t_idx[:, None] >= t_idx[None, :]
+    s = jnp.where(causal[None, None], s, NEG_INF)
+    m_new = jnp.maximum(m_acc, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_acc - m_new)
+    l_acc = l_acc * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    o_acc = o_acc * alpha + jnp.einsum("hgts,shd->hgtd", p, vf)
+    out = o_acc / jnp.maximum(l_acc, 1e-30)       # [Hkv, G, T, D]
+    return out.transpose(2, 0, 1, 3).reshape(T, num_q_heads, head_dim).astype(q.dtype)

@@ -76,6 +76,21 @@ def shard_pools(pools, mesh: Mesh):
     return tuple(jax.device_put(p, s) for p, s in zip(pools, pool_shardings(mesh)))
 
 
+def pool_put(mesh: Mesh):
+    """device_put function for TieredKVCache pool arrays: kv-head axis over
+    tp (pools [L, S, Hkv, bs, Dp] are ndim-5; scales [L, S, Hkv, bs] ndim-4)."""
+    kv_s, _, sc_s, _ = pool_shardings(mesh)
+
+    def put(x):
+        return jax.device_put(x, kv_s if x.ndim == 5 else sc_s)
+
+    return put
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
 def validate_tp(config: LlamaConfig, tp: int) -> None:
     if config.num_kv_heads % tp:
         raise ValueError(

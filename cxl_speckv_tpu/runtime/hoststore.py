@@ -1,4 +1,4 @@
-"""Device-side host-DRAM block store + in-graph migration program.
+"""Device-side host-DRAM block store + in-graph migration.
 
 TPU-native realization of the reference's CXL memory pool *as deployed*:
 the pooled tier lives in the TPU host's DRAM as `memory_kind="pinned_host"`
@@ -8,25 +8,26 @@ engines — the direct analog of the FPGA DMA engine moving lines between the
 CXL pool and GPU HBM (`hardware/rtl/dma_engine.v:5-219`,
 `hardware/rtl/cxl_mem_if.v:5-120`) with no host-process copy on the path.
 
-Contrast with `runtime/transfer.py`'s legacy numpy backend (kept as the
-pageable fallback): there every promote crosses the host process
-(numpy -> H2D) and every writeback lands in pageable memory (D2H -> numpy).
-Here the store arrays never leave the accelerator complex; the "transfer"
-is a gather/scatter pair inside one jit program:
+Layout: the store is ROW-major over (slot, layer):
 
-    promote:  slabs = store[up_host]   (host-memory gather, compute_on host)
-              slabs -> device          (pinned-host -> HBM DMA)
-              pools[:, up_hbm] = slabs
-    demote:   slabs = pools[:, down_hbm]
-              slabs -> host            (HBM -> pinned-host DMA)
-              store[down_host] = slabs (host-memory scatter)
+    k, v   [(host_slots + 1) * L, Hkv, bs, D/pack]   row = slot * L + layer
+    ks, vs [(host_slots + 1) * L, Hkv, bs] float32
+
+One extra guard slot (its L rows) absorbs padded lanes. The flat layout
+exists because XLA's host-memory space supports gather/scatter with a
+SINGLE leading index array (verified on TPU v5e) — mixed advanced indexing
+loses the memory-space annotation on the auxiliary index operands. Every
+access pattern in this module reduces to leading-row gathers/scatters:
+
+    whole-block migrate:  rows = slot*L + [0..L)      (fetch_blocks/stash_blocks)
+    per-layer stream read: rows = slots*L + layer     (fetch_layer)
 
 Because every program chains the pools and store arrays (donated through),
 XLA dispatch order makes migration completion a *dataflow* fact: the moment
 the migrate program is dispatched, any later program reading the pools sees
 the promoted blocks and any later program reading the store sees the
 written-back blocks. `poll_complete` (`speckv_allocator.cpp:132-134`'s
-busy-wait) therefore has no analog at all — migrations retire at dispatch.
+busy-wait) has no analog — migrations retire at dispatch.
 
 On CPU backends (tests) the same code runs with `pinned=False`: the store is
 a plain device array (CPU device memory IS host DRAM) and the memory-space
@@ -51,12 +52,12 @@ MIGRATE_BATCH = 16
 @dataclass(frozen=True)
 class StoreOps:
     """Static (hashable) description of how store arrays move between memory
-    spaces — closed over by the jitted migrate/fused programs.
+    spaces — closed over by the jitted migrate/fused/streamed programs.
 
     pinned=False (CPU / tests): no memory-kind annotations; gather/scatter
     are ordinary device ops. pinned=True (TPU): the store lives in
     pinned_host memory; gathers/scatters run as host computations
-    (`compute_on("device_host")`) and slabs cross via in-graph device_put.
+    (`compute_on("device_host")`) and data crosses via in-graph device_put.
     """
 
     pinned: bool
@@ -72,19 +73,20 @@ class StoreOps:
         import contextlib
         return contextlib.nullcontext()
 
-    def fetch(self, stores, slots):
-        """Gather `slots` from the store -> device slabs.
+    def _idx_host(self, rows):
+        if not self.pinned:
+            return rows
+        return jax.device_put(rows, self._replicated_host)
 
-        stores: (k, v, ks, vs) host arrays [Sh+1, L, Hkv, bs, *]
-        slots:  [M] int32 (device); pads point at the store guard row.
-        Returns (kd, vd, ksd, vsd) device slabs [M, L, Hkv, bs, *].
-        """
+    # -- row primitives (the only access patterns host memory supports) -----
+
+    def gather_rows(self, stores, rows):
+        """stores: (k, v, ks, vs) host arrays; rows: [N] int32 row ids.
+        Returns device slabs ([N, Hkv, bs, Dp] x2, [N, Hkv, bs] x2)."""
         hk, hv, hks, hvs = stores
-        if self.pinned:
-            slots = jax.device_put(slots, self.host_sc_index())
+        rows = self._idx_host(rows)
         with self._host_ctx():
-            kd, vd = hk[slots], hv[slots]
-            ksd, vsd = hks[slots], hvs[slots]
+            kd, vd, ksd, vsd = hk[rows], hv[rows], hks[rows], hvs[rows]
         if self.pinned:
             kd = jax.device_put(kd, self.dev_kv)
             vd = jax.device_put(vd, self.dev_kv)
@@ -92,32 +94,58 @@ class StoreOps:
             vsd = jax.device_put(vsd, self.dev_sc)
         return kd, vd, ksd, vsd
 
-    def stash(self, stores, slabs, slots):
-        """Scatter device slabs into `slots` of the store; returns new store
-        arrays. Pads point at the store guard row (harmlessly overwritten)."""
+    def scatter_rows(self, stores, slabs, rows):
+        """Write device slabs into store rows; returns new store arrays."""
         hk, hv, hks, hvs = stores
         kd, vd, ksd, vsd = slabs
+        rows = self._idx_host(rows)
         if self.pinned:
-            slots = jax.device_put(slots, self.host_sc_index())
             kd = jax.device_put(kd, self.host_kv)
             vd = jax.device_put(vd, self.host_kv)
             ksd = jax.device_put(ksd, self.host_sc)
             vsd = jax.device_put(vsd, self.host_sc)
         with self._host_ctx():
-            hk = hk.at[slots].set(kd)
-            hv = hv.at[slots].set(vd)
-            hks = hks.at[slots].set(ksd)
-            hvs = hvs.at[slots].set(vsd)
+            hk = hk.at[rows].set(kd)
+            hv = hv.at[rows].set(vd)
+            hks = hks.at[rows].set(ksd)
+            hvs = hvs.at[rows].set(vsd)
         return hk, hv, hks, hvs
 
-    def host_sc_index(self):
-        """Sharding for small index arrays in host memory."""
-        return self._replicated_host
+    # -- block-level (all layers of each slot) ------------------------------
+
+    @staticmethod
+    def block_rows(slots, num_layers: int):
+        """[M] slot ids -> [M * L] row ids (slot-major)."""
+        return (slots[:, None] * num_layers
+                + jnp.arange(num_layers, dtype=slots.dtype)[None, :]).reshape(-1)
+
+    def fetch_blocks(self, stores, slots, num_layers: int):
+        """Gather whole blocks -> device slabs [M, L, Hkv, bs, *]."""
+        m = slots.shape[0]
+        kd, vd, ksd, vsd = self.gather_rows(
+            stores, self.block_rows(slots, num_layers))
+        rs = lambda x: x.reshape(m, num_layers, *x.shape[1:])
+        return rs(kd), rs(vd), rs(ksd), rs(vsd)
+
+    def stash_blocks(self, stores, slabs, slots, num_layers: int):
+        """Scatter whole-block device slabs [M, L, Hkv, bs, *] into slots."""
+        flat = tuple(x.reshape(-1, *x.shape[2:]) for x in slabs)
+        return self.scatter_rows(stores, flat,
+                                 self.block_rows(slots, num_layers))
+
+    # -- per-layer stream read (used inside the model layer scan) -----------
+
+    def fetch_layer(self, stores, slots, layer, num_layers: int):
+        """Gather layer `layer` (traced scalar) of the given slots ->
+        device slabs [W, Hkv, bs, *]. The layer index is pre-broadcast to
+        the slots' shape so the combined row ids stay one index array."""
+        rows = slots * num_layers + jnp.broadcast_to(
+            jnp.asarray(layer, slots.dtype), slots.shape)
+        return self.gather_rows(stores, rows)
 
     @property
     def _replicated_host(self):
-        # derive a host-memory sharding for rank-1 index arrays from the
-        # kv sharding's device set
+        # host-memory sharding for index arrays, derived from the kv sharding
         from jax.sharding import NamedSharding, PartitionSpec, SingleDeviceSharding
         s = self.host_kv
         if isinstance(s, SingleDeviceSharding):
@@ -151,8 +179,8 @@ def mesh_store_ops(mesh, pinned: bool | None = None) -> StoreOps:
 
     if pinned is None:
         pinned = all(d.platform == "tpu" for d in mesh.devices.flat)
-    kv_spec = P(None, None, "tp", None, None)   # [M/Sh, L, Hkv, bs, Dp]
-    sc_spec = P(None, None, "tp", None)
+    kv_spec = P(None, "tp", None, None)   # rows [R, Hkv, bs, Dp]
+    sc_spec = P(None, "tp", None)
     if not pinned:
         return StoreOps(pinned=False)
     return StoreOps(
@@ -165,20 +193,16 @@ def mesh_store_ops(mesh, pinned: bool | None = None) -> StoreOps:
 
 
 class DeviceHostStore:
-    """The host-DRAM tier as device-managed arrays (+1 guard row).
-
-    Layout (block spans all layers — the migration granularity):
-        k, v   [host_slots + 1, L, Hkv, bs, D/pack]
-        ks, vs [host_slots + 1, L, Hkv, bs] float32
-    """
+    """The host-DRAM tier as device-managed arrays (see module docstring)."""
 
     def __init__(self, host_slots: int, num_layers: int, block_size: int,
                  num_kv_heads: int, head_dim_packed: int, kv_elem_dtype,
                  ops: StoreOps):
         self.ops = ops
         self.host_slots = host_slots
-        shape = (host_slots + 1, num_layers, num_kv_heads, block_size,
-                 head_dim_packed)
+        self.num_layers = num_layers
+        rows = (host_slots + 1) * num_layers
+        shape = (rows, num_kv_heads, block_size, head_dim_packed)
         sshape = shape[:-1]
         put_kv = (partial(jax.device_put, device=ops.host_kv)
                   if ops.pinned else jax.device_put)
@@ -202,31 +226,33 @@ class DeviceHostStore:
 
     @property
     def bytes_per_block(self) -> int:
-        per = (self.k.nbytes + self.v.nbytes + self.ks.nbytes + self.vs.nbytes)
-        return per // self.k.shape[0]
+        per_row = (self.k[0].nbytes + self.v[0].nbytes
+                   + self.ks[0].nbytes + self.vs[0].nbytes)
+        return per_row * self.num_layers
 
 
 def migrate_in_graph(pools, stores, mig, ops: StoreOps):
     """Traceable migration batch, both directions (used standalone by
     `migrate_program` and fused into the engine-round programs).
 
-    mig: [4, M] int32 — rows (up_host, up_hbm, down_hbm, down_host); pad
-    lanes point at the respective guard slots (pool slot S / store row Sh),
-    which absorb garbage harmlessly.
+    pools: [L, S, Hkv, bs, *]; stores: flat rows (see module docstring).
+    mig: [4, M] int32 — rows (up_host, up_hbm, down_hbm, down_host) in SLOT
+    units; pad lanes point at the guard slots, which absorb garbage.
 
     Demote gathers run against the PRE-promote pools (the demoted slots may
     be reused as promote targets in the same batch), then promotes scatter
     in. Within one batch the planner never routes the same block both ways.
     """
     k_pools, v_pools, k_scales, v_scales = pools
+    L = k_pools.shape[0]
     up_host, up_hbm, down_hbm, down_host = mig[0], mig[1], mig[2], mig[3]
 
     # demote: pools -> store ([L, S, ...] -> slabs [M, L, ...])
     slabs = tuple(p[:, down_hbm].swapaxes(0, 1) for p in pools)
-    stores = ops.stash(stores, slabs, down_host)
+    stores = ops.stash_blocks(stores, slabs, down_host, L)
 
     # promote: store -> pools
-    kd, vd, ksd, vsd = ops.fetch(stores, up_host)
+    kd, vd, ksd, vsd = ops.fetch_blocks(stores, up_host, L)
     k_pools = k_pools.at[:, up_hbm].set(kd.swapaxes(0, 1))
     v_pools = v_pools.at[:, up_hbm].set(vd.swapaxes(0, 1))
     k_scales = k_scales.at[:, up_hbm].set(ksd.swapaxes(0, 1))

@@ -58,6 +58,11 @@ int64_t speckv_dir_allocate(uint64_t h, int32_t pinned) {
   return d ? d->Allocate(pinned != 0) : -1;
 }
 
+int64_t speckv_dir_allocate_host(uint64_t h) {
+  ResidencyDirectory* d = get(h);
+  return d ? d->AllocateHost() : -1;
+}
+
 int32_t speckv_dir_free_block(uint64_t h, int64_t bid) {
   ResidencyDirectory* d = get(h);
   return d ? d->FreeBlock(bid) : speckv::kErrUnknownBlock;

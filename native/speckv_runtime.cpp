@@ -26,6 +26,23 @@ int64_t ResidencyDirectory::Allocate(bool pinned) {
   return bid;
 }
 
+int64_t ResidencyDirectory::AllocateHost() {
+  if (host_.empty()) {
+    ++stats_.oom_events;
+    return -1;
+  }
+  const int64_t bid = next_bid_++;
+  ++clock_;
+  Entry e;
+  e.bid = bid;
+  e.state = BlockState::kHost;
+  e.host_slot = host_.take();
+  e.last_access = clock_;
+  entries_.emplace(bid, e);
+  ++stats_.allocations;
+  return bid;
+}
+
 int32_t ResidencyDirectory::FreeBlock(int64_t bid) {
   Entry* e = Get(bid);
   if (!e) return kErrUnknownBlock;

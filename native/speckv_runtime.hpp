@@ -95,6 +95,9 @@ class ResidencyDirectory {
         hot_threshold_(hot_threshold) {}
 
   int64_t Allocate(bool pinned);
+  // Host-tier-direct allocation (streamed sequences whose KV never
+  // enters the HBM pool); returns -1 on host exhaustion.
+  int64_t AllocateHost();
   int32_t FreeBlock(int64_t bid);
   int32_t Access(int64_t bid);  // >= 0: BlockState; < 0: error
   int32_t MarkDirty(int64_t bid);

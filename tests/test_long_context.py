@@ -61,13 +61,30 @@ def test_int4_long_context_oversubscribed():
     assert st["transfer"]["up_transfers"] > 0
 
 
-def test_context_larger_than_hbm_fails_cleanly():
-    """A single sequence that cannot fit the HBM pool must fail with reason
-    'oom' — never corrupt (streamed host-context prefill is future work)."""
+def test_context_larger_than_hbm_streams_from_host():
+    """A single sequence that cannot fit the HBM pool is served by the
+    host-streamed path (tests/test_streaming.py pins its token identity);
+    with streaming disabled it must still fail with a clean 'oom'."""
     rng = np.random.RandomState(7)
+    prompt = rng.randint(1, 256, 300).tolist()
     eng = make_engine(KVDtype.INT4, hbm_blocks=16)  # 128-token capacity
-    eng.add_request(rng.randint(1, 256, 300).tolist(), max_new_tokens=4)
+    eng.add_request(prompt, max_new_tokens=4)
+    assert eng._stream_queue  # routed to the streamed path
     outs = eng.run()
-    reqs = list(eng._requests.values())
+    assert len(outs) == 1 and len(outs[0].tokens) == 4
+
+    # streaming off: the old guarded behavior (clean failure, no corruption)
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=16,
+                          num_host_blocks=512, kv_dtype=KVDtype.INT4),
+        prefetch=PrefetchConfig(depth=4),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=512,
+                            prefill_chunk=64, decode_horizon=4,
+                            stream_enabled=False),
+    )
+    eng2 = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+    eng2.add_request(prompt, max_new_tokens=4)
+    outs2 = eng2.run()
+    reqs = list(eng2._requests.values())
     assert reqs[0].finish_reason == "oom"
-    assert not outs or all(o.finish_reason == "oom" for o in outs)
+    assert not outs2 or all(o.finish_reason == "oom" for o in outs2)

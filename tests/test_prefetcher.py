@@ -54,8 +54,7 @@ def demote_all(kvc, seq):
         res = kvc.directory.start_demote(bid)
         if res is not None:
             kvc.transfer.enqueue_demote(bid, *res)
-    kvc.set_pools(kvc.transfer.flush(kvc.pools, kvc.directory))
-    kvc.transfer.poll(kvc.directory, wait=True)
+    kvc.drain()
 
 
 def test_controller_prefetches_upcoming_and_skips_resident():
@@ -72,7 +71,7 @@ def test_controller_prefetches_upcoming_and_skips_resident():
     issued = ctl.plan([[s1], [s2], [s3]])  # depth=2 -> s1, s2 only
     assert issued == 2  # s1's two host blocks
     assert ctl.stats.skipped_resident == 2  # s2's resident blocks skipped
-    kvc.set_pools(kvc.transfer.flush(kvc.pools, kvc.directory))
+    kvc.drain()
     assert kvc.seq_nonresident_blocks(s1) == []
     assert len(kvc.seq_nonresident_blocks(s3)) == 2  # untouched
 

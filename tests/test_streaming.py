@@ -1,0 +1,129 @@
+"""Host-streamed serving: sequences whose KV exceeds the HBM pool.
+
+The capability gap VERDICT r1 ranked #1 (reference premise: serve KV far
+larger than fast memory, `README.md:16-19`; 32K-128K adaptation
+`docs/ARCHITECTURE.md:271`). A streamed sequence's KV lives entirely in the
+host tier; attention streams it wave-by-wave and appends back to the store.
+
+Decisive invariant: a streamed request generates the SAME greedy tokens as
+the same request served by an ample-HBM engine (the attention math is
+identical up to f32 summation order).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from cxl_speckv_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    KVDtype,
+    PrefetchConfig,
+    SystemConfig,
+)
+from cxl_speckv_tpu.engine.engine import Engine
+from cxl_speckv_tpu.models.configs import tiny_test_config
+from cxl_speckv_tpu.models.llama import init_params
+
+CFG = tiny_test_config()
+PARAMS = init_params(CFG, jax.random.PRNGKey(42))
+
+
+def make_engine(hbm=6, host=64, max_seq=64, max_stream=None, bs=8,
+                prefill_chunk=16):
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=bs, num_hbm_blocks=hbm,
+                          num_host_blocks=host, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(enabled=False),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=max_seq,
+                            prefill_chunk=prefill_chunk,
+                            max_stream_seq_len=max_stream),
+    )
+    return Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+
+
+def prompt_of(n, seed=0):
+    return np.random.RandomState(seed).randint(
+        1, CFG.vocab_size, n).tolist()
+
+
+def test_stream_routing():
+    eng = make_engine(hbm=6, max_seq=64)
+    # fits HBM (6-2=4 blocks = 32 tokens): normal path
+    rid = eng.add_request(prompt_of(10), max_new_tokens=8)
+    assert not eng._stream_queue
+    # exceeds the HBM budget: streamed path
+    rid2 = eng.add_request(prompt_of(40), max_new_tokens=12)
+    assert len(eng._stream_queue) == 1
+    outs = eng.run()
+    assert {o.req_id for o in outs} == {rid, rid2}
+    assert all(o.finish_reason in ("length", "eos") for o in outs)
+
+
+def test_stream_matches_ample_hbm_greedy():
+    """A sequence larger than the HBM pool must decode token-identically
+    to the same request on an engine where everything fits."""
+    prompt = prompt_of(40, seed=3)
+    gen = 12
+
+    eng_s = make_engine(hbm=6, host=64, max_seq=64)
+    rid = eng_s.add_request(prompt, max_new_tokens=gen)
+    assert rid in {r.req_id for r in eng_s._stream_queue}
+    outs_s = eng_s.run()
+    assert len(outs_s) == 1 and len(outs_s[0].tokens) == gen
+    st = eng_s.get_statistics()
+    assert st["engine"]["stream_chunks"] >= 3   # 40 tokens / 16-chunk
+    assert st["engine"]["stream_tokens"] >= gen - 1
+
+    eng_a = make_engine(hbm=64, host=64, max_seq=64)
+    eng_a.add_request(prompt, max_new_tokens=gen)
+    outs_a = eng_a.run()
+    assert outs_s[0].tokens == outs_a[0].tokens
+
+
+def test_stream_eos_and_temperature_paths():
+    eng = make_engine(hbm=6, host=64, max_seq=64)
+    # temperature sampling on the streamed path must run and finish
+    rid = eng.add_request(prompt_of(40, seed=5), max_new_tokens=6,
+                          temperature=0.8)
+    outs = eng.run()
+    assert len(outs) == 1 and len(outs[0].tokens) == 6
+
+
+def test_stream_mixed_with_normal_traffic():
+    """Streamed and pooled requests interleave in the same engine run."""
+    eng = make_engine(hbm=8, host=64, max_seq=64)
+    normal = [eng.add_request(prompt_of(10, seed=i), max_new_tokens=8)
+              for i in range(3)]
+    big = eng.add_request(prompt_of(48, seed=9), max_new_tokens=10)
+    outs = {o.req_id: o for o in eng.run()}
+    assert set(outs) == set(normal) | {big}
+    assert len(outs[big].tokens) == 10
+    # streamed blocks were freed at finish
+    assert eng.kvc.directory.host_free == 64
+
+
+def test_stream_capacity_rejection():
+    eng = make_engine(hbm=6, host=16, max_seq=64)
+    with pytest.raises(ValueError, match="host-streamed capacity"):
+        eng.add_request(prompt_of(200), max_new_tokens=100)
+
+
+def test_128k_shaped_config():
+    """BASELINE config 3 shape: a 128k-token-capable stream table (the
+    fori_loop makes unused table waves free), exercised with a real
+    sequence beyond the HBM pool."""
+    bs = 8
+    eng = make_engine(hbm=4, host=2052, max_seq=32,
+                      max_stream=131072, bs=bs)
+    assert eng._stream_max_blocks * bs >= 16384  # host-capacity bounded
+    prompt = prompt_of(100, seed=11)
+    rid = eng.add_request(prompt, max_new_tokens=8)
+    outs = eng.run()
+    assert len(outs) == 1 and len(outs[0].tokens) == 8
+
+    # same tokens as ample serving
+    eng_a = make_engine(hbm=32, host=32, max_seq=128, bs=bs)
+    eng_a.add_request(prompt, max_new_tokens=8)
+    outs_a = eng_a.run()
+    assert outs[0].tokens == outs_a[0].tokens
