@@ -49,6 +49,11 @@ class Request:
     token_times: list[float] = field(default_factory=list)
 
     session_id: int = -1         # set by the engine for session requests
+    # KV quantization scheme this request's blocks are encoded with —
+    # captured from the engine's current scheme at submission
+    # (`Engine.set_kv_dtype`, the speckv_set_compression_scheme analog);
+    # None = the engine's construction-time scheme
+    kv_dtype: object = None
 
     @property
     def num_tokens(self) -> int:

@@ -27,7 +27,7 @@ from cxl_speckv_tpu.config import KVDtype
 from cxl_speckv_tpu.models.configs import LlamaConfig
 from cxl_speckv_tpu.ops.paged_attention import paged_attention
 from cxl_speckv_tpu.ops.paged_attention_ref import paged_attention_ref
-from cxl_speckv_tpu.ops.quant import quantize_kv
+from cxl_speckv_tpu.ops.quant import encode_for_pool, quantize_kv
 
 Params = dict[str, Any]
 
@@ -183,8 +183,8 @@ def _decode_core(
         vp = jax.lax.dynamic_index_in_dim(v_pools, li, 0, keepdims=False)
         ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
         vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
-        kp = kp.at[slots, :, offs].set(kq.astype(kp.dtype))
-        vp = vp.at[slots, :, offs].set(vq.astype(vp.dtype))
+        kp = kp.at[slots, :, offs].set(encode_for_pool(kq, kv_dtype).astype(kp.dtype))
+        vp = vp.at[slots, :, offs].set(encode_for_pool(vq, kv_dtype).astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[:, :, 0])
         vsc = vsc.at[slots, :, offs].set(vs[:, :, 0])
 
@@ -417,8 +417,8 @@ def prefill_batch_packed(
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
         x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
 
-        kp = kp.at[slots, :, offs].set(kq.astype(kp.dtype))
-        vp = vp.at[slots, :, offs].set(vq.astype(vp.dtype))
+        kp = kp.at[slots, :, offs].set(encode_for_pool(kq, kv_dtype).astype(kp.dtype))
+        vp = vp.at[slots, :, offs].set(encode_for_pool(vq, kv_dtype).astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[..., 0])
         vsc = vsc.at[slots, :, offs].set(vs[..., 0])
         k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)
@@ -692,8 +692,10 @@ def stream_step(
         # flat [nblk*bs, L, Hkv, *]; chunk [L, T, Hkv, *] -> [T, L, Hkv, *]
         t_idx = offs_in + jnp.arange(T)
         idx = jnp.where(jnp.arange(T) < valid, t_idx, nblk * bs)
-        return flat.at[idx].set(chunk.swapaxes(0, 1).astype(flat.dtype),
-                                mode="drop")
+        chunk = chunk.swapaxes(0, 1)
+        if chunk.dtype != jnp.float32:  # kv values (not the f32 scales)
+            chunk = encode_for_pool(chunk, kv_dtype)
+        return flat.at[idx].set(chunk.astype(flat.dtype), mode="drop")
 
     def back(flat, ref):
         # [nblk*bs, L, Hkv, *] -> [nblk, L, Hkv, bs, *]
@@ -804,8 +806,8 @@ def verify_step(
         x = x + (o.reshape(B, T, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
         x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
-        kp = kp.at[slots, :, offs].set(kq.astype(kp.dtype))
-        vp = vp.at[slots, :, offs].set(vq.astype(vp.dtype))
+        kp = kp.at[slots, :, offs].set(encode_for_pool(kq, kv_dtype).astype(kp.dtype))
+        vp = vp.at[slots, :, offs].set(encode_for_pool(vq, kv_dtype).astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[..., 0])
         vsc = vsc.at[slots, :, offs].set(vs[..., 0])
 
@@ -927,8 +929,8 @@ def prefill_chunk(
 
         # scatter the (already) quantized chunk KV
         kq, ks, vq, vs = kq_pre, ks_pre, vq_pre, vs_pre
-        kp = kp.at[slots, :, offs].set(kq.astype(kp.dtype))
-        vp = vp.at[slots, :, offs].set(vq.astype(vp.dtype))
+        kp = kp.at[slots, :, offs].set(encode_for_pool(kq, kv_dtype).astype(kp.dtype))
+        vp = vp.at[slots, :, offs].set(encode_for_pool(vq, kv_dtype).astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[:, :, 0])
         vsc = vsc.at[slots, :, offs].set(vs[:, :, 0])
         k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)

@@ -46,6 +46,12 @@ def _dequant_tile(raw: jax.Array, kv_dtype: KVDtype, head_dim: int) -> jax.Array
         lo = (r << 28) >> 28
         hi = (r << 24) >> 28
         raw = jnp.concatenate([lo, hi], axis=-1)  # half-split packing
+    elif kv_dtype == KVDtype.FP8 and raw.dtype == jnp.int8:
+        # pool stores e4m3 bits in int8 bytes; reinterpret in-register.
+        # Foreign-scheme bytes (guard slot, pre-switch blocks) can bitcast
+        # to e4m3 NaN — sanitize so masked junk stays finite.
+        f = jax.lax.bitcast_convert_type(raw, jnp.float8_e4m3fn).astype(jnp.float32)
+        return jnp.where(jnp.isnan(f), 0.0, f)
     return raw.astype(jnp.float32)
 
 

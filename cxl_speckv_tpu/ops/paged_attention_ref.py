@@ -32,10 +32,18 @@ NEG_INF = -1e30
 
 
 def _dequant_block(q: jax.Array, kv_dtype: KVDtype) -> jax.Array:
-    """Raw quantized values -> float32 (scales applied separately)."""
+    """Raw pool storage -> float32 values (scales applied separately)."""
     if kv_dtype == KVDtype.INT4:
         q = _unpack_int4(q)
-    return q.astype(jnp.float32)
+    elif kv_dtype == KVDtype.FP8 and q.dtype == jnp.int8:
+        q = jax.lax.bitcast_convert_type(q, jnp.float8_e4m3fn)
+    x = q.astype(jnp.float32)
+    if kv_dtype == KVDtype.FP8:
+        # slots written under another scheme (guard, pre-switch blocks) can
+        # bitcast to e4m3 NaN; masked-softmax relies on finite junk (the
+        # finite NEG_INF design), so sanitize — real FP8 data is never NaN
+        x = jnp.where(jnp.isnan(x), 0.0, x)
+    return x
 
 
 def paged_attention_ref(

@@ -36,13 +36,45 @@ _FP8_MAX = 448.0  # float8_e4m3 max normal
 
 
 def kv_storage_dtype(kv_dtype: KVDtype) -> jnp.dtype:
-    """Physical element type of the quantized KV pool."""
+    """Physical element type of the quantized KV pool.
+
+    All 1-byte schemes share int8 storage (FP8 values are bitcast into it)
+    so the runtime compression-scheme knob (`Engine.set_kv_dtype`, the
+    `speckv_set_compression_scheme` analog, `speckv.h:59-66`) can switch
+    among them on a live pool — blocks written under different schemes
+    coexist; each dispatch decodes with its sequence's scheme."""
     return {
         KVDtype.BF16: jnp.bfloat16,
         KVDtype.INT8: jnp.int8,
         KVDtype.INT4: jnp.int8,  # two nibbles packed per int8
-        KVDtype.FP8: jnp.float8_e4m3fn,
+        KVDtype.FP8: jnp.int8,   # e4m3 bits stored in int8 bytes
     }[kv_dtype]
+
+
+def storage_width_class(kv_dtype: KVDtype) -> str:
+    """Schemes in the same class share pool storage and may be switched
+    between at runtime (the hardware-datapath-width analog)."""
+    return {
+        KVDtype.BF16: "bf16",
+        KVDtype.INT8: "byte",
+        KVDtype.FP8: "byte",
+        KVDtype.INT4: "byte-packed",
+    }[kv_dtype]
+
+
+def encode_for_pool(q: jax.Array, kv_dtype: KVDtype) -> jax.Array:
+    """Values from `quantize_kv` -> the pool's physical element type."""
+    if kv_dtype == KVDtype.FP8:
+        return jax.lax.bitcast_convert_type(q, jnp.int8)
+    return q
+
+
+def decode_from_pool(raw: jax.Array, kv_dtype: KVDtype) -> jax.Array:
+    """Pool storage -> the scheme's logical values (inverse of
+    `encode_for_pool`)."""
+    if kv_dtype == KVDtype.FP8:
+        return jax.lax.bitcast_convert_type(raw, jnp.float8_e4m3fn)
+    return raw
 
 
 def kv_storage_shape(shape: tuple[int, ...], kv_dtype: KVDtype) -> tuple[int, ...]:
@@ -106,6 +138,10 @@ def dequantize_kv(q: jax.Array, scale: jax.Array, kv_dtype: KVDtype,
         return q.astype(out_dtype)
     if kv_dtype == KVDtype.INT4:
         q = _unpack_int4(q)
+    elif kv_dtype == KVDtype.FP8 and q.dtype == jnp.int8:
+        q = jax.lax.bitcast_convert_type(q, jnp.float8_e4m3fn)  # pool storage
+        q = jnp.where(jnp.isnan(q.astype(jnp.float32)), 0.0,
+                      q.astype(jnp.float32)).astype(q.dtype)
     return (q.astype(jnp.float32) * scale).astype(out_dtype)
 
 

@@ -171,8 +171,10 @@ class PrefetchController:
         self._ticks += 1
         if self._ticks % self.config.train_interval:
             return None
-        n = min(self.config.train_batch, len(self._replay))
-        if n < 8:
+        # train only at the full fixed batch: a varying batch shape would
+        # recompile the CPU train step every time the replay buffer grows
+        n = self.config.train_batch
+        if len(self._replay) < n:
             return None
         idx = np.random.randint(0, len(self._replay), n)
         T = self.config.history_len

@@ -58,21 +58,38 @@ class LSTMPredictor:
         a = jnp.asarray(x, dtype)
         return jax.device_put(a, self.device) if self.device is not None else a
 
+    @staticmethod
+    def _pad_batch(x: np.ndarray) -> tuple[np.ndarray, int]:
+        """Pad the batch dim to a power-of-two bucket (min 16) so the jitted
+        predictor compiles a handful of shapes instead of one per caller
+        batch size — the prediction sits on the scheduling path every engine
+        step, and a recompile there costs more than the inference."""
+        n = x.shape[0]
+        b = 16
+        while b < n:
+            b *= 2
+        if b == n:
+            return x, n
+        pad = np.zeros((b - n, *x.shape[1:]), x.dtype)
+        return np.concatenate([x, pad], axis=0), n
+
     # -- inference ----------------------------------------------------------
 
     def predict_top_k(self, histories: np.ndarray, k: int):
         """histories: [B, history_len] int32 (left-padded with 0 — matches
         the reference pad/trim, `lstm_predictor.cpp:44-51`).
         Returns (token_ids [B, k], probs [B, k]) as numpy."""
-        ids, probs = _top_k(self.params, self._put(histories),
+        h, n = self._pad_batch(np.asarray(histories, np.int32))
+        ids, probs = _top_k(self.params, self._put(h),
                             self.num_layers, self.hidden, k)
-        return np.asarray(ids), np.asarray(probs)
+        return np.asarray(ids)[:n], np.asarray(probs)[:n]
 
     def continue_probability(self, histories: np.ndarray, eos_token_id: int):
         """P(next token != eos) per sequence — drives prefetch skip."""
-        p = _token_prob(self.params, self._put(histories),
+        h, n = self._pad_batch(np.asarray(histories, np.int32))
+        p = _token_prob(self.params, self._put(h),
                         self.num_layers, self.hidden, eos_token_id)
-        return 1.0 - np.asarray(p)
+        return 1.0 - np.asarray(p)[:n]
 
     # -- training -----------------------------------------------------------
 

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cxl_speckv_tpu.config import KVDtype
-from cxl_speckv_tpu.ops.quant import dequantize_kv, kv_storage_dtype, quantize_kv
+from cxl_speckv_tpu.ops.quant import encode_for_pool, dequantize_kv, kv_storage_dtype, quantize_kv
 
 
 def build_pools(keys, values, block_size, num_slots, kv_dtype, seed_tables=True):
@@ -47,8 +47,10 @@ def build_pools(keys, values, block_size, num_slots, kv_dtype, seed_tables=True)
             slot = free.pop()
             table[b, i] = slot
             sl = slice(i * block_size, (i + 1) * block_size)
-            k_pool[slot] = np.asarray(kq[sl]).transpose(1, 0, 2)
-            v_pool[slot] = np.asarray(vq[sl]).transpose(1, 0, 2)
+            k_pool[slot] = np.asarray(
+                encode_for_pool(kq[sl], kv_dtype)).transpose(1, 0, 2)
+            v_pool[slot] = np.asarray(
+                encode_for_pool(vq[sl], kv_dtype)).transpose(1, 0, 2)
             k_scale[slot] = np.asarray(ks[sl, :, 0]).T
             v_scale[slot] = np.asarray(vs[sl, :, 0]).T
     return (jnp.asarray(k_pool), jnp.asarray(v_pool), jnp.asarray(k_scale),

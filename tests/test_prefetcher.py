@@ -139,12 +139,12 @@ def test_online_training_learns_pattern():
                              eos_token_id=0)
     s = kvc.add_seq()
     pattern = [3, 5, 7, 9, 11, 13]
-    for rep in range(120):
+    for rep in range(240):
         ctl.observe_tokens(s, [pattern[rep % len(pattern)]])
         ctl.maybe_train()
     assert ctl.stats.train_steps > 50
     # prediction: after seeing ...9, 11, 13 the next is 3
     hist = ctl.history_matrix([s])
     ids, _ = ctl.predictor.predict_top_k(hist, 2)
-    nxt = pattern[(120) % len(pattern)]
+    nxt = pattern[(240) % len(pattern)]
     assert nxt in ids[0], (ids, nxt, ctl.stats.last_train_loss)

@@ -45,13 +45,24 @@ def test_roundtrip_error(dt):
 
 @pytest.mark.parametrize("dt", DTYPES)
 def test_shapes_and_dtypes(dt):
+    from cxl_speckv_tpu.ops.quant import decode_from_pool, encode_for_pool
+
     x = sample((4, 2, 64))
     q, s = quantize_kv(x, dt)
-    assert q.dtype == kv_storage_dtype(dt)
-    assert q.shape == kv_storage_shape(x.shape, dt)
+    # pool storage round-trips through the physical element type (FP8 bits
+    # live in int8 bytes so schemes can share one pool)
+    stored = encode_for_pool(q, dt)
+    assert stored.dtype == kv_storage_dtype(dt)
+    assert stored.shape == kv_storage_shape(x.shape, dt)
     assert s.shape == (4, 2, 1)
+    np.testing.assert_array_equal(
+        np.asarray(decode_from_pool(stored, dt)).view(np.uint8),
+        np.asarray(q).view(np.uint8))
     y = dequantize_kv(q, s, dt)
     assert y.shape == x.shape
+    # dequant from raw pool storage must agree with dequant of fresh values
+    y2 = dequantize_kv(stored, s, dt)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
 
 
 def test_int4_packing_exact():

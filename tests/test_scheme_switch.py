@@ -1,0 +1,115 @@
+"""Runtime compression-scheme knob (`Engine.set_kv_dtype`).
+
+Analog of `speckv_set_compression_scheme` (`speckv.h:59-66`, routed to
+hardware registers via `speckv_driver.cpp:74-94`): requests submitted after
+the switch quantize with the new scheme; blocks already written keep their
+encoding — mixed schemes coexist in one pool (INT8 and FP8 share int8-byte
+storage, FP8 bitcast).
+
+Decisive invariant: every request's output matches a fresh engine fixed to
+that request's scheme — the knob changes encodings, never results.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from cxl_speckv_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    KVDtype,
+    PrefetchConfig,
+    SystemConfig,
+)
+from cxl_speckv_tpu.engine.engine import Engine
+from cxl_speckv_tpu.models.configs import tiny_test_config
+from cxl_speckv_tpu.models.llama import init_params
+
+CFG = tiny_test_config()
+PARAMS = init_params(CFG, jax.random.PRNGKey(42))
+
+
+def make_engine(kv_dtype=KVDtype.INT8, hbm=32, host=64, horizon=2):
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=hbm,
+                          num_host_blocks=host, kv_dtype=kv_dtype),
+        prefetch=PrefetchConfig(depth=2),
+        engine=EngineConfig(max_batch_size=4, max_seq_len=96,
+                            prefill_chunk=32, decode_horizon=horizon),
+    )
+    return Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+
+
+def prompts(n, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(1, CFG.vocab_size, rng.randint(6, 20)).tolist()
+            for _ in range(n)]
+
+
+def test_width_constraint():
+    eng = make_engine(KVDtype.INT8)
+    eng.set_kv_dtype(KVDtype.FP8)       # byte <-> byte: fine
+    eng.set_kv_dtype("int8")            # accepts raw enum values
+    with pytest.raises(ValueError, match="storage width"):
+        eng.set_kv_dtype(KVDtype.INT4)  # packed layout: construction-time
+    with pytest.raises(ValueError, match="storage width"):
+        eng.set_kv_dtype(KVDtype.BF16)
+    eng4 = make_engine(KVDtype.INT4)
+    with pytest.raises(ValueError, match="storage width"):
+        eng4.set_kv_dtype(KVDtype.INT8)
+
+
+def test_switch_mid_serve_matches_fixed_engines():
+    """Serve INT8 requests, switch to FP8 mid-serve, add more: both cohorts
+    coexist in one pool and each matches an engine fixed to its scheme."""
+    ps8 = prompts(3, seed=1)
+    ps_fp8 = prompts(3, seed=2)
+    gen = 10
+
+    eng = make_engine(KVDtype.INT8)
+    ids8 = [eng.add_request(p, max_new_tokens=gen) for p in ps8]
+    # partially serve the INT8 cohort so both cohorts are live together
+    for _ in range(3):
+        eng.step()
+    eng.set_kv_dtype(KVDtype.FP8)
+    idsf = [eng.add_request(p, max_new_tokens=gen) for p in ps_fp8]
+    outs = {o.req_id: o.tokens for o in eng.run()}
+    st = eng.get_statistics()
+    assert st["kv_scheme_current"] == "fp8"
+
+    ref8 = make_engine(KVDtype.INT8)
+    ids_ref = [ref8.add_request(p, max_new_tokens=gen) for p in ps8]
+    outs8 = {o.req_id: o.tokens for o in ref8.run()}
+    assert [outs[i] for i in ids8] == [outs8[i] for i in ids_ref]
+
+    reff = make_engine(KVDtype.FP8)
+    idsr = [reff.add_request(p, max_new_tokens=gen) for p in ps_fp8]
+    outsr = {o.req_id: o.tokens for o in reff.run()}
+    assert [outs[i] for i in idsf] == [outsr[i] for i in idsr]
+
+
+def test_mixed_scheme_decode_batch():
+    """Lanes of different schemes in the same decode rotation: the engine
+    partitions dispatches by scheme and every lane still finishes."""
+    eng = make_engine(KVDtype.INT8, horizon=4)
+    a = eng.add_request(prompts(1, 3)[0], max_new_tokens=12)
+    eng.set_kv_dtype(KVDtype.FP8)
+    b = eng.add_request(prompts(1, 4)[0], max_new_tokens=12)
+    outs = {o.req_id: o for o in eng.run()}
+    assert len(outs[a].tokens) == 12 and len(outs[b].tokens) == 12
+    mix = eng.get_statistics()["kv_scheme_live_tokens"]
+    assert mix == {}  # all finished — surface exists and empties cleanly
+
+
+def test_fp8_engine_matches_fp8_storage_roundtrip():
+    """An FP8-native engine on the int8-byte pool produces self-consistent
+    output under oversubscription (bitcast storage round-trips through
+    migration)."""
+    ps = prompts(4, seed=9)
+    ample = make_engine(KVDtype.FP8, hbm=64, host=0)
+    tight = make_engine(KVDtype.FP8, hbm=8, host=64)
+    a = [ample.add_request(p, max_new_tokens=10) for p in ps]
+    t = [tight.add_request(p, max_new_tokens=10) for p in ps]
+    oa = {o.req_id: o.tokens for o in ample.run()}
+    ot = {o.req_id: o.tokens for o in tight.run()}
+    assert [ot[i] for i in t] == [oa[i] for i in a]
