@@ -338,7 +338,8 @@ def decode_multi_packed(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed"),
+    static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed",
+                     "use_pallas"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def prefill_batch_packed(
@@ -356,6 +357,7 @@ def prefill_batch_packed(
     *,
     max_blocks: int,
     rng_seed: int = 0,
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Batched chunked prefill: every prefilling lane's chunk runs in ONE
     device program (causal within the chunk + streamed quantized pool
@@ -366,7 +368,12 @@ def prefill_batch_packed(
     """
     from cxl_speckv_tpu.engine.sampling import sample_tokens
     from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
+    from cxl_speckv_tpu.ops.chunk_attention_pallas import (
+        paged_chunk_attention_pallas)
     from cxl_speckv_tpu.ops.quant import dequantize_kv
+
+    attend_chunk = (paged_chunk_attention_pallas if use_pallas
+                    else paged_chunk_attention)
 
     c = config
     B = packed.shape[0]
@@ -411,8 +418,8 @@ def prefill_batch_packed(
         k_use = dequantize_kv(kq, ks, kv_dtype).astype(k.dtype)
         v_use = dequantize_kv(vq, vs, kv_dtype).astype(v.dtype)
 
-        o = paged_chunk_attention(q, k_use, v_use, kp, vp, ksc, vsc,
-                                  tables, start, kv_dtype)
+        o = attend_chunk(q, k_use, v_use, kp, vp, ksc, vsc,
+                         tables, start, kv_dtype)
         x = x + (o.reshape(B, T, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
         x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
@@ -537,7 +544,7 @@ def decode_round_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed",
-                     "store_ops"),
+                     "use_pallas", "store_ops"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales",
                      "k_store", "v_store", "ks_store", "vs_store"),
 )
@@ -558,6 +565,7 @@ def prefill_round_fused(
     *,
     max_blocks: int,
     rng_seed: int = 0,
+    use_pallas: bool = False,
     store_ops=None,
 ):
     """Batched chunked prefill with the round's migration batch fused in
@@ -569,7 +577,7 @@ def prefill_round_fused(
         (k_store, v_store, ks_store, vs_store), mig, store_ops)
     toks, *pools = prefill_batch_packed(
         params, config, kv_dtype, packed, *pools,
-        max_blocks=max_blocks, rng_seed=rng_seed)
+        max_blocks=max_blocks, rng_seed=rng_seed, use_pallas=use_pallas)
     return (toks, *pools, *stores)
 
 
@@ -732,7 +740,7 @@ def _solve_chunk_len(rest: int, bs: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "kv_dtype"),
+    static_argnames=("config", "kv_dtype", "use_pallas"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def verify_step(
@@ -747,6 +755,8 @@ def verify_step(
     v_scales: jax.Array,
     block_tables: jax.Array,  # [B, max_blocks] int32 (guard-clamped)
     active: jax.Array,        # [B] bool — inactive lanes scatter to guard
+    *,
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Target-model scoring of T tokens per sequence in one pass (the
     speculative-decoding verification step). Returns logits [B, T, V]: row t
@@ -760,7 +770,11 @@ def verify_step(
     `speculative_prefetcher.cpp:84-97`, applied to the cache itself).
     """
     from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
+    from cxl_speckv_tpu.ops.chunk_attention_pallas import (
+        paged_chunk_attention_pallas)
 
+    attend_chunk = (paged_chunk_attention_pallas if use_pallas
+                    else paged_chunk_attention)
     c = config
     B, T = token_ids.shape
     bs = k_pools.shape[3]
@@ -801,8 +815,8 @@ def verify_step(
         k_use = dequantize_kv(kq, ks, kv_dtype).astype(k.dtype)
         v_use = dequantize_kv(vq, vs, kv_dtype).astype(v.dtype)
 
-        o = paged_chunk_attention(q, k_use, v_use, kp, vp, ksc, vsc,
-                                  block_tables, start_pos, kv_dtype)
+        o = attend_chunk(q, k_use, v_use, kp, vp, ksc, vsc,
+                         block_tables, start_pos, kv_dtype)
         x = x + (o.reshape(B, T, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
         x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])

@@ -163,20 +163,23 @@ def paged_attention(
     ks4 = k_scale[..., None]
     vs4 = v_scale[..., None]
 
+    def kv_index(b, h, i, t, l):
+        # clamp to the lane's last real block: grid steps past seq_len
+        # re-address it, so their DMAs are elided (no dead traffic for
+        # short sequences in a wide table)
+        last = jnp.maximum((l[b] - 1) // block_size, 0)
+        return (t[b, jnp.minimum(i, last)], h, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, num_kv_heads, max_blocks),
         in_specs=[
             pl.BlockSpec((1, 1, group, head_dim),
                          lambda b, h, i, t, l: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_size, head_dim // pack),
-                         lambda b, h, i, t, l: (t[b, i], h, 0, 0)),
-            pl.BlockSpec((1, 1, block_size, head_dim // pack),
-                         lambda b, h, i, t, l: (t[b, i], h, 0, 0)),
-            pl.BlockSpec((1, 1, block_size, 1),
-                         lambda b, h, i, t, l: (t[b, i], h, 0, 0)),
-            pl.BlockSpec((1, 1, block_size, 1),
-                         lambda b, h, i, t, l: (t[b, i], h, 0, 0)),
+            pl.BlockSpec((1, 1, block_size, head_dim // pack), kv_index),
+            pl.BlockSpec((1, 1, block_size, head_dim // pack), kv_index),
+            pl.BlockSpec((1, 1, block_size, 1), kv_index),
+            pl.BlockSpec((1, 1, block_size, 1), kv_index),
         ],
         out_specs=pl.BlockSpec((1, 1, group, head_dim),
                                lambda b, h, i, t, l: (b, h, 0, 0)),

@@ -4,10 +4,16 @@ The "fused dequant attention at HBM speed-of-light" deliverable
 (BASELINE.md north star): decode attention is bandwidth-bound — the kernel's
 quality metric is achieved GB/s of KV traffic vs the chip's HBM peak
 (v5e ~820 GB/s). Run on TPU: python scripts/kernel_bench.py
+
+Measurement recipe for remote-dispatch runtimes (axon tunnel): N dependent
+kernel invocations run inside ONE jit program (lax.fori_loop), so per-call
+time is device-bound — a single dispatch + one value fetch bracket the
+whole loop. Pools are sized >> VMEM so the stream really comes from HBM.
 """
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
 from pathlib import Path
@@ -26,8 +32,16 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     peak_gbs = 820.0 if on_tpu else None  # v5e HBM
 
+    @functools.partial(jax.jit, static_argnames=("kv_dtype", "iters"))
+    def attention_loop(q, kp, vp, ks, vs, table, lens, *, kv_dtype, iters):
+        def body(_, q):
+            return paged_attention(q, kp, vp, ks, vs, table, lens,
+                                   kv_dtype).astype(q.dtype)
+        return jax.lax.fori_loop(0, iters, body, q)
+
     # Llama-3-8B decode geometry, long context
     B, Hq, Hkv, D, bs = 8, 32, 8, 128, 32
+    N = 50
     for kv_dtype, name in ((KVDtype.INT8, "int8"), (KVDtype.INT4, "int4"),
                            (KVDtype.BF16, "bf16")):
         pack = 2 if kv_dtype == KVDtype.INT4 else 1
@@ -48,27 +62,21 @@ def main():
             lens = jnp.full(B, ctx, jnp.int32)
             q = jnp.zeros((B, Hq, D), jnp.bfloat16)
 
-            out = paged_attention(q, kp, vp, ks, vs, table, lens, kv_dtype)
-            np.asarray(out)
-            # chain q <- out for a data dependency between calls, and force a
-            # VALUE fetch at the end: on remote-dispatch runtimes
-            # block_until_ready can return before execution completes.
-            # CAVEAT: through a remote tunnel the per-dispatch latency is
-            # ~10ms, so numbers here are an upper bound on kernel time, not a
-            # clean HBM-bandwidth measurement — treat GB/s as a lower bound.
-            N = 30
+            out = attention_loop(q, kp, vp, ks, vs, table, lens,
+                                 kv_dtype=kv_dtype, iters=N)
+            np.asarray(out)  # warm: compile + one run, value-fetch sync
             t0 = time.perf_counter()
-            for _ in range(N):
-                out = paged_attention(out, kp, vp, ks, vs, table, lens, kv_dtype)
-            np.asarray(out)
+            out = attention_loop(q, kp, vp, ks, vs, table, lens,
+                                 kv_dtype=kv_dtype, iters=N)
+            np.asarray(out)  # value fetch: block_until_ready lies over tunnels
             dt = (time.perf_counter() - t0) / N
-            # bytes of KV actually streamed per call
+            # bytes of KV actually streamed per kernel invocation
             kv_bytes = B * ctx * Hkv * (D // pack) * elem * 2  # K and V
             sc_bytes = B * ctx * Hkv * 4 * 2
             gbs = (kv_bytes + sc_bytes) / dt / 1e9
             util = f" ({100*gbs/peak_gbs:.0f}% of HBM peak)" if peak_gbs else ""
             print(f"{name:5s} ctx={ctx:5d}: {dt*1e6:7.0f} us/call, "
-                  f"{gbs:6.1f} GB/s{util}")
+                  f"{gbs:6.1f} GB/s{util}", flush=True)
 
 
 if __name__ == "__main__":

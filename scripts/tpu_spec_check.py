@@ -1,0 +1,97 @@
+"""On-hardware speculative-decoding agreement check (VERDICT r1 item 10).
+
+Round-1 finding: greedy spec decoding agreed with plain decoding only 0.84
+on the real chip under random weights — MXU rounding differences between
+the verify path's XLA einsums and the Pallas decode kernel flipped near-tie
+argmax picks. Round 2 unified the numerics (the verify/prefill chunk
+attention is now the same Pallas dequant+f32-matmul recipe as decode,
+`ops/chunk_attention_pallas.py`), so agreement should be ~1.0.
+
+"Structured checkpoint" stand-in: random weights drawn with a larger output
+scale produce sharper logit margins than plain init (trained models have
+far larger margins still); we report agreement under BOTH plain and sharp
+inits. Run on TPU: python scripts/tpu_spec_check.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def run_check(sharp: bool):
+    import jax
+    import numpy as np
+
+    from cxl_speckv_tpu.config import (
+        CacheConfig, EngineConfig, KVDtype, PrefetchConfig, SystemConfig)
+    from cxl_speckv_tpu.engine.engine import Engine
+    from cxl_speckv_tpu.models.configs import LlamaConfig
+    from cxl_speckv_tpu.models.llama import init_params
+
+    cfg = LlamaConfig(
+        vocab_size=2048, hidden_size=512, intermediate_size=1024,
+        num_layers=4, num_q_heads=8, num_kv_heads=4, head_dim=64,
+        rope_theta=10000.0, tie_embeddings=False, max_seq_len=512,
+        eos_token_id=0, dtype="bfloat16")
+    draft = LlamaConfig(
+        vocab_size=2048, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_q_heads=4, num_kv_heads=4, head_dim=32,
+        rope_theta=10000.0, tie_embeddings=False, max_seq_len=512,
+        eos_token_id=0, dtype="bfloat16")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    if sharp:
+        # sharper logit margins (the trained-checkpoint stand-in)
+        import jax.numpy as jnp
+        params = dict(params)
+        params["lm_head"] = params["lm_head"] * 3.0
+
+    def make(spec):
+        sc = SystemConfig(
+            cache=CacheConfig(block_size=32, num_hbm_blocks=64,
+                              num_host_blocks=128, kv_dtype=KVDtype.INT8),
+            prefetch=PrefetchConfig(enabled=False),
+            engine=EngineConfig(max_batch_size=4, max_seq_len=256,
+                                prefill_chunk=64))
+        kw = dict(draft_config=draft, spec_gamma=4) if spec else {}
+        return Engine(cfg, sc, params=params, enable_lstm=False, seed=0, **kw)
+
+    rng = np.random.RandomState(7)
+    prompts = [rng.randint(1, 2048, 24).tolist() for _ in range(6)]
+    gen = 48
+
+    t0 = time.monotonic()
+    plain = make(spec=False)
+    ids_p = [plain.add_request(p, max_new_tokens=gen) for p in prompts]
+    outs_p = {o.req_id: o.tokens for o in plain.run()}
+    spec = make(spec=True)
+    ids_s = [spec.add_request(p, max_new_tokens=gen) for p in prompts]
+    outs_s = {o.req_id: o.tokens for o in spec.run()}
+    st = spec.get_statistics()
+
+    tot = same = 0
+    for a, b in zip(ids_p, ids_s):
+        for x, y in zip(outs_p[a], outs_s[b]):
+            tot += 1
+            same += int(x == y)
+    ident = all(outs_p[a] == outs_s[b] for a, b in zip(ids_p, ids_s))
+    print(f"init={'sharp' if sharp else 'plain'}: greedy agreement "
+          f"{same}/{tot} = {same/tot:.3f} identical={ident} "
+          f"acceptance={st['spec'].get('acceptance_rate', 'n/a')} "
+          f"({time.monotonic()-t0:.0f}s)", flush=True)
+    return same / tot
+
+
+def main():
+    import jax
+    print("backend:", jax.default_backend(), flush=True)
+    a1 = run_check(sharp=False)
+    a2 = run_check(sharp=True)
+    print(f"RESULT plain={a1:.3f} sharp={a2:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -97,3 +97,52 @@ def test_prefill_with_pool_context():
     v_all = jnp.concatenate([v_deq[0], v_new.astype(jnp.float32)])
     want = dense_attention(q, k_all, v_all, causal=True, q_start=ctx_len)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dt", [KVDtype.BF16, KVDtype.INT8, KVDtype.INT4, KVDtype.FP8])
+def test_chunk_kernel_matches_ref(dt):
+    """Pallas chunk kernel (prefill/verify path) vs the jnp streamed
+    reference, across context lengths incl. zero-context lanes."""
+    from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
+    from cxl_speckv_tpu.ops.chunk_attention_pallas import (
+        paged_chunk_attention_pallas,
+    )
+
+    T = 8
+    q, (kp, vp, ks, vs, table, lens, _, _) = setup(dt, lens=(5, 17, 32))
+    B = table.shape[0]
+    rng = jax.random.split(jax.random.PRNGKey(9), 3)
+    qc = jax.random.normal(rng[0], (B, T, HQ, D))
+    kn = jax.random.normal(rng[1], (B, T, HKV, D))
+    vn = jax.random.normal(rng[2], (B, T, HKV, D))
+    start = jnp.asarray([5, 0, 32], jnp.int32)  # incl. zero context
+    want = paged_chunk_attention(qc, kn, vn, kp, vp, ks, vs, table, start, dt)
+    got = paged_chunk_attention_pallas(qc, kn, vn, kp, vp, ks, vs, table,
+                                       start, dt, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_chunk_kernel_group1():
+    from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
+    from cxl_speckv_tpu.ops.chunk_attention_pallas import (
+        paged_chunk_attention_pallas,
+    )
+
+    T, H = 5, 2
+    ks_ = jax.random.split(jax.random.PRNGKey(3), 5)
+    keys = [jax.random.normal(ks_[0], (20, H, D))]
+    vals = [jax.random.normal(ks_[1], (20, H, D))]
+    from helpers import build_pools
+    kp, vp, kss, vss, table, lens, _, _ = build_pools(keys, vals, BLOCK, 16,
+                                                      KVDtype.INT8)
+    qc = jax.random.normal(ks_[2], (1, T, H, D))
+    kn = jax.random.normal(ks_[3], (1, T, H, D))
+    vn = jax.random.normal(ks_[4], (1, T, H, D))
+    start = jnp.asarray([20], jnp.int32)
+    want = paged_chunk_attention(qc, kn, vn, kp, vp, kss, vss, table, start,
+                                 KVDtype.INT8)
+    got = paged_chunk_attention_pallas(qc, kn, vn, kp, vp, kss, vss, table,
+                                       start, KVDtype.INT8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
