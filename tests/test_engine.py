@@ -27,13 +27,14 @@ PARAMS = init_params(CFG, jax.random.PRNGKey(42))
 
 
 def make_engine(hbm_blocks=256, host_blocks=256, batch=4, kv_dtype=KVDtype.INT8,
-                lstm=False, seed=0, horizon=1):
+                lstm=False, seed=0, horizon=1, fused=False):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm_blocks,
                           num_host_blocks=host_blocks, kv_dtype=kv_dtype),
         prefetch=PrefetchConfig(depth=2),
         engine=EngineConfig(max_batch_size=batch, max_seq_len=128,
-                            prefill_chunk=32, decode_horizon=horizon),
+                            prefill_chunk=32, decode_horizon=horizon,
+                            fused_rounds=fused),
     )
     return Engine(CFG, sc, params=PARAMS, use_pallas=False,
                   enable_lstm=lstm, seed=seed)
@@ -122,6 +123,28 @@ def test_multi_horizon_matches_single_step():
         assert got[rid] == want[rid], f"request {rid} diverged under horizon=4"
     st = fused.get_statistics()
     assert st["transfer"]["up_transfers"] > 0  # tiering active during fusion
+
+
+def test_fused_rounds_match_split_pipeline():
+    """Opt-in fused rounds (migration batch folded into the decode/prefill
+    program, EngineConfig.fused_rounds) must be token-identical to the
+    default split pipeline under oversubscription."""
+    ps = prompts(6, rng_seed=13, lo=6, hi=20)
+    split = make_engine(batch=2, horizon=4, hbm_blocks=14, host_blocks=256)
+    for p in ps:
+        split.add_request(p, max_new_tokens=11)
+    want = {o.req_id: o.tokens for o in split.run()}
+    assert not split._fused_rounds
+
+    fused = make_engine(batch=2, horizon=4, hbm_blocks=14, host_blocks=256,
+                        fused=True)
+    assert fused._fused_rounds
+    for p in ps:
+        fused.add_request(p, max_new_tokens=11)
+    got = {o.req_id: o.tokens for o in fused.run()}
+    assert want == got
+    st = fused.get_statistics()
+    assert st["transfer"]["up_transfers"] > 0
 
 
 def test_deterministic_given_seed():
