@@ -120,6 +120,12 @@ class PrefetchConfig:
     train_online: bool = False
     train_interval: int = 8         # engine steps between training steps
     train_batch: int = 64
+    # Token ids hash into this many predictor classes (identity when the
+    # model vocab is already smaller). Bounds the predictor's output matmul,
+    # softmax, and embedding gradient regardless of model vocab — at 128k
+    # vocab the un-bucketed versions cost ~100ms per engine step and a ~36s
+    # XLA-CPU train compile (measured, round 2).
+    vocab_buckets: int = 4096
     replay_capacity: int = 4096
 
 

@@ -10,10 +10,10 @@ attention kernel gathers KV blocks through an int32 index array. The canonical
 "virtual address" is simply `(seq_slot, block_idx)` (this replaces the four
 mutually inconsistent bit-packed encodings of the reference, SURVEY.md
 section 2.5 item 2), and the "TLB" is a dense `[max_seqs, max_blocks_per_seq]`
-int32 table of physical HBM slot ids, mirrored host-side (scheduler writes)
-and device-side (attention reads). Rows are refreshed to the device lazily and
-only when changed, minimizing per-step H2D traffic (SURVEY.md section 7.3,
-"device/host block-table consistency").
+int32 table of physical HBM slot ids held host-side. Active lanes' rows ride
+to the device inside each round's single packed int32 array (one H2D per
+dispatch — see `engine/engine.py`), where the attention kernels read them via
+scalar-prefetched index maps.
 """
 
 from __future__ import annotations
@@ -33,18 +33,14 @@ class BlockTable:
         self.max_seqs = max_seqs
         self.max_blocks_per_seq = max_blocks_per_seq
         self._table = np.full((max_seqs, max_blocks_per_seq), INVALID_SLOT, dtype=np.int32)
-        self._row_dirty = np.ones(max_seqs, dtype=bool)  # force initial upload
-        self._device_table = None  # lazily materialized jax.Array
 
     # -- host-side mutation (scheduler) -------------------------------------
 
     def set(self, seq_slot: int, block_idx: int, hbm_slot: int) -> None:
         self._table[seq_slot, block_idx] = hbm_slot
-        self._row_dirty[seq_slot] = True
 
     def clear_row(self, seq_slot: int) -> None:
         self._table[seq_slot, :] = INVALID_SLOT
-        self._row_dirty[seq_slot] = True
 
     def get(self, seq_slot: int, block_idx: int) -> int:
         return int(self._table[seq_slot, block_idx])
@@ -52,31 +48,8 @@ class BlockTable:
     def row(self, seq_slot: int) -> np.ndarray:
         return self._table[seq_slot]
 
-    # -- device-side view (attention) ---------------------------------------
+    # -- whole-table view (debug / tests) -----------------------------------
 
     @property
     def host_array(self) -> np.ndarray:
         return self._table
-
-    def device_array(self, put=None):
-        """Return the device-resident table, re-uploading only if any row
-        changed since the last call.
-
-        `put` lets callers supply a sharded `jax.device_put` (e.g. replicated
-        over the mesh); defaults to plain `jax.device_put`.
-        """
-        if self._device_table is None or self._row_dirty.any():
-            import jax
-
-            put = put or jax.device_put
-            # Clamp the sentinel to slot 0 for safe gathers; validity is
-            # carried separately by sequence lengths (a gather past seq_len
-            # is masked out of the attention softmax).
-            safe = np.maximum(self._table, 0)
-            self._device_table = put(safe)
-            self._row_dirty[:] = False
-        return self._device_table
-
-    @property
-    def dirty_rows(self) -> np.ndarray:
-        return np.flatnonzero(self._row_dirty)

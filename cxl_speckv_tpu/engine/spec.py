@@ -63,12 +63,14 @@ class SpecDecoder:
 
     def __init__(self, draft_config: LlamaConfig, draft_params,
                  target_kvc, gamma: int = 4,
-                 draft_kv_dtype: KVDtype = KVDtype.BF16):
+                 draft_kv_dtype: KVDtype = KVDtype.BF16,
+                 use_pallas: bool = False):
         self.config = draft_config
         self.params = draft_params
         self.kvc = target_kvc
         self.gamma = gamma
         self.kv_dtype = draft_kv_dtype
+        self.use_pallas = use_pallas
 
         cache = target_kvc.config
         c = draft_config
@@ -114,7 +116,8 @@ class SpecDecoder:
         _, *pools = prefill_chunk(
             self.params, self.config, self.kv_dtype, tokens,
             jnp.int32(start_pos), *self.pools,
-            jnp.asarray(self.table[seq_slot]), jnp.int32(valid_len))
+            jnp.asarray(self.table[seq_slot]), jnp.int32(valid_len),
+            use_pallas=self.use_pallas)
         self.pools = tuple(pools)
 
     def propose(self, last_tokens: np.ndarray, positions: np.ndarray,

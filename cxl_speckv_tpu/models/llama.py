@@ -452,7 +452,8 @@ def prefill_batch_packed(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed"),
+    static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed",
+                     "use_pallas"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def prefill_chunk_packed(
@@ -469,6 +470,7 @@ def prefill_chunk_packed(
     *,
     max_blocks: int,
     rng_seed: int = 0,
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Prefill one chunk AND sample the next token in one dispatch (single
     packed H2D in, single scalar token out — the per-request prefill path
@@ -483,7 +485,8 @@ def prefill_chunk_packed(
     token_ids = packed[4 + max_blocks:]
     logits, k_pools, v_pools, k_scales, v_scales = prefill_chunk(
         params, config, kv_dtype, token_ids, start,
-        k_pools, v_pools, k_scales, v_scales, table_row, valid_len)
+        k_pools, v_pools, k_scales, v_scales, table_row, valid_len,
+        use_pallas=use_pallas)
     tok = sample_tokens(logits[None], temps, key)[0].astype(jnp.int32)
     return tok, k_pools, v_pools, k_scales, v_scales
 
@@ -848,7 +851,7 @@ def verify_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "kv_dtype"),
+    static_argnames=("config", "kv_dtype", "use_pallas"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def prefill_chunk(
@@ -863,23 +866,31 @@ def prefill_chunk(
     v_scales: jax.Array,
     table_row: jax.Array,     # [max_blocks] int32 for this sequence
     valid_len: jax.Array | None = None,  # scalar int32: real tokens in chunk
+    *,
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Prefill T prompt tokens for one sequence; returns logits for the last
     *valid* token and updated pools. Attends causally within the chunk and
-    fully to the `start_pos` context tokens already quantized in the pool.
+    fully to the `start_pos` context tokens already quantized in the pool —
+    streamed block-by-block (never materializing the dequantized context),
+    with the same attention recipe as the batched prefill / verify paths.
 
     Chunks may be right-padded to a bucketed length for jit-cache stability;
     pad positions scatter their KV to the pool's guard slot (last slot) and
     are causally invisible to real tokens (pads come after).
     """
-    from cxl_speckv_tpu.ops.paged_attention_ref import NEG_INF, _dequant_block
+    from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
+    from cxl_speckv_tpu.ops.chunk_attention_pallas import (
+        paged_chunk_attention_pallas)
+
+    attend_chunk = (paged_chunk_attention_pallas if use_pallas
+                    else paged_chunk_attention)
 
     c = config
     T = token_ids.shape[0]
     bs = k_pools.shape[3]  # pools [L, S, Hkv, bs, D/pack]
     max_blocks = table_row.shape[0]
     guard_slot = k_pools.shape[1] - 1
-    L_ctx = max_blocks * bs
     inv_freq = rope_frequencies(c)
     if valid_len is None:
         valid_len = jnp.int32(T)
@@ -889,10 +900,7 @@ def prefill_chunk(
     slots = table_row[jnp.clip(positions // bs, 0, max_blocks - 1)]  # [T]
     slots = jnp.where(jnp.arange(T) < valid_len, slots, guard_slot)
     offs = positions % bs
-    t_idx = jnp.arange(T)
-    causal = t_idx[:, None] >= t_idx[None, :]
-    ctx_mask = jnp.arange(L_ctx)[None, :] < start_pos  # [1, L_ctx]
-    sm = c.head_dim**-0.5
+    start1 = jnp.reshape(start_pos, (1,)).astype(jnp.int32)
 
     def layer(carry, xs):
         x, k_pools, v_pools, k_scales, v_scales = carry
@@ -911,31 +919,17 @@ def prefill_chunk(
 
         kq_pre, ks_pre = quantize_kv(k, kv_dtype)
         vq_pre, vs_pre = quantize_kv(v, kv_dtype)
-        k = _deq(kq_pre, ks_pre, kv_dtype).astype(k.dtype)
-        v = _deq(vq_pre, vs_pre, kv_dtype).astype(v.dtype)
-
-        qg = q.reshape(T, c.num_kv_heads, c.q_group, c.head_dim).astype(jnp.float32)
-        kf, vf = k.astype(jnp.float32), v.astype(jnp.float32)
-        s_new = jnp.einsum("thgd,shd->hgts", qg, kf) * sm
-        s_new = jnp.where(causal[None, None], s_new, NEG_INF)
+        k_use = _deq(kq_pre, ks_pre, kv_dtype).astype(k.dtype)
+        v_use = _deq(vq_pre, vs_pre, kv_dtype).astype(v.dtype)
 
         kp = jax.lax.dynamic_index_in_dim(k_pools, li, 0, keepdims=False)
         vp = jax.lax.dynamic_index_in_dim(v_pools, li, 0, keepdims=False)
         ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
         vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
 
-        k_ctx = _dequant_block(kp[table_row], kv_dtype).transpose(0, 2, 1, 3).reshape(L_ctx, c.num_kv_heads, c.head_dim)
-        v_ctx = _dequant_block(vp[table_row], kv_dtype).transpose(0, 2, 1, 3).reshape(L_ctx, c.num_kv_heads, c.head_dim)
-        kss = ksc[table_row].transpose(0, 2, 1).reshape(L_ctx, c.num_kv_heads)
-        vss = vsc[table_row].transpose(0, 2, 1).reshape(L_ctx, c.num_kv_heads)
-        s_ctx = jnp.einsum("thgd,lhd->hgtl", qg, k_ctx) * kss.T[:, None, None, :] * sm
-        s_ctx = jnp.where(ctx_mask[None, None], s_ctx, NEG_INF)
-
-        s = jnp.concatenate([s_ctx, s_new], axis=-1)
-        w = jax.nn.softmax(s, axis=-1)
-        o = jnp.einsum("hgtl,lhd->thgd", w[..., :L_ctx] * vss.T[:, None, None, :], v_ctx)
-        o = o + jnp.einsum("hgts,shd->thgd", w[..., L_ctx:], vf)
-        o = o.reshape(T, c.num_q_heads * c.head_dim).astype(x.dtype)
+        o = attend_chunk(q[None], k_use[None], v_use[None], kp, vp, ksc, vsc,
+                         table_row[None], start1, kv_dtype)
+        o = o[0].reshape(T, c.num_q_heads * c.head_dim).astype(x.dtype)
 
         x = x + o @ lp["o"]
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)

@@ -76,7 +76,23 @@ class PrefetchController:
         self._replay: deque[tuple[tuple[int, ...], int]] = deque(
             maxlen=config.replay_capacity)
         self._ticks = 0
+        # continuation-probability cache: seq -> (history version, p_cont).
+        # A sequence's history only changes when it decodes, so most plan()
+        # calls re-use the last prediction instead of paying a predictor
+        # dispatch every engine step (measured ~100ms/step un-cached on CPU
+        # with large batches — round-2 perf hunt).
+        self._hist_version: dict[int, int] = {}
+        self._pcont: dict[int, tuple[int, float]] = {}
+        self._last_loss = None   # pending async train loss (jax scalar)
         self.stats = PrefetchStatistics()
+
+    def warmup(self) -> None:
+        """Compile predictor programs at serving shapes (no mid-serve
+        XLA-CPU compiles)."""
+        if self.predictor is not None:
+            self.predictor.warmup(
+                train_batch=(self.config.train_batch
+                             if self.config.train_online else None))
 
     # -- history (the reference's 16-token sliding window) -------------------
 
@@ -88,9 +104,12 @@ class PrefetchController:
             if collect and len(h) >= 2:
                 self._replay.append((tuple(h), t))
             h.append(t)
+        self._hist_version[seq_slot] = self._hist_version.get(seq_slot, 0) + 1
 
     def forget_seq(self, seq_slot: int) -> None:
         self._histories.pop(seq_slot, None)
+        self._hist_version.pop(seq_slot, None)
+        self._pcont.pop(seq_slot, None)
 
     def history_matrix(self, seq_slots: list[int]) -> np.ndarray:
         T = self.config.history_len
@@ -118,12 +137,18 @@ class PrefetchController:
         keep = seqs
         if self.predictor is not None and self.eos_token_id is not None:
             t0 = time.monotonic()
-            hist = self.history_matrix(seqs)
-            p_cont = self.predictor.continue_probability(hist, self.eos_token_id)
+            stale = [s for s in seqs
+                     if self._pcont.get(s, (-1, 0.0))[0]
+                     != self._hist_version.get(s, 0)]
+            if stale:
+                p_new = self.predictor.continue_probability(
+                    self.history_matrix(stale), self.eos_token_id)
+                for s, pc in zip(stale, p_new):
+                    self._pcont[s] = (self._hist_version.get(s, 0), float(pc))
             self.stats.predict_latency_ms += (time.monotonic() - t0) * 1e3
             keep = []
-            for s, pc in zip(seqs, p_cont):
-                if pc >= 0.5:
+            for s in seqs:
+                if self._pcont.get(s, (0, 1.0))[1] >= 0.5:
                     keep.append(s)
                 else:
                     self.stats.skipped_eos_predicted += 1
@@ -186,10 +211,13 @@ class PrefetchController:
             y[i] = t
         loss = self.predictor.train_batch(H, y)
         self.stats.train_steps += 1
-        self.stats.last_train_loss = float(loss)
+        self._last_loss = loss  # fetched lazily (async CPU execution)
         return loss
 
     def get_statistics(self) -> PrefetchStatistics:
+        if self._last_loss is not None:
+            self.stats.last_train_loss = float(self._last_loss)
+            self._last_loss = None
         return self.stats
 
     def reset_statistics(self) -> None:

@@ -5,13 +5,22 @@ Real-math port of the reference predictor (`src/prefetcher/lstm_predictor.cpp`
 `lstm_predictor.cpp:128-146`; and whose load/save were no-ops,
 `:96-105`): 2-layer LSTM, 128 hidden, 64-d embedding, history window 16
 (`lstm_predictor.cpp:14`), top-k prediction over the vocab, ~real parameter
-count (~128K params at vocab 32000 per `lstm_predictor.h:9-11` — ours scales
-with vocab since the embedding dominates). Here the LSTM is actual jit'd JAX,
-trainable online with optax, and checkpoints really save/load.
+count (~128K params at vocab 32000 per `lstm_predictor.h:9-11`). Here the
+LSTM is actual jit'd JAX, trainable online with optax, and checkpoints
+really save/load.
 
-The predictor runs batched once per engine step on the final token of every
-candidate sequence (<10us-class work on TPU/CPU — matches the reference
-latency budget, `hardware/README.md:119-122`).
+Vocab bucketing: prefetch prediction does not need the LLM's full vocab —
+token ids hash into `vocab_buckets` classes (identity when the vocab is
+already small). This bounds the output matmul/softmax and the embedding
+gradient regardless of model vocab (128k-vocab models made the un-bucketed
+logits matmul a ~100ms-per-engine-step CPU cost and a ~36s XLA-CPU train
+compile — measured, round 2). The reference predictor has the same
+structural issue and its training was a stub; bucketing is the honest fix.
+
+The predictor runs batched on the host CPU device (prediction sits on the
+scheduling path; never spend an accelerator dispatch on it — the reference
+latency budget is <10us on a dedicated near-memory block,
+`hardware/README.md:119-122`).
 """
 
 from __future__ import annotations
@@ -29,18 +38,17 @@ Params = dict[str, Any]
 class LSTMPredictor:
     def __init__(self, vocab_size: int, *, embed_dim: int = 64, hidden: int = 128,
                  num_layers: int = 2, history_len: int = 16, seed: int = 0,
-                 device=None):
+                 vocab_buckets: int | None = 4096, device=None):
         self.vocab_size = vocab_size
+        self.n_classes = min(vocab_size, vocab_buckets or vocab_size)
         self.embed_dim = embed_dim
         self.hidden = hidden
         self.num_layers = num_layers
         self.history_len = history_len
         # The predictor runs on the HOST CPU device by default when the main
         # backend is an accelerator: prediction sits on the scheduling path
-        # every engine step, and the reference's latency budget (<10us on a
-        # dedicated near-memory block, hardware/README.md:119-122) maps to
-        # "never spend an accelerator dispatch on it". On remote-dispatch
-        # runtimes a TPU round trip costs ~10ms — 1000x the budget.
+        # every engine step. On remote-dispatch runtimes a TPU round trip
+        # costs ~10ms — 1000x the reference's latency budget.
         if device is None:
             try:
                 if jax.default_backend() != "cpu":
@@ -48,7 +56,7 @@ class LSTMPredictor:
             except RuntimeError:
                 device = None
         self.device = device
-        self.params = _init(vocab_size, embed_dim, hidden, num_layers,
+        self.params = _init(self.n_classes, embed_dim, hidden, num_layers,
                             jax.random.PRNGKey(seed))
         if device is not None:
             self.params = jax.device_put(self.params, device)
@@ -57,6 +65,12 @@ class LSTMPredictor:
     def _put(self, x, dtype=jnp.int32):
         a = jnp.asarray(x, dtype)
         return jax.device_put(a, self.device) if self.device is not None else a
+
+    def _bucket(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(ids, np.int32)
+        if self.n_classes == self.vocab_size:
+            return ids
+        return ids % np.int32(self.n_classes)
 
     @staticmethod
     def _pad_batch(x: np.ndarray) -> tuple[np.ndarray, int]:
@@ -78,35 +92,54 @@ class LSTMPredictor:
     def predict_top_k(self, histories: np.ndarray, k: int):
         """histories: [B, history_len] int32 (left-padded with 0 — matches
         the reference pad/trim, `lstm_predictor.cpp:44-51`).
-        Returns (token_ids [B, k], probs [B, k]) as numpy."""
-        h, n = self._pad_batch(np.asarray(histories, np.int32))
+        Returns (class_ids [B, k], probs [B, k]) as numpy; class ids are
+        bucketed token ids (identity for small vocabs)."""
+        h, n = self._pad_batch(self._bucket(histories))
         ids, probs = _top_k(self.params, self._put(h),
                             self.num_layers, self.hidden, k)
         return np.asarray(ids)[:n], np.asarray(probs)[:n]
 
     def continue_probability(self, histories: np.ndarray, eos_token_id: int):
         """P(next token != eos) per sequence — drives prefetch skip."""
-        h, n = self._pad_batch(np.asarray(histories, np.int32))
+        h, n = self._pad_batch(self._bucket(histories))
+        eos = int(eos_token_id) % self.n_classes
         p = _token_prob(self.params, self._put(h),
-                        self.num_layers, self.hidden, eos_token_id)
+                        self.num_layers, self.hidden, eos)
         return 1.0 - np.asarray(p)[:n]
 
     # -- training -----------------------------------------------------------
 
     def train_batch(self, histories: np.ndarray, targets: np.ndarray,
-                    lr: float = 1e-3) -> float:
-        """One next-token cross-entropy step. Returns the loss."""
+                    lr: float = 1e-3):
+        """One next-token cross-entropy step. Returns the loss as a jax
+        scalar — callers on a latency path should NOT block on it (the CPU
+        backend executes asynchronously; fetch lazily for stats)."""
         import optax
 
         if self._opt_state is None:
             self._tx = optax.adamw(lr)
             self._opt_state = self._tx.init(self.params)
-        loss, grads = _loss_and_grad(self.params, self._put(histories),
-                                     self._put(targets),
+        loss, grads = _loss_and_grad(self.params, self._put(self._bucket(histories)),
+                                     self._put(self._bucket(targets)),
                                      self.num_layers, self.hidden)
         updates, self._opt_state = self._tx.update(grads, self._opt_state, self.params)
         self.params = optax.apply_updates(self.params, updates)
-        return float(loss)
+        return loss
+
+    def warmup(self, batch_sizes=(16, 32), train_batch: int | None = None) -> None:
+        """Compile the prediction (and optionally training) programs at their
+        serving shapes so no XLA-CPU compile lands mid-serve."""
+        T = self.history_len
+        for b in batch_sizes:
+            h = np.zeros((b, T), np.int32)
+            self.continue_probability(h, 0)
+        if train_batch:
+            hist = np.zeros((train_batch, T), np.int32)
+            tgt = np.zeros(train_batch, np.int32)
+            params, opt = self.params, self._opt_state
+            jax.block_until_ready(self.train_batch(hist, tgt))
+            # discard the dummy step's effect
+            self.params, self._opt_state = params, opt
 
     # -- checkpoint (the reference's were stubs; these are real) ------------
 

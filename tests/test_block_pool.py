@@ -84,15 +84,12 @@ def test_refresh_slot_after_migration():
     assert pool.table.get(s, 0) == d.entry(bid).hbm_slot
 
 
-def test_device_table_lazy_upload():
+def test_table_rows_and_clear():
     t = BlockTable(max_seqs=2, max_blocks_per_seq=4)
     t.set(0, 0, 5)
-    a1 = t.device_array()
-    assert np.asarray(a1)[0, 0] == 5
-    assert np.asarray(a1)[1, 0] == 0  # sentinel clamped for safe gather
-    a2 = t.device_array()
-    assert a2 is a1  # no dirty rows -> no re-upload
     t.set(1, 2, 7)
-    a3 = t.device_array()
-    assert a3 is not a1
-    assert np.asarray(a3)[1, 2] == 7
+    assert t.get(0, 0) == 5
+    assert list(t.row(1)) == [-1, -1, 7, -1]
+    t.clear_row(1)
+    assert t.get(1, 2) == -1
+    assert t.host_array.shape == (2, 4)
