@@ -47,8 +47,15 @@ def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
     # the LSTM predictor runs on the host CPU device (never costs a TPU
     # dispatch) and gates prefetch by continuation probability while
     # training online on the served token stream
-    return Engine(model_config, sc, params=params, use_pallas=use_pallas,
-                  enable_lstm=prefetch, seed=0)
+    eng = Engine(model_config, sc, params=params, use_pallas=use_pallas,
+                 enable_lstm=prefetch, seed=0)
+    # construction cost (pool + pinned-store H2D) must not land inside the
+    # first timed rounds — settle the async uploads before measurement with
+    # a value fetch (block_until_ready can return early on remote runtimes)
+    for a in eng.kvc.pools + ((eng.kvc.store.arrays)
+                              if eng.kvc.store is not None else ()):
+        np.asarray(a[(0,) * a.ndim])
+    return eng
 
 
 def run_workload(eng, *, n_requests, prompt_len, gen, seed=0):

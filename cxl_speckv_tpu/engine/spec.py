@@ -2,14 +2,18 @@
 
 The fifth BASELINE.json configuration: a small draft model proposes
 `gamma` tokens autoregressively; the target model scores all gamma+1
-positions in ONE `verify_step` over the paged quantized cache; the longest
-agreeing prefix is accepted plus one corrected/bonus token (greedy
-acceptance — emitted text is token-identical to plain greedy decoding, which
-the tests assert exactly on CPU; on TPU MXU the verify path's chunked
-attention and the decode kernel round differently at f32, so near-tie argmax
-picks can differ — the output remains a self-consistent greedy decode of the
-target model under the verify numerics, and agreement approaches 1 as logit
-margins grow, i.e. on trained checkpoints).
+positions in ONE `verify_step` over the paged quantized cache; acceptance
+runs IN-GRAPH (`_accept_program` — the host fetches two [B] int vectors,
+never the [B, gamma+1, vocab] logits):
+
+- temperature-0 lanes: greedy token-match — emitted text is
+  token-identical to plain greedy decoding, which the tests assert exactly
+  on CPU (round 2 unified the decode/verify attention kernels, so this
+  holds on TPU too — `scripts/tpu_spec_check.py`);
+- sampled lanes: the speculative-sampling rule — accept draft t_j with
+  probability min(1, p(t_j)/q(t_j)), on rejection resample from the
+  normalized residual max(p-q, 0), bonus-sample from the target on full
+  acceptance. The emitted distribution equals plain target sampling.
 
 Speculative KV discipline (the engine-level analog of the reference's
 lazy-invalidation misprediction handling, `speculative_prefetcher.cpp:
@@ -38,6 +42,50 @@ from cxl_speckv_tpu.core.stats import Statistics, ratio
 from cxl_speckv_tpu.models.configs import LlamaConfig
 from cxl_speckv_tpu.models.llama import prefill_chunk, verify_step
 from cxl_speckv_tpu.ops.quant import kv_storage_dtype
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("gamma",))
+def _accept_program(target_logits, draft_logits, drafts, temps, key, *,
+                    gamma: int):
+    """Per-lane acceptance on device. target_logits [B, gamma+1, V] (row j
+    scores drafts[:, j]; last row is the bonus position), draft_logits
+    [B, gamma, V] (the proposal distributions the drafts were sampled
+    from), drafts [B, gamma] int32, temps [B] f32 (<= 0 greedy).
+    Returns (n_acc [B] int32, final_token [B] int32) — emitted tokens are
+    drafts[:n_acc] + [final_token]."""
+    eps = 1e-20
+    preds = jnp.argmax(target_logits, axis=-1)            # [B, g+1]
+    greedy_acc = preds[:, :gamma] == drafts               # [B, g]
+    t = jnp.maximum(temps, 1e-6)[:, None, None]
+    p = jax.nn.softmax(target_logits[:, :gamma] / t, axis=-1)  # [B, g, V]
+    q = jax.nn.softmax(draft_logits / t, axis=-1)
+    pt = jnp.take_along_axis(p, drafts[..., None], axis=-1)[..., 0]  # [B, g]
+    qt = jnp.take_along_axis(q, drafts[..., None], axis=-1)[..., 0]
+    k_u, k_r = jax.random.split(key)
+    u = jax.random.uniform(k_u, drafts.shape)
+    samp_acc = u * qt <= pt          # accept iff u <= p(t)/q(t); q(t) > 0
+    acc = jnp.where(temps[:, None] <= 0.0, greedy_acc, samp_acc)
+    run = jnp.cumprod(acc.astype(jnp.int32), axis=1)      # leading accepts
+    n_acc = run.sum(axis=1)                               # [B]
+    all_acc = n_acc >= gamma
+    idx = jnp.minimum(n_acc, gamma - 1)
+    p_at = jnp.take_along_axis(p, idx[:, None, None], axis=1)[:, 0]  # [B, V]
+    q_at = jnp.take_along_axis(q, idx[:, None, None], axis=1)[:, 0]
+    resid = jnp.maximum(p_at - q_at, 0.0)
+    rs = resid.sum(-1, keepdims=True)
+    # residual can vanish only if p == q at that position; fall back to p
+    resid = jnp.where(rs > eps, resid / jnp.maximum(rs, eps), p_at)
+    bonus = jax.nn.softmax(
+        target_logits[:, gamma] / jnp.maximum(temps, 1e-6)[:, None], axis=-1)
+    dist = jnp.where(all_acc[:, None], bonus, resid)
+    sampled_final = jax.random.categorical(k_r, jnp.log(dist + eps), axis=-1)
+    greedy_final = jnp.take_along_axis(
+        preds, jnp.minimum(n_acc, gamma)[:, None], axis=1)[:, 0]
+    final = jnp.where(temps <= 0.0, greedy_final, sampled_final)
+    return n_acc.astype(jnp.int32), final.astype(jnp.int32)
 
 
 @dataclass
@@ -120,18 +168,44 @@ class SpecDecoder:
             use_pallas=self.use_pallas)
         self.pools = tuple(pools)
 
+    def prefill_batch(self, lanes, *, chunk: int, batch: int) -> None:
+        """Mirror a prefill wave into the draft cache in ONE dispatch
+        (the engine's batched target prefill shape — same program family).
+        lanes: [(seq_slot, start, n, tokens)] with len(tokens) == n."""
+        from cxl_speckv_tpu.models.llama import prefill_batch_packed
+
+        if not lanes:
+            return
+        mb = self.table.shape[1]
+        packed = np.zeros((batch, 4 + mb + chunk), np.int32)
+        packed[:, 4:4 + mb] = self.guard_slot
+        for i, (seq_slot, start, n, tokens) in enumerate(lanes):
+            self.sync_seq(seq_slot)
+            packed[i, 0] = start
+            packed[i, 1] = n
+            packed[i, 4:4 + mb] = self.table[seq_slot]
+            packed[i, 4 + mb:4 + mb + n] = tokens
+        _, *pools = prefill_batch_packed(
+            self.params, self.config, self.kv_dtype, packed, *self.pools,
+            max_blocks=mb, rng_seed=0, use_pallas=self.use_pallas)
+        self.pools = tuple(pools)
+
     def propose(self, last_tokens: np.ndarray, positions: np.ndarray,
-                tables: np.ndarray, active: np.ndarray) -> np.ndarray:
+                tables: np.ndarray, active: np.ndarray,
+                temps: np.ndarray | None = None,
+                rng_counter: int = 0) -> np.ndarray:
         """Draft gamma tokens per lane in ONE fused device dispatch.
 
         last_tokens [B] (the last accepted token, KV not yet appended),
-        positions [B] its position. Returns drafts [B, gamma].
+        positions [B] its position. Returns drafts [B, gamma]; the draft
+        chain's per-step logits stay on device (`self._draft_logits`) for
+        the speculative-sampling acceptance rule.
 
         Uses the fused multi-token decode with horizon gamma+1: the feed
-        chain (last, d_1, ..., d_gamma) is exactly the greedy draft chain,
-        and the extra feed appends the last draft token's KV so the draft
-        cache covers position n-1+gamma (on full acceptance the next round
-        starts from there)."""
+        chain (last, d_1, ..., d_gamma) is exactly the draft chain (greedy
+        for temperature-0 lanes, sampled otherwise), and the extra feed
+        appends the last draft token's KV so the draft cache covers position
+        n-1+gamma (on full acceptance the next round starts from there)."""
         from cxl_speckv_tpu.models.llama import decode_multi_packed
 
         B = last_tokens.shape[0]
@@ -139,21 +213,54 @@ class SpecDecoder:
         packed = np.zeros((B, mb + 4), np.int32)
         packed[:, 0] = last_tokens
         packed[:, 1] = positions
-        # cols 2 (temp) and 3 (rng counter) stay 0: greedy drafting
+        if temps is not None:
+            packed[:, 2] = (np.asarray(temps) * 1000).astype(np.int32)
+        packed[:, 3] = rng_counter
         packed[:, 4:] = tables
-        toks, *pools = decode_multi_packed(
+        toks, *rest = decode_multi_packed(
             self.params, self.config, self.kv_dtype, packed, *self.pools,
-            horizon=self.gamma + 1)
-        self.pools = tuple(pools)
+            horizon=self.gamma + 1, return_logits=True)
+        self.pools = tuple(rest[:4])
+        self._draft_logits = rest[4][:, : self.gamma]  # [B, g, V] device
         drafts = np.asarray(toks)[:, : self.gamma].astype(np.int32)
         self.stats.drafted += int(active.sum()) * self.gamma
         return drafts
 
+    def accept(self, drafts: np.ndarray, target_logits,
+               active: np.ndarray, temps: np.ndarray,
+               key: np.ndarray) -> tuple[list[list[int]], np.ndarray]:
+        """Acceptance, in-graph: greedy token-match for temperature-0 lanes,
+        the speculative-sampling rule (accept draft t_j with probability
+        min(1, p(t_j)/q(t_j)); on rejection resample from the normalized
+        residual max(p - q, 0); bonus from the target on full acceptance —
+        the output distribution equals plain target sampling) for the rest.
+
+        target_logits [B, gamma+1, V] stays ON DEVICE (fetching it to the
+        host costs ~10MB per round at 128k vocab — the acceptance fetch is
+        two [B] int vectors). Returns (emitted tokens per lane, accepted
+        counts [B])."""
+        n_acc_d, final_d = _accept_program(
+            target_logits, self._draft_logits, jnp.asarray(drafts),
+            jnp.asarray(np.asarray(temps, np.float32)), jnp.asarray(key),
+            gamma=self.gamma)
+        n_acc = np.asarray(n_acc_d)
+        final = np.asarray(final_d)
+        emitted: list[list[int]] = []
+        for b in range(drafts.shape[0]):
+            if not active[b]:
+                emitted.append([])
+                continue
+            j = int(n_acc[b])
+            emitted.append([int(x) for x in drafts[b, :j]] + [int(final[b])])
+            self.stats.accepted += j
+            self.stats.bonus += 1
+        self.stats.rounds += 1
+        return emitted, n_acc
+
     def accept_greedy(self, drafts: np.ndarray, target_logits: np.ndarray,
                       active: np.ndarray) -> tuple[list[list[int]], np.ndarray]:
-        """Greedy acceptance. target_logits [B, gamma+1, V] from verify_step
-        (row t is the verdict on drafts[:, t]; last row yields the bonus).
-        Returns (emitted tokens per lane, accepted counts [B])."""
+        """Greedy acceptance on host logits (kept for tests/tools; the
+        engine path is `accept`)."""
         B, T, _ = target_logits.shape
         target_pred = target_logits.argmax(-1)  # [B, T]
         emitted: list[list[int]] = []

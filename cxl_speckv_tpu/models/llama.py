@@ -244,7 +244,8 @@ def decode_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k"),
+    static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
+                     "return_logits"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def decode_multi(
@@ -264,7 +265,8 @@ def decode_multi(
     horizon: int = 8,
     use_pallas: bool = False,
     top_k: int = 0,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    return_logits: bool = False,
+) -> tuple:
     """`horizon` decode steps fused into one device program — sampling
     happens in-graph, so one dispatch emits `horizon` tokens per lane.
 
@@ -276,7 +278,10 @@ def decode_multi(
     so overshoot wastes only compute).
 
     Returns (tokens [B, horizon], k_pools, v_pools, k_scales, v_scales)
-    where tokens[:, j] was sampled after feeding the j-th token.
+    where tokens[:, j] was sampled after feeding the j-th token. With
+    return_logits, the per-step logits [B, horizon, V] are appended — the
+    draft-proposal distributions that speculative sampling's acceptance
+    rule needs (`engine/spec.py`).
     """
     from cxl_speckv_tpu.engine.sampling import sample_tokens
 
@@ -288,18 +293,23 @@ def decode_multi(
             block_table, positions + 1, use_pallas)
         key, sub = jax.random.split(key)
         nxt = sample_tokens(logits, temperatures, sub, top_k).astype(jnp.int32)
-        return (nxt, kp, vp, ks, vs, key), nxt
+        ys = (nxt, logits) if return_logits else nxt
+        return (nxt, kp, vp, ks, vs, key), ys
 
-    (_, k_pools, v_pools, k_scales, v_scales, _), toks = jax.lax.scan(
+    (_, k_pools, v_pools, k_scales, v_scales, _), ys = jax.lax.scan(
         step, (first_tokens, k_pools, v_pools, k_scales, v_scales, key),
         jnp.arange(horizon))
-    return toks.T, k_pools, v_pools, k_scales, v_scales
+    if return_logits:
+        toks, logits = ys
+        return (toks.T, k_pools, v_pools, k_scales, v_scales,
+                logits.swapaxes(0, 1))
+    return ys.T, k_pools, v_pools, k_scales, v_scales
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
-                     "rng_seed"),
+                     "rng_seed", "return_logits"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def decode_multi_packed(
@@ -319,7 +329,8 @@ def decode_multi_packed(
     use_pallas: bool = False,
     top_k: int = 0,
     rng_seed: int = 0,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    return_logits: bool = False,
+) -> tuple:
     """`decode_multi` with all per-round host inputs packed into ONE array —
     a single host->device transfer per engine round. On remote-dispatch
     runtimes each argument transfer costs a round trip; this is the decode
@@ -333,7 +344,8 @@ def decode_multi_packed(
     return decode_multi(
         params, config, kv_dtype, first_tokens, start_positions,
         k_pools, v_pools, k_scales, v_scales, block_table, key, temperatures,
-        horizon=horizon, use_pallas=use_pallas, top_k=top_k)
+        horizon=horizon, use_pallas=use_pallas, top_k=top_k,
+        return_logits=return_logits)
 
 
 @functools.partial(

@@ -344,16 +344,23 @@ class TieredKVCache:
         return self.directory.hbm_free > before
 
     def prefetch_blocks(self, bids: list[int]) -> int:
-        """Asynchronous promote of specific blocks (prefetcher path)."""
+        """Asynchronous promote of specific blocks (prefetcher path).
+
+        Prefetch stops at the landing-zone reserve: filling past it would
+        make `maintain()` evict right back to the reserve target — and its
+        MRU-first order picks the just-prefetched (never-accessed) blocks,
+        so the two policies would churn blocks host<->HBM and every such
+        round trip counts as a wasted prefetch (measured: 0.57 prefetch
+        accuracy in the round-2 bench before this rule). The reserve stays
+        whole for decode extends and demand fetches; prefetch depth is
+        effectively capacity-bounded."""
         started = 0
-        # the landing-zone reserve exists FOR prefetch (the L2-buffer
-        # analog); keep only a small constant headroom for demand fetches
-        headroom = 2
+        floor = self.directory.config.num_reserved_blocks
         for bid in bids:
             e = self.directory.entry(bid)
             if e.state != BlockState.HOST:
                 continue
-            if self.directory.hbm_free <= headroom:
+            if self.directory.hbm_free <= floor:
                 break
             host_slot, hbm_slot = self.directory.start_promote(bid, prefetch=True)
             self.transfer.enqueue_promote(bid, host_slot, hbm_slot)

@@ -161,3 +161,74 @@ def test_spec_at_table_capacity():
     plain.add_request(prompt, max_new_tokens=max_len - len(prompt))
     pouts = plain.run()
     assert outs[0].tokens == pouts[0].tokens
+
+
+def test_accept_program_sampled_distribution():
+    """The speculative-sampling acceptance rule must emit tokens with the
+    TARGET distribution: over many lanes sharing one (p, q) pair, the first
+    emitted token's empirical distribution matches softmax(target/T)."""
+    from cxl_speckv_tpu.engine.spec import _accept_program
+
+    V, gamma, B = 8, 2, 20000
+    rng = jax.random.PRNGKey(3)
+    k_t, k_d, k_s, k_a = jax.random.split(rng, 4)
+    t_log = jax.random.normal(k_t, (V,)) * 1.5
+    d_log = jax.random.normal(k_d, (V,)) * 1.5
+    temps = jnp.full((B,), 1.0)
+    target_logits = jnp.broadcast_to(t_log, (B, gamma + 1, V))
+    draft_logits = jnp.broadcast_to(d_log, (B, gamma, V))
+    # drafts sampled from q per lane (the proposal distribution)
+    drafts = jax.random.categorical(
+        k_s, jnp.broadcast_to(d_log, (B, gamma, V)), axis=-1).astype(jnp.int32)
+    n_acc, final = _accept_program(target_logits, draft_logits, drafts,
+                                   temps, k_a, gamma=gamma)
+    n_acc, final, drafts = map(np.asarray, (n_acc, final, drafts))
+    first = np.where(n_acc > 0, drafts[:, 0], final)
+    emp = np.bincount(first, minlength=V) / B
+    want = np.asarray(jax.nn.softmax(t_log))
+    tv = 0.5 * np.abs(emp - want).sum()
+    assert tv < 0.02, (tv, emp, want)
+
+
+def test_accept_program_greedy_matches_host_rule():
+    """temperature<=0 lanes through the in-graph accept reproduce the host
+    greedy loop exactly (mixed with sampled lanes in one batch)."""
+    from cxl_speckv_tpu.engine.spec import _accept_program
+
+    V, gamma, B = 16, 3, 64
+    rng = np.random.RandomState(0)
+    target_logits = rng.randn(B, gamma + 1, V).astype(np.float32)
+    draft_logits = rng.randn(B, gamma, V).astype(np.float32)
+    drafts = rng.randint(0, V, (B, gamma)).astype(np.int32)
+    temps = np.zeros(B, np.float32)
+    n_acc, final = _accept_program(
+        jnp.asarray(target_logits), jnp.asarray(draft_logits),
+        jnp.asarray(drafts), jnp.asarray(temps),
+        jnp.asarray(np.array([1, 2], np.uint32)), gamma=gamma)
+    n_acc, final = np.asarray(n_acc), np.asarray(final)
+    preds = target_logits.argmax(-1)
+    for b in range(B):
+        j = 0
+        while j < gamma and preds[b, j] == drafts[b, j]:
+            j += 1
+        assert n_acc[b] == j
+        assert final[b] == preds[b, j]
+
+
+def test_spec_sampled_runs_and_finishes():
+    """Sampled speculative decoding (temperature > 0): requests complete,
+    deterministic given the seed, and acceptance statistics accumulate."""
+    ps = prompts(4, rng_seed=5)
+    outs1 = None
+    for _ in range(2):
+        eng = make_engine(spec=True, seed=11)
+        for p in ps:
+            eng.add_request(p, max_new_tokens=12, temperature=0.9)
+        outs = {o.req_id: o.tokens for o in eng.run()}
+        assert all(1 <= len(t) <= 12 for t in outs.values())
+        if outs1 is None:
+            outs1 = outs
+        else:
+            assert outs == outs1  # same seed -> same samples
+    st = eng.get_statistics()["spec"]
+    assert st["rounds"] > 0 and st["drafted"] > 0
