@@ -50,11 +50,16 @@ def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
     eng = Engine(model_config, sc, params=params, use_pallas=use_pallas,
                  enable_lstm=prefetch, seed=0)
     # construction cost (pool + pinned-store H2D) must not land inside the
-    # first timed rounds — settle the async uploads before measurement with
-    # a value fetch (block_until_ready can return early on remote runtimes)
-    for a in eng.kvc.pools + ((eng.kvc.store.arrays)
-                              if eng.kvc.store is not None else ()):
+    # first timed rounds — settle the async uploads before measurement.
+    # Device pools: tiny value fetch (block_until_ready can return early on
+    # remote runtimes). Host-memory store: block_until_ready only — element
+    # indexing would compile a multi-dim dynamic-slice in host memory,
+    # which the TPU AOT path rejects.
+    import jax
+    for a in eng.kvc.pools:
         np.asarray(a[(0,) * a.ndim])
+    if eng.kvc.store is not None:
+        jax.block_until_ready(eng.kvc.store.arrays)
     return eng
 
 
@@ -111,13 +116,14 @@ def main():
     ample_geo["hbm_blocks"] = total_demand + batch * blocks_per_seq + 4
     ample_geo["host_blocks"] = 0
 
-    # warmup: both geometries, so every program (incl. both migration
-    # directions) is compiled before measurement
+    # warmup: both geometries, with the tiered engine running the exact
+    # measured workload shape once — every program, the pinned-store paths,
+    # and the remote runtime's per-program execution caches first-touch
+    # here, not inside pair 0's timed window
     t0 = time.monotonic()
     warm = build_engine(config, params, prefetch=True, **geo)
-    n_warm = hbm_blocks // blocks_per_seq + 3
-    run_workload(warm, n_requests=n_warm, prompt_len=prompt_len,
-                 gen=horizon, seed=99)
+    run_workload(warm, n_requests=n_requests, prompt_len=prompt_len,
+                 gen=gen, seed=99)
     warm_a = build_engine(config, params, prefetch=False, **ample_geo)
     run_workload(warm_a, n_requests=2, prompt_len=prompt_len,
                  gen=horizon, seed=98)
@@ -130,7 +136,7 @@ def main():
     oversub = total_demand / hbm_blocks
     pairs = []
     st = sa = None
-    for rep in range(2):
+    for rep in range(3 if on_tpu else 2):
         eng_t = build_engine(config, params, prefetch=True, **geo)
         tok_t, dt_t = run_workload(eng_t, n_requests=n_requests,
                                    prompt_len=prompt_len, gen=gen)

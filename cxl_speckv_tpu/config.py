@@ -126,6 +126,10 @@ class PrefetchConfig:
     # vocab the un-bucketed versions cost ~100ms per engine step and a ~36s
     # XLA-CPU train compile (measured, round 2).
     vocab_buckets: int = 4096
+    # Optional pretrained predictor checkpoint (LSTMPredictor.save format,
+    # e.g. from scripts/train_predictor.py). Geometry must match
+    # (min(vocab, vocab_buckets), embed_dim, lstm_hidden, lstm_layers).
+    predictor_path: str | None = None
     replay_capacity: int = 4096
 
 

@@ -148,3 +148,28 @@ def test_online_training_learns_pattern():
     ids, _ = ctl.predictor.predict_top_k(hist, 2)
     nxt = pattern[(240) % len(pattern)]
     assert nxt in ids[0], (ids, nxt, ctl.stats.last_train_loss)
+
+
+def test_engine_loads_pretrained_predictor(tmp_path):
+    """PrefetchConfig.predictor_path: a trained predictor checkpoint rides
+    into the serving engine (real save/load — reference's were stubs)."""
+    import jax
+
+    from cxl_speckv_tpu.config import (CacheConfig, EngineConfig,
+                                       PrefetchConfig, SystemConfig)
+    from cxl_speckv_tpu.engine.engine import Engine
+    from cxl_speckv_tpu.models.configs import tiny_test_config
+    from cxl_speckv_tpu.models.llama import init_params
+
+    cfg = tiny_test_config()
+    src = LSTMPredictor(cfg.vocab_size, history_len=16, seed=3)
+    path = str(tmp_path / "pred.npz")
+    src.save(path)
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=32, num_host_blocks=32),
+        prefetch=PrefetchConfig(depth=2, predictor_path=path),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16))
+    eng = Engine(cfg, sc, params=init_params(cfg, jax.random.PRNGKey(0)),
+                 use_pallas=False, enable_lstm=True)
+    got = eng.prefetcher.predictor.params["embed"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(src.params["embed"]))
