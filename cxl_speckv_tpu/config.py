@@ -33,11 +33,18 @@ class KVDtype(str, enum.Enum):
     INT8 = "int8"       # 2x vs bf16, per-(token, head) scales
     INT4 = "int4"       # 4x vs bf16, packed two nibbles per byte
     FP8 = "fp8"         # 2x vs bf16, e4m3 with per-(token, head) scales
+    # Internal marker for per-layer mixed INT8/FP8 pools
+    # (CacheConfig.layer_kv_dtypes): compute programs receive MIXED8 as the
+    # static scheme plus a traced per-layer scheme id selecting the
+    # interpretation of the shared int8 byte storage. Not a valid pool
+    # config value itself.
+    MIXED8 = "mixed8"
 
     @property
     def compression_ratio(self) -> float:
         """Storage compression vs bf16, ignoring the small scale sideband."""
-        return {"bf16": 1.0, "int8": 2.0, "int4": 4.0, "fp8": 2.0}[self.value]
+        return {"bf16": 1.0, "int8": 2.0, "int4": 4.0, "fp8": 2.0,
+                "mixed8": 2.0}[self.value]
 
 
 @dataclass
@@ -62,6 +69,13 @@ class CacheConfig:
     # for demotion while hotter candidates exist (reference hot/cold
     # classification, access_count > 10, cxl_memory_manager.cpp:245-255).
     hot_access_threshold: int = 10
+    # Per-layer compression schemes (the reference's per-layer ratio table,
+    # `cache_engine.cpp:25-33`): entry i is layer i's scheme, INT8 or FP8
+    # only (they share int8-byte storage, so one pool serves the mix; the
+    # width-changing schemes INT4/BF16 stay engine-uniform, like the
+    # hardware datapath width). None = uniform `kv_dtype` everywhere.
+    # Mutually exclusive with the runtime scheme knob (Engine.set_kv_dtype).
+    layer_kv_dtypes: tuple = None
     # Host-tier backend: "device" keeps the pool in pinned-host device
     # memory (memory_kind="pinned_host" on TPU) and migrates blocks with
     # in-graph DMA (`runtime/hoststore.py` — the CXL-pool-as-deployed
@@ -86,6 +100,17 @@ class CacheConfig:
             raise ValueError("num_host_blocks must be >= 0")
         if self.host_store_backend not in ("device", "numpy"):
             raise ValueError(f"unknown host_store_backend {self.host_store_backend}")
+        if self.kv_dtype == KVDtype.MIXED8:
+            raise ValueError("MIXED8 is internal; set layer_kv_dtypes instead")
+        if self.layer_kv_dtypes is not None:
+            bad = [d for d in self.layer_kv_dtypes
+                   if d not in (KVDtype.INT8, KVDtype.FP8)]
+            if bad:
+                raise ValueError(
+                    f"layer_kv_dtypes entries must be INT8 or FP8, got {bad}")
+            if self.kv_dtype not in (KVDtype.INT8, KVDtype.FP8):
+                raise ValueError(
+                    "layer_kv_dtypes requires a byte-storage kv_dtype")
 
 
 @dataclass

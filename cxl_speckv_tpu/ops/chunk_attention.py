@@ -34,6 +34,7 @@ def paged_chunk_attention(
     start_pos: jax.Array,    # [B] int32 — pool tokens < start_pos are context
     kv_dtype: KVDtype,
     sm_scale: float | None = None,
+    scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 per call
 ) -> jax.Array:
     """Returns [B, T, Hq, D]."""
     B, T, num_q_heads, head_dim = q.shape
@@ -49,8 +50,8 @@ def paged_chunk_attention(
     def block_step(carry, m):
         m_acc, l_acc, o_acc = carry                    # [B,Hkv,G,T,1]x2, [B,Hkv,G,T,D]
         slots = block_table[:, m]                      # [B]
-        kblk = _dequant_block(k_pool[slots], kv_dtype)  # [B, Hkv, bs, D]
-        vblk = _dequant_block(v_pool[slots], kv_dtype)
+        kblk = _dequant_block(k_pool[slots], kv_dtype, scheme_id)  # [B, Hkv, bs, D]
+        vblk = _dequant_block(v_pool[slots], kv_dtype, scheme_id)
         ks = k_scale[slots]                            # [B, Hkv, bs]
         vs = v_scale[slots]
         s = jnp.einsum("bthgd,bhsd->bhgts", qg, kblk,

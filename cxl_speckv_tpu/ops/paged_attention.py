@@ -38,8 +38,16 @@ from cxl_speckv_tpu.ops.pallas_utils import interpret_mode
 NEG_INF = -1e30
 
 
-def _dequant_tile(raw: jax.Array, kv_dtype: KVDtype, head_dim: int) -> jax.Array:
-    """Raw quantized [bs, D/pack] tile -> float32 [bs, D] (scales separate)."""
+def _dequant_tile(raw: jax.Array, kv_dtype: KVDtype, head_dim: int,
+                  sid=None) -> jax.Array:
+    """Raw quantized [bs, D/pack] tile -> float32 [bs, D] (scales separate).
+    MIXED8: `sid` (scalar read from SMEM) selects the byte interpretation
+    per call — 0 = INT8, 1 = FP8 (per-layer mixed-precision pools)."""
+    if kv_dtype == KVDtype.MIXED8:
+        i8 = raw.astype(jnp.float32)
+        f8 = jax.lax.bitcast_convert_type(raw, jnp.float8_e4m3fn).astype(jnp.float32)
+        f8 = jnp.where(jnp.isnan(f8), 0.0, f8)
+        return jnp.where(sid == 0, i8, f8)
     if kv_dtype == KVDtype.INT4:
         # Mosaic has no 8-bit shifts: sign-extend nibbles via 32-bit shifts
         r = raw.astype(jnp.int32)
@@ -75,12 +83,14 @@ def _decode_kernel(
     block_size: int,
     head_dim: int,
     sm_scale: float,
+    sid_ref=None,   # [1] int32 SMEM — MIXED8 per-layer scheme id
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
     i = pl.program_id(2)
     num_blocks = pl.num_programs(2)
     seq_len = lens_ref[b]
+    sid = sid_ref[0] if sid_ref is not None else None
 
     @pl.when(i == 0)
     def _init():
@@ -93,7 +103,7 @@ def _decode_kernel(
     @pl.when(block_start < seq_len)
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)                   # [G, D]
-        k = _dequant_tile(k_ref[0, 0], kv_dtype, head_dim)    # [bs, D]
+        k = _dequant_tile(k_ref[0, 0], kv_dtype, head_dim, sid)  # [bs, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -108,7 +118,7 @@ def _decode_kernel(
         p = jnp.exp(s - m_new)                                # [G, bs]
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = _dequant_tile(v_ref[0, 0], kv_dtype, head_dim)    # [bs, D]
+        v = _dequant_tile(v_ref[0, 0], kv_dtype, head_dim, sid)  # [bs, D]
         vscale = vs_ref[0, 0, :, 0]                           # [bs]
         pv = p * vscale[None, :]
         acc_ref[:] = acc_ref[:] * alpha + jnp.dot(

@@ -31,8 +31,18 @@ from cxl_speckv_tpu.ops.quant import _unpack_int4
 NEG_INF = -1e30
 
 
-def _dequant_block(q: jax.Array, kv_dtype: KVDtype) -> jax.Array:
-    """Raw pool storage -> float32 values (scales applied separately)."""
+def _dequant_block(q: jax.Array, kv_dtype: KVDtype,
+                   scheme_id: jax.Array | None = None) -> jax.Array:
+    """Raw pool storage -> float32 values (scales applied separately).
+
+    With kv_dtype == MIXED8 the interpretation of the int8 bytes is chosen
+    by the traced scalar `scheme_id` (0 = INT8, 1 = FP8) — the per-layer
+    mixed-precision path."""
+    if kv_dtype == KVDtype.MIXED8:
+        i8 = q.astype(jnp.float32)
+        f8 = jax.lax.bitcast_convert_type(q, jnp.float8_e4m3fn).astype(jnp.float32)
+        f8 = jnp.where(jnp.isnan(f8), 0.0, f8)
+        return jnp.where(scheme_id == 0, i8, f8)
     if kv_dtype == KVDtype.INT4:
         q = _unpack_int4(q)
     elif kv_dtype == KVDtype.FP8 and q.dtype == jnp.int8:
@@ -56,6 +66,7 @@ def paged_attention_ref(
     seq_lens: jax.Array,       # [B] int32, includes the token(s) being decoded
     kv_dtype: KVDtype,
     sm_scale: float | None = None,
+    scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 per call
 ) -> jax.Array:
     """Decode-step attention: one query token per sequence."""
     B, num_q_heads, head_dim = q.shape
@@ -66,8 +77,8 @@ def paged_attention_ref(
 
     def per_seq(q_b, table_b, len_b):
         # gather and dequantize this sequence's blocks
-        k = _dequant_block(k_pool[table_b], kv_dtype)     # [M, Hkv, bs, D]
-        v = _dequant_block(v_pool[table_b], kv_dtype)
+        k = _dequant_block(k_pool[table_b], kv_dtype, scheme_id)  # [M, Hkv, bs, D]
+        v = _dequant_block(v_pool[table_b], kv_dtype, scheme_id)
         ks = k_scale[table_b]                              # [M, Hkv, bs]
         vs = v_scale[table_b]
         M = table_b.shape[0]

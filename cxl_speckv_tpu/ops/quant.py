@@ -48,6 +48,7 @@ def kv_storage_dtype(kv_dtype: KVDtype) -> jnp.dtype:
         KVDtype.INT8: jnp.int8,
         KVDtype.INT4: jnp.int8,  # two nibbles packed per int8
         KVDtype.FP8: jnp.int8,   # e4m3 bits stored in int8 bytes
+        KVDtype.MIXED8: jnp.int8,
     }[kv_dtype]
 
 
@@ -58,6 +59,7 @@ def storage_width_class(kv_dtype: KVDtype) -> str:
         KVDtype.BF16: "bf16",
         KVDtype.INT8: "byte",
         KVDtype.FP8: "byte",
+        KVDtype.MIXED8: "byte",
         KVDtype.INT4: "byte-packed",
     }[kv_dtype]
 
@@ -143,6 +145,46 @@ def dequantize_kv(q: jax.Array, scale: jax.Array, kv_dtype: KVDtype,
         q = jnp.where(jnp.isnan(q.astype(jnp.float32)), 0.0,
                       q.astype(jnp.float32)).astype(q.dtype)
     return (q.astype(jnp.float32) * scale).astype(out_dtype)
+
+
+def quantize_kv_dual(x: jax.Array, scheme_id) -> tuple[jax.Array, jax.Array]:
+    """Quantize [..., head_dim] with the scheme selected by a TRACED scalar
+    `scheme_id` (0 = INT8, 1 = FP8) — the per-layer mixed-precision path
+    (`CacheConfig.layer_kv_dtypes`, the reference per-layer ratio table,
+    `cache_engine.cpp:25-33`). Returns (pool bytes int8, scales): both
+    schemes are computed and the result selected, so the layer scan stays a
+    single program. Matches `quantize_kv` + `encode_for_pool` bit-exactly
+    for whichever scheme is selected."""
+    xf = x.astype(jnp.float32)
+    s8 = _row_scale(xf, _INT8_MAX)
+    q8 = jnp.clip(jnp.round(xf / s8), -_INT8_MAX, _INT8_MAX).astype(jnp.int8)
+    sf = _row_scale(xf, _FP8_MAX)
+    qf = jax.lax.bitcast_convert_type(
+        (xf / sf).astype(jnp.float8_e4m3fn), jnp.int8)
+    is8 = scheme_id == 0
+    return jnp.where(is8, q8, qf), jnp.where(is8, s8, sf)
+
+
+def dequantize_dual(raw: jax.Array, scale: jax.Array, scheme_id,
+                    out_dtype=jnp.float32) -> jax.Array:
+    """Inverse of `quantize_kv_dual` on pool bytes: interpret int8 bytes as
+    INT8 values (scheme_id 0) or e4m3 bits (scheme_id 1). FP8 NaN bytes
+    (foreign-scheme writes at the guard slot) sanitize to 0, as in
+    `dequantize_kv`."""
+    i8 = raw.astype(jnp.float32)
+    f8 = jax.lax.bitcast_convert_type(raw, jnp.float8_e4m3fn).astype(jnp.float32)
+    f8 = jnp.where(jnp.isnan(f8), 0.0, f8)
+    val = jnp.where(scheme_id == 0, i8, f8)
+    return (val * scale).astype(out_dtype)
+
+
+def scheme_id_table(kv_dtype) -> "jax.Array | None":
+    """Static scheme (or per-layer tuple) -> traced [L] scheme-id vector for
+    the layer scan, or None when uniform."""
+    if isinstance(kv_dtype, tuple):
+        return jnp.array([0 if d == KVDtype.INT8 else 1 for d in kv_dtype],
+                         jnp.int32)
+    return None
 
 
 def quantization_rms_error(x: jax.Array, kv_dtype: KVDtype) -> jax.Array:
