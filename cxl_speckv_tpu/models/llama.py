@@ -27,7 +27,13 @@ from cxl_speckv_tpu.config import KVDtype
 from cxl_speckv_tpu.models.configs import LlamaConfig
 from cxl_speckv_tpu.ops.paged_attention import paged_attention
 from cxl_speckv_tpu.ops.paged_attention_ref import paged_attention_ref
-from cxl_speckv_tpu.ops.quant import encode_for_pool, quantize_kv
+from cxl_speckv_tpu.ops.quant import (
+    encode_for_pool,
+    dequantize_dual,
+    quantize_kv,
+    quantize_kv_dual,
+    scheme_id_table,
+)
 
 Params = dict[str, Any]
 
@@ -164,10 +170,16 @@ def _decode_core(
     offs = positions % bs
 
     attend = paged_attention if use_pallas else paged_attention_ref
+    # per-layer mixed precision (CacheConfig.layer_kv_dtypes): kv_dtype is a
+    # tuple of per-layer schemes; the scan sees one MIXED8 program with the
+    # layer's scheme id as data
+    sids = scheme_id_table(kv_dtype)
+    eff_dtype = KVDtype.MIXED8 if sids is not None else kv_dtype
 
     def layer(carry, xs):
         x, k_pools, v_pools, k_scales, v_scales = carry
         (lp, li) = xs
+        sid = sids[li] if sids is not None else None
         h = rms_norm(x, lp["attn_norm"], c.rms_eps)
         q = (h @ lp["q"]).reshape(B, c.num_q_heads, c.head_dim)
         k = (h @ lp["k"]).reshape(B, c.num_kv_heads, c.head_dim)
@@ -177,18 +189,25 @@ def _decode_core(
         k = apply_rope(k, positions, inv_freq)
 
         # quantize + scatter this token's KV into layer li of the pools
-        kq, ks = quantize_kv(k, kv_dtype)   # [B, Hkv, D/pack], [B, Hkv, 1]
-        vq, vs = quantize_kv(v, kv_dtype)
+        if sids is None:
+            kq, ks = quantize_kv(k, kv_dtype)   # [B, Hkv, D/pack], [B, Hkv, 1]
+            vq, vs = quantize_kv(v, kv_dtype)
+            kenc = encode_for_pool(kq, kv_dtype)
+            venc = encode_for_pool(vq, kv_dtype)
+        else:
+            kenc, ks = quantize_kv_dual(k, sid)
+            venc, vs = quantize_kv_dual(v, sid)
         kp = jax.lax.dynamic_index_in_dim(k_pools, li, 0, keepdims=False)
         vp = jax.lax.dynamic_index_in_dim(v_pools, li, 0, keepdims=False)
         ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
         vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
-        kp = kp.at[slots, :, offs].set(encode_for_pool(kq, kv_dtype).astype(kp.dtype))
-        vp = vp.at[slots, :, offs].set(encode_for_pool(vq, kv_dtype).astype(vp.dtype))
+        kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
+        vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[:, :, 0])
         vsc = vsc.at[slots, :, offs].set(vs[:, :, 0])
 
-        o = attend(q, kp, vp, ksc, vsc, block_table, seq_lens, kv_dtype)
+        o = attend(q, kp, vp, ksc, vsc, block_table, seq_lens, eff_dtype,
+                   scheme_id=sid)
         x = x + (o.reshape(B, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
         x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
@@ -409,10 +428,13 @@ def prefill_batch_packed(
     slots = jnp.where(t_idx < valid[:, None], slots, guard_slot)
     offs = positions % bs
     x = params["embed"][token_ids]                        # [B, T, H]
+    sids = scheme_id_table(kv_dtype)
+    eff_dtype = KVDtype.MIXED8 if sids is not None else kv_dtype
 
     def layer(carry, xs):
         x, k_pools, v_pools, k_scales, v_scales = carry
         (lp, li) = xs
+        sid = sids[li] if sids is not None else None
         h = rms_norm(x, lp["attn_norm"], c.rms_eps)
         q = (h @ lp["q"]).reshape(B, T, c.num_q_heads, c.head_dim)
         k = (h @ lp["k"]).reshape(B, T, c.num_kv_heads, c.head_dim)
@@ -425,19 +447,27 @@ def prefill_batch_packed(
         ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
         vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
 
-        kq, ks = quantize_kv(k, kv_dtype)
-        vq, vs = quantize_kv(v, kv_dtype)
-        k_use = dequantize_kv(kq, ks, kv_dtype).astype(k.dtype)
-        v_use = dequantize_kv(vq, vs, kv_dtype).astype(v.dtype)
+        if sids is None:
+            kq, ks = quantize_kv(k, kv_dtype)
+            vq, vs = quantize_kv(v, kv_dtype)
+            kenc = encode_for_pool(kq, kv_dtype)
+            venc = encode_for_pool(vq, kv_dtype)
+            k_use = dequantize_kv(kq, ks, kv_dtype)
+            v_use = dequantize_kv(vq, vs, kv_dtype)
+        else:
+            kenc, ks = quantize_kv_dual(k, sid)
+            venc, vs = quantize_kv_dual(v, sid)
+            k_use = dequantize_dual(kenc, ks, sid)
+            v_use = dequantize_dual(venc, vs, sid)
 
         o = attend_chunk(q, k_use, v_use, kp, vp, ksc, vsc,
-                         tables, start, kv_dtype)
+                         tables, start, eff_dtype, scheme_id=sid)
         x = x + (o.reshape(B, T, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
         x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
 
-        kp = kp.at[slots, :, offs].set(encode_for_pool(kq, kv_dtype).astype(kp.dtype))
-        vp = vp.at[slots, :, offs].set(encode_for_pool(vq, kv_dtype).astype(vp.dtype))
+        kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
+        vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[..., 0])
         vsc = vsc.at[slots, :, offs].set(vs[..., 0])
         k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)
@@ -684,8 +714,8 @@ def stream_step(
         # store-consistent views of the fresh chunk KV
         kq, ksc = quantize_kv(k, kv_dtype)
         vq, vsc = quantize_kv(v, kv_dtype)
-        k_use = dequantize_kv(kq, ksc, kv_dtype).astype(k.dtype)
-        v_use = dequantize_kv(vq, vsc, kv_dtype).astype(v.dtype)
+        k_use = dequantize_kv(kq, ksc, kv_dtype)
+        v_use = dequantize_kv(vq, vsc, kv_dtype)
 
         carry = stream_context_attention(
             q, stores, host_row, start, li, kv_dtype, ops,
@@ -803,10 +833,13 @@ def verify_step(
     slots = jnp.take_along_axis(block_tables, blk, axis=1)    # [B, T]
     slots = jnp.where(active[:, None], slots, guard_slot)
     offs = positions % bs
+    sids = scheme_id_table(kv_dtype)
+    eff_dtype = KVDtype.MIXED8 if sids is not None else kv_dtype
 
     def layer(carry, xs):
         x, k_pools, v_pools, k_scales, v_scales = carry
         (lp, li) = xs
+        sid = sids[li] if sids is not None else None
         h = rms_norm(x, lp["attn_norm"], c.rms_eps)
         q = (h @ lp["q"]).reshape(B, T, c.num_q_heads, c.head_dim)
         k = (h @ lp["k"]).reshape(B, T, c.num_kv_heads, c.head_dim)
@@ -825,18 +858,26 @@ def verify_step(
         # disagrees with the draft's quantized-cache view near ties
         from cxl_speckv_tpu.ops.quant import dequantize_kv
 
-        kq, ks = quantize_kv(k, kv_dtype)   # [B, T, Hkv, D/pack], [B, T, Hkv, 1]
-        vq, vs = quantize_kv(v, kv_dtype)
-        k_use = dequantize_kv(kq, ks, kv_dtype).astype(k.dtype)
-        v_use = dequantize_kv(vq, vs, kv_dtype).astype(v.dtype)
+        if sids is None:
+            kq, ks = quantize_kv(k, kv_dtype)
+            vq, vs = quantize_kv(v, kv_dtype)
+            kenc = encode_for_pool(kq, kv_dtype)
+            venc = encode_for_pool(vq, kv_dtype)
+            k_use = dequantize_kv(kq, ks, kv_dtype)
+            v_use = dequantize_kv(vq, vs, kv_dtype)
+        else:
+            kenc, ks = quantize_kv_dual(k, sid)
+            venc, vs = quantize_kv_dual(v, sid)
+            k_use = dequantize_dual(kenc, ks, sid)
+            v_use = dequantize_dual(venc, vs, sid)
 
         o = attend_chunk(q, k_use, v_use, kp, vp, ksc, vsc,
-                         block_tables, start_pos, kv_dtype)
+                         block_tables, start_pos, eff_dtype, scheme_id=sid)
         x = x + (o.reshape(B, T, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
         x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
-        kp = kp.at[slots, :, offs].set(encode_for_pool(kq, kv_dtype).astype(kp.dtype))
-        vp = vp.at[slots, :, offs].set(encode_for_pool(vq, kv_dtype).astype(vp.dtype))
+        kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
+        vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[..., 0])
         vsc = vsc.at[slots, :, offs].set(vs[..., 0])
 
@@ -913,10 +954,13 @@ def prefill_chunk(
     slots = jnp.where(jnp.arange(T) < valid_len, slots, guard_slot)
     offs = positions % bs
     start1 = jnp.reshape(start_pos, (1,)).astype(jnp.int32)
+    sids = scheme_id_table(kv_dtype)
+    eff_dtype = KVDtype.MIXED8 if sids is not None else kv_dtype
 
     def layer(carry, xs):
         x, k_pools, v_pools, k_scales, v_scales = carry
         (lp, li) = xs
+        sid = sids[li] if sids is not None else None
         h = rms_norm(x, lp["attn_norm"], c.rms_eps)
         q = (h @ lp["q"]).reshape(T, c.num_q_heads, c.head_dim)
         k = (h @ lp["k"]).reshape(T, c.num_kv_heads, c.head_dim)
@@ -929,10 +973,21 @@ def prefill_chunk(
         # implementation and decode numerically consistent)
         from cxl_speckv_tpu.ops.quant import dequantize_kv as _deq
 
-        kq_pre, ks_pre = quantize_kv(k, kv_dtype)
-        vq_pre, vs_pre = quantize_kv(v, kv_dtype)
-        k_use = _deq(kq_pre, ks_pre, kv_dtype).astype(k.dtype)
-        v_use = _deq(vq_pre, vs_pre, kv_dtype).astype(v.dtype)
+        if sids is None:
+            kq_pre, ks_pre = quantize_kv(k, kv_dtype)
+            vq_pre, vs_pre = quantize_kv(v, kv_dtype)
+            kenc = encode_for_pool(kq_pre, kv_dtype)
+            venc = encode_for_pool(vq_pre, kv_dtype)
+            # f32 through attention: exactly the values decode dequantizes
+            # from the pool (a bf16 round-trip here diverges from decode at
+            # near-ties)
+            k_use = _deq(kq_pre, ks_pre, kv_dtype)
+            v_use = _deq(vq_pre, vs_pre, kv_dtype)
+        else:
+            kenc, ks_pre = quantize_kv_dual(k, sid)
+            venc, vs_pre = quantize_kv_dual(v, sid)
+            k_use = dequantize_dual(kenc, ks_pre, sid)
+            v_use = dequantize_dual(venc, vs_pre, sid)
 
         kp = jax.lax.dynamic_index_in_dim(k_pools, li, 0, keepdims=False)
         vp = jax.lax.dynamic_index_in_dim(v_pools, li, 0, keepdims=False)
@@ -940,7 +995,7 @@ def prefill_chunk(
         vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
 
         o = attend_chunk(q[None], k_use[None], v_use[None], kp, vp, ksc, vsc,
-                         table_row[None], start1, kv_dtype)
+                         table_row[None], start1, eff_dtype, scheme_id=sid)
         o = o[0].reshape(T, c.num_q_heads * c.head_dim).astype(x.dtype)
 
         x = x + o @ lp["o"]
@@ -948,11 +1003,10 @@ def prefill_chunk(
         x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
 
         # scatter the (already) quantized chunk KV
-        kq, ks, vq, vs = kq_pre, ks_pre, vq_pre, vs_pre
-        kp = kp.at[slots, :, offs].set(encode_for_pool(kq, kv_dtype).astype(kp.dtype))
-        vp = vp.at[slots, :, offs].set(encode_for_pool(vq, kv_dtype).astype(vp.dtype))
-        ksc = ksc.at[slots, :, offs].set(ks[:, :, 0])
-        vsc = vsc.at[slots, :, offs].set(vs[:, :, 0])
+        kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
+        vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
+        ksc = ksc.at[slots, :, offs].set(ks_pre[:, :, 0])
+        vsc = vsc.at[slots, :, offs].set(vs_pre[:, :, 0])
         k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)
         v_pools = jax.lax.dynamic_update_index_in_dim(v_pools, vp, li, 0)
         k_scales = jax.lax.dynamic_update_index_in_dim(k_scales, ksc, li, 0)

@@ -62,11 +62,13 @@ def _chunk_kernel(
     head_dim: int,
     group: int,
     sm_scale: float,
+    sid_ref=None,   # [1] int32 SMEM — MIXED8 per-layer scheme id
 ):
     b = pl.program_id(0)
     i = pl.program_id(2)
     nb = pl.num_programs(2)
     start = start_ref[b]
+    sid = sid_ref[0] if sid_ref is not None else None
 
     @pl.when(i == 0)
     def _init():
@@ -77,7 +79,7 @@ def _chunk_kernel(
     @pl.when((i < nb - 1) & (i * block_size < start))
     def _context():
         q = q_ref[0, 0].astype(jnp.float32)                   # [TG, D]
-        k = _dequant_tile(k_ref[0, 0], kv_dtype, head_dim)    # [bs, D]
+        k = _dequant_tile(k_ref[0, 0], kv_dtype, head_dim, sid)  # [bs, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)               # [TG, bs]
@@ -90,7 +92,7 @@ def _chunk_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = _dequant_tile(v_ref[0, 0], kv_dtype, head_dim)
+        v = _dequant_tile(v_ref[0, 0], kv_dtype, head_dim, sid)
         pv = p * vs_ref[0, 0, :, 0][None, :]
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             pv, v, (((1,), (0,)), ((), ())),
@@ -136,6 +138,7 @@ def paged_chunk_attention_pallas(
     kv_dtype: KVDtype,
     sm_scale: float | None = None,
     interpret: bool | None = None,
+    scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 this call
 ) -> jax.Array:
     """Drop-in kernel variant of `chunk_attention.paged_chunk_attention`.
     Returns [B, T, Hq, D]."""
@@ -149,10 +152,16 @@ def paged_chunk_attention_pallas(
     if interpret is None:
         interpret = interpret_mode()
     pack = 2 if kv_dtype == KVDtype.INT4 else 1
+    mixed = kv_dtype == KVDtype.MIXED8
 
-    kernel = functools.partial(
+    base = functools.partial(
         _chunk_kernel, kv_dtype=kv_dtype, block_size=block_size,
         head_dim=head_dim, group=group, sm_scale=float(sm_scale))
+    if mixed:
+        def kernel(table_ref, start_ref, sid_ref, *rest):
+            base(table_ref, start_ref, *rest, sid_ref=sid_ref)
+    else:
+        kernel = base
 
     # [B, T, Hkv, G, D] -> [B, Hkv, T*G, D] (row r = t*G + g)
     q4 = (q.reshape(B, T, num_kv_heads, group, head_dim)
@@ -162,26 +171,26 @@ def paged_chunk_attention_pallas(
     ks4 = k_scale[..., None]
     vs4 = v_scale[..., None]
 
-    def ctx_index(b, h, i, t, s):
+    def ctx_index(b, h, i, t, s, *_):
         # clamp to the lane's last real context block: trailing grid steps
         # re-address it, so their copies are elided
         last = jnp.maximum((s[b] - 1) // block_size, 0)
         return (t[b, jnp.minimum(i, last)], h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if mixed else 2,
         grid=(B, num_kv_heads, max_blocks + 1),
         in_specs=[
-            pl.BlockSpec((1, 1, tg, head_dim), lambda b, h, i, t, s: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, T, head_dim), lambda b, h, i, t, s: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, T, head_dim), lambda b, h, i, t, s: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, tg, head_dim), lambda b, h, i, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, T, head_dim), lambda b, h, i, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, T, head_dim), lambda b, h, i, *_: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, block_size, head_dim // pack), ctx_index),
             pl.BlockSpec((1, 1, block_size, head_dim // pack), ctx_index),
             pl.BlockSpec((1, 1, block_size, 1), ctx_index),
             pl.BlockSpec((1, 1, block_size, 1), ctx_index),
         ],
         out_specs=pl.BlockSpec((1, 1, tg, head_dim),
-                               lambda b, h, i, t, s: (b, h, 0, 0)),
+                               lambda b, h, i, *_: (b, h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((tg, head_dim), jnp.float32),
             pltpu.VMEM((tg, 1), jnp.float32),
@@ -189,12 +198,15 @@ def paged_chunk_attention_pallas(
         ],
     )
 
+    scalars = (block_table, start_pos)
+    if mixed:
+        scalars += (jnp.reshape(scheme_id, (1,)).astype(jnp.int32),)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, num_kv_heads, tg, head_dim), q.dtype),
         interpret=interpret,
-    )(block_table, start_pos, q4, kn, vn, k_pool, v_pool, ks4, vs4)
+    )(*scalars, q4, kn, vn, k_pool, v_pool, ks4, vs4)
     # [B, Hkv, T*G, D] -> [B, T, Hq, D]
     return (out.reshape(B, num_kv_heads, T, group, head_dim)
             .transpose(0, 2, 1, 3, 4).reshape(B, T, num_q_heads, head_dim))

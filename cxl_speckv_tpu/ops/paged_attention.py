@@ -8,19 +8,26 @@ datapath between CXL pool and HBM (`hardware/rtl/kv_decompress.v`), fused one
 level further into the attention matmul itself.
 
 Design:
-- Grid (batch, kv_head, kv_block); the block table and sequence lengths ride
-  scalar prefetch (`PrefetchScalarGridSpec`) so BlockSpec index_maps resolve
-  the *physical* pool slot of each logical block before the pipeline DMAs it
-  — the device-side page walk (analog of `hardware/rtl/atu.v`, reduced to one
-  indexed gather).
-- Pool layout [num_slots, Hkv, block_size, D/pack] puts (block_size, head_dim)
-  in the tiling dims, satisfying the Mosaic (8, 128)-divisibility rule and
-  giving the MXU well-shaped [bs, D] tiles per (slot, head).
+- Grid (batch, kv_block_group): ALL kv heads of a block ride one tile and
+  `pages_per_step` blocks are fetched per grid step through separate
+  BlockSpecs — grid steps are sequential on a TensorCore and carry ~2us of
+  fixed sequencing cost each, so a (B, Hkv, n_blocks) grid of tiny [bs, D]
+  tiles is fixed-cost-bound (measured 1-3% of HBM peak); folding heads and
+  batching pages cuts the step count by Hkv * pages_per_step.
+- The block table and sequence lengths ride scalar prefetch
+  (`PrefetchScalarGridSpec`) so BlockSpec index_maps resolve the *physical*
+  pool slot of each logical block before the pipeline DMAs it — the
+  device-side page walk (analog of `hardware/rtl/atu.v`). Index maps clamp
+  at the lane's last real block: steps past seq_len re-address it and their
+  DMAs are elided.
+- Pool layout [num_slots, Hkv, block_size, D/pack] puts (block_size,
+  head_dim) in the tiling dims, satisfying the Mosaic (8, 128)-divisibility
+  rule; per-(slot) tiles now span every head.
 - Per-row scales fold into the matmuls: K scales multiply score columns
   post-QK^T, V scales fold into the attention weights pre-WV. The MXU sees
   raw quantized values upcast in-register; HBM traffic stays compressed.
-- Online softmax accumulators live in VMEM scratch across the kv_block grid
-  dimension (sequential on TPU), giving flash-decoding without a second pass.
+- Online softmax accumulators live in VMEM scratch across the block-group
+  grid dimension (sequential on TPU), giving flash-decoding in one pass.
 """
 
 from __future__ import annotations
@@ -40,9 +47,9 @@ NEG_INF = -1e30
 
 def _dequant_tile(raw: jax.Array, kv_dtype: KVDtype, head_dim: int,
                   sid=None) -> jax.Array:
-    """Raw quantized [bs, D/pack] tile -> float32 [bs, D] (scales separate).
-    MIXED8: `sid` (scalar read from SMEM) selects the byte interpretation
-    per call — 0 = INT8, 1 = FP8 (per-layer mixed-precision pools)."""
+    """Raw quantized [..., bs, D/pack] tile -> float32 [..., bs, D] (scales
+    separate). MIXED8: `sid` (scalar read from SMEM) selects the byte
+    interpretation per call — 0 = INT8, 1 = FP8 (per-layer mixed pools)."""
     if kv_dtype == KVDtype.MIXED8:
         i8 = raw.astype(jnp.float32)
         f8 = jax.lax.bitcast_convert_type(raw, jnp.float8_e4m3fn).astype(jnp.float32)
@@ -64,33 +71,31 @@ def _dequant_tile(raw: jax.Array, kv_dtype: KVDtype, head_dim: int,
 
 
 def _decode_kernel(
-    # scalar prefetch
     table_ref,   # [B, max_blocks] int32 (SMEM)
     lens_ref,    # [B] int32 (SMEM)
-    # blocks
-    q_ref,       # [1, 1, G, D]
-    k_ref,       # [1, 1, bs, D/pack]
-    v_ref,
-    ks_ref,      # [1, 1, bs, 1] f32 (this head's scale row)
-    vs_ref,
-    o_ref,       # [1, 1, G, D]
-    # scratch
-    acc_ref,     # [G, D] f32
-    m_ref,       # [G, 1] f32
-    l_ref,       # [G, 1] f32
-    *,
+    q_ref,       # [1, Hkv, G, D]
+    *rest,       # ppb x (k, v, ks, vs) block refs, o_ref, 3 scratch refs
     kv_dtype: KVDtype,
     block_size: int,
     head_dim: int,
+    num_kv_heads: int,
+    group: int,
+    ppb: int,
     sm_scale: float,
     sid_ref=None,   # [1] int32 SMEM — MIXED8 per-layer scheme id
 ):
+    k_refs = rest[0:ppb]
+    v_refs = rest[ppb:2 * ppb]
+    ks_refs = rest[2 * ppb:3 * ppb]
+    vs_refs = rest[3 * ppb:4 * ppb]
+    o_ref, acc_ref, m_ref, l_ref = rest[4 * ppb:]
+
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    i = pl.program_id(2)
-    num_blocks = pl.num_programs(2)
+    i = pl.program_id(1)
+    n_steps = pl.num_programs(1)
     seq_len = lens_ref[b]
     sid = sid_ref[0] if sid_ref is not None else None
+    G = group
 
     @pl.when(i == 0)
     def _init():
@@ -98,43 +103,50 @@ def _decode_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    block_start = i * block_size
-
-    @pl.when(block_start < seq_len)
+    @pl.when(i * ppb * block_size < seq_len)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)                   # [G, D]
-        k = _dequant_tile(k_ref[0, 0], kv_dtype, head_dim, sid)  # [bs, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                     # [G, bs]
-        kscale = ks_ref[0, 0, :, 0]                           # [bs]
-        s = s * kscale[None, :] * sm_scale
-        pos = block_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(pos < seq_len, s, NEG_INF)
+        q = q_ref[0].astype(jnp.float32)                       # [Hkv, G, D]
+        for j in range(ppb):
+            block_start = (i * ppb + j) * block_size
+            k_raw = k_refs[j][0]                               # [Hkv, bs, Dp]
+            v_raw = v_refs[j][0]
+            kss = ks_refs[j][0][..., 0]                        # [Hkv, bs]
+            vss = vs_refs[j][0][..., 0]
+            pos = block_start + jax.lax.broadcasted_iota(
+                jnp.int32, (G, block_size), 1)                 # [G, bs]
+            for h in range(num_kv_heads):
+                sl = slice(h * G, (h + 1) * G)
+                k = _dequant_tile(k_raw[h], kv_dtype, head_dim, sid)  # [bs, D]
+                s = jax.lax.dot_general(
+                    q[h], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [G, bs]
+                s = s * kss[h][None, :] * sm_scale
+                s = jnp.where(pos < seq_len, s, NEG_INF)
 
-        m_prev = m_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)                                # [G, bs]
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = _dequant_tile(v_ref[0, 0], kv_dtype, head_dim, sid)  # [bs, D]
-        vscale = vs_ref[0, 0, :, 0]                           # [bs]
-        pv = p * vscale[None, :]
-        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-            pv, v, preferred_element_type=jnp.float32
-        )
-        m_ref[:] = m_new
+                m_prev = m_ref[sl]
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m_prev - m_new)
+                l_ref[sl] = l_ref[sl] * alpha + jnp.sum(p, axis=-1,
+                                                        keepdims=True)
+                v = _dequant_tile(v_raw[h], kv_dtype, head_dim, sid)
+                pv = p * vss[h][None, :]
+                acc_ref[sl] = acc_ref[sl] * alpha + jax.lax.dot_general(
+                    pv, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                m_ref[sl] = m_new
 
-    @pl.when(i == num_blocks - 1)
+    @pl.when(i == n_steps - 1)
     def _finalize():
         # max(l, tiny) so a lane with seq_len == 0 (no _compute ran) yields
         # zeros instead of NaN — flash-decoding convention for empty rows
-        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = out.reshape(num_kv_heads, G, head_dim).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kv_dtype", "sm_scale", "interpret")
+    jax.jit, static_argnames=("kv_dtype", "sm_scale", "interpret",
+                              "pages_per_step")
 )
 def paged_attention(
     q: jax.Array,              # [B, num_q_heads, head_dim]
@@ -147,6 +159,8 @@ def paged_attention(
     kv_dtype: KVDtype,
     sm_scale: float | None = None,
     interpret: bool | None = None,
+    scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 this call
+    pages_per_step: int | None = None,
 ) -> jax.Array:
     B, num_q_heads, head_dim = q.shape
     num_slots, num_kv_heads, block_size, _ = k_pool.shape
@@ -157,14 +171,28 @@ def paged_attention(
     if interpret is None:
         interpret = interpret_mode()
     pack = 2 if kv_dtype == KVDtype.INT4 else 1
+    mixed = kv_dtype == KVDtype.MIXED8
+    ppb = pages_per_step or min(8, max_blocks)
+    while max_blocks % ppb:
+        ppb -= 1
+    n_steps = max_blocks // ppb
 
-    kernel = functools.partial(
+    base = functools.partial(
         _decode_kernel,
         kv_dtype=kv_dtype,
         block_size=block_size,
         head_dim=head_dim,
+        num_kv_heads=num_kv_heads,
+        group=group,
+        ppb=ppb,
         sm_scale=float(sm_scale),
     )
+    if mixed:
+        # third scalar-prefetch operand carries the per-layer scheme id
+        def kernel(table_ref, lens_ref, sid_ref, *rest):
+            base(table_ref, lens_ref, *rest, sid_ref=sid_ref)
+    else:
+        kernel = base
 
     # group-major q view: [B, Hkv, G, D] — (G, D) are the tiling dims
     q4 = q.reshape(B, num_kv_heads, group, head_dim)
@@ -173,37 +201,46 @@ def paged_attention(
     ks4 = k_scale[..., None]
     vs4 = v_scale[..., None]
 
-    def kv_index(b, h, i, t, l):
-        # clamp to the lane's last real block: grid steps past seq_len
-        # re-address it, so their DMAs are elided (no dead traffic for
-        # short sequences in a wide table)
-        last = jnp.maximum((l[b] - 1) // block_size, 0)
-        return (t[b, jnp.minimum(i, last)], h, 0, 0)
+    def kv_index(j):
+        def f(b, i, t, l, *_):
+            # clamp to the lane's last real block: grid steps past seq_len
+            # re-address it, so their DMAs are elided (no dead traffic for
+            # short sequences in a wide table)
+            last = jnp.maximum((l[b] - 1) // block_size, 0)
+            return (t[b, jnp.minimum(i * ppb + j, last)], 0, 0, 0)
+        return f
+
+    kv_spec = [pl.BlockSpec((1, num_kv_heads, block_size, head_dim // pack),
+                            kv_index(j)) for j in range(ppb)]
+    sc_spec = [pl.BlockSpec((1, num_kv_heads, block_size, 1), kv_index(j))
+               for j in range(ppb)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, num_kv_heads, max_blocks),
+        num_scalar_prefetch=3 if mixed else 2,
+        grid=(B, n_steps),
         in_specs=[
-            pl.BlockSpec((1, 1, group, head_dim),
-                         lambda b, h, i, t, l: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_size, head_dim // pack), kv_index),
-            pl.BlockSpec((1, 1, block_size, head_dim // pack), kv_index),
-            pl.BlockSpec((1, 1, block_size, 1), kv_index),
-            pl.BlockSpec((1, 1, block_size, 1), kv_index),
+            pl.BlockSpec((1, num_kv_heads, group, head_dim),
+                         lambda b, i, *_: (b, 0, 0, 0)),
+            *kv_spec, *kv_spec, *sc_spec, *sc_spec,
         ],
-        out_specs=pl.BlockSpec((1, 1, group, head_dim),
-                               lambda b, h, i, t, l: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, num_kv_heads, group, head_dim),
+                               lambda b, i, *_: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((group, head_dim), jnp.float32),
-            pltpu.VMEM((group, 1), jnp.float32),
-            pltpu.VMEM((group, 1), jnp.float32),
+            pltpu.VMEM((num_kv_heads * group, head_dim), jnp.float32),
+            pltpu.VMEM((num_kv_heads * group, 1), jnp.float32),
+            pltpu.VMEM((num_kv_heads * group, 1), jnp.float32),
         ],
     )
 
+    scalars = (block_table, seq_lens)
+    if mixed:
+        scalars += (jnp.reshape(scheme_id, (1,)).astype(jnp.int32),)
+    operands = (q4,) + (k_pool,) * ppb + (v_pool,) * ppb \
+        + (ks4,) * ppb + (vs4,) * ppb
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, num_kv_heads, group, head_dim), q.dtype),
         interpret=interpret,
-    )(block_table, seq_lens, q4, k_pool, v_pool, ks4, vs4)
+    )(*scalars, *operands)
     return out.reshape(B, num_q_heads, head_dim)

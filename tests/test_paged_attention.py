@@ -146,3 +146,45 @@ def test_chunk_kernel_group1():
                                        start, KVDtype.INT8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("sid,uni", [(0, KVDtype.INT8), (1, KVDtype.FP8)])
+def test_mixed8_kernel_matches_uniform(sid, uni):
+    """MIXED8 (per-layer scheme id as data) must equal the uniform-scheme
+    program whose scheme the id selects — decode kernel, ref, and the
+    chunk kernel."""
+    import jax.numpy as jnp
+
+    from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
+    from cxl_speckv_tpu.ops.chunk_attention_pallas import (
+        paged_chunk_attention_pallas,
+    )
+
+    q, (kp, vp, ks, vs, table, lens, _, _) = setup(uni)
+    sid_arr = jnp.int32(sid)
+    got = paged_attention(q, kp, vp, ks, vs, table, lens, KVDtype.MIXED8,
+                          scheme_id=sid_arr, interpret=True)
+    want = paged_attention(q, kp, vp, ks, vs, table, lens, uni, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    gr = paged_attention_ref(q, kp, vp, ks, vs, table, lens, KVDtype.MIXED8,
+                             scheme_id=sid_arr)
+    wr = paged_attention_ref(q, kp, vp, ks, vs, table, lens, uni)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(wr), rtol=1e-6)
+
+    T = 8
+    B = table.shape[0]
+    rng = jax.random.split(jax.random.PRNGKey(5), 3)
+    qc = jax.random.normal(rng[0], (B, T, HQ, D))
+    kn = jax.random.normal(rng[1], (B, T, HKV, D))
+    vn = jax.random.normal(rng[2], (B, T, HKV, D))
+    start = jnp.asarray([5, 0, 32], jnp.int32)
+    gc = paged_chunk_attention_pallas(qc, kn, vn, kp, vp, ks, vs, table,
+                                      start, KVDtype.MIXED8,
+                                      scheme_id=sid_arr, interpret=True)
+    wc = paged_chunk_attention_pallas(qc, kn, vn, kp, vp, ks, vs, table,
+                                      start, uni, interpret=True)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(wc), rtol=1e-6)
+    gj = paged_chunk_attention(qc, kn, vn, kp, vp, ks, vs, table, start,
+                               KVDtype.MIXED8, scheme_id=sid_arr)
+    wj = paged_chunk_attention(qc, kn, vn, kp, vp, ks, vs, table, start, uni)
+    np.testing.assert_allclose(np.asarray(gj), np.asarray(wj), rtol=1e-6)
