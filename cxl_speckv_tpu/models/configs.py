@@ -38,6 +38,10 @@ class LlamaConfig:
     max_seq_len: int = 8192
     eos_token_id: int = 128009
     dtype: str = "bfloat16"
+    # Pallas attention matmul operand precision ("bfloat16" = native MXU
+    # rate; "float32" for bit-conservative runs). Softmax statistics and
+    # accumulators stay f32 either way; XLA reference paths ignore this.
+    attn_compute_dtype: str = "bfloat16"
 
     @property
     def q_group(self) -> int:

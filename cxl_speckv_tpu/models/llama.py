@@ -169,7 +169,9 @@ def _decode_core(
     slots = jnp.take_along_axis(block_table, blk[:, None], axis=1)[:, 0]  # [B]
     offs = positions % bs
 
-    attend = paged_attention if use_pallas else paged_attention_ref
+    attend = (functools.partial(
+        paged_attention, compute_dtype=jnp.dtype(c.attn_compute_dtype))
+        if use_pallas else paged_attention_ref)
     # per-layer mixed precision (CacheConfig.layer_kv_dtypes): kv_dtype is a
     # tuple of per-layer schemes; the scan sees one MIXED8 program with the
     # layer's scheme id as data
@@ -403,8 +405,10 @@ def prefill_batch_packed(
         paged_chunk_attention_pallas)
     from cxl_speckv_tpu.ops.quant import dequantize_kv
 
-    attend_chunk = (paged_chunk_attention_pallas if use_pallas
-                    else paged_chunk_attention)
+    attend_chunk = (functools.partial(
+        paged_chunk_attention_pallas,
+        compute_dtype=jnp.dtype(config.attn_compute_dtype))
+        if use_pallas else paged_chunk_attention)
 
     c = config
     B = packed.shape[0]
@@ -818,8 +822,10 @@ def verify_step(
     from cxl_speckv_tpu.ops.chunk_attention_pallas import (
         paged_chunk_attention_pallas)
 
-    attend_chunk = (paged_chunk_attention_pallas if use_pallas
-                    else paged_chunk_attention)
+    attend_chunk = (functools.partial(
+        paged_chunk_attention_pallas,
+        compute_dtype=jnp.dtype(config.attn_compute_dtype))
+        if use_pallas else paged_chunk_attention)
     c = config
     B, T = token_ids.shape
     bs = k_pools.shape[3]
@@ -936,8 +942,10 @@ def prefill_chunk(
     from cxl_speckv_tpu.ops.chunk_attention_pallas import (
         paged_chunk_attention_pallas)
 
-    attend_chunk = (paged_chunk_attention_pallas if use_pallas
-                    else paged_chunk_attention)
+    attend_chunk = (functools.partial(
+        paged_chunk_attention_pallas,
+        compute_dtype=jnp.dtype(config.attn_compute_dtype))
+        if use_pallas else paged_chunk_attention)
 
     c = config
     T = token_ids.shape[0]

@@ -49,7 +49,7 @@ def _chunk_kernel(
     vn_ref,      # [1, 1, T, D]
     k_ref,       # [1, 1, bs, D/pack] context block
     v_ref,
-    ks_ref,      # [1, 1, bs, 1] f32
+    ks_ref,      # [1, Hkv, bs] f32 — native 3D scale tile, all heads
     vs_ref,
     o_ref,       # [1, 1, TG, D]
     # scratch
@@ -62,9 +62,11 @@ def _chunk_kernel(
     head_dim: int,
     group: int,
     sm_scale: float,
+    compute_dtype=jnp.float32,
     sid_ref=None,   # [1] int32 SMEM — MIXED8 per-layer scheme id
 ):
     b = pl.program_id(0)
+    h = pl.program_id(1)
     i = pl.program_id(2)
     nb = pl.num_programs(2)
     start = start_ref[b]
@@ -78,12 +80,19 @@ def _chunk_kernel(
 
     @pl.when((i < nb - 1) & (i * block_size < start))
     def _context():
-        q = q_ref[0, 0].astype(jnp.float32)                   # [TG, D]
-        k = _dequant_tile(k_ref[0, 0], kv_dtype, head_dim, sid)  # [bs, D]
+        q = q_ref[0, 0].astype(compute_dtype)                 # [TG, D]
+        # scales ride their native 3D layout; the tile carries all heads
+        # (1KB) and the kernel selects this head's row — ref indexing with
+        # a dynamic sublane index is Mosaic-lowerable, and a host-side
+        # [..., None] relayout of the whole pool is avoided. Folding the
+        # scale into the dequantized values PRE-matmul matches the decode
+        # kernel's recipe exactly (one rounding behavior across paths).
+        k = _dequant_tile(k_ref[0, 0], kv_dtype, head_dim, sid,
+                          out_dtype=compute_dtype)            # [bs, D]
+        k = k * ks_ref[0, h][:, None].astype(compute_dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [TG, bs]
-        s = s * ks_ref[0, 0, :, 0][None, :] * sm_scale
+            preferred_element_type=jnp.float32) * sm_scale    # [TG, bs]
         pos = i * block_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(pos < start, s, NEG_INF)
 
@@ -92,17 +101,18 @@ def _chunk_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = _dequant_tile(v_ref[0, 0], kv_dtype, head_dim, sid)
-        pv = p * vs_ref[0, 0, :, 0][None, :]
+        v = _dequant_tile(v_ref[0, 0], kv_dtype, head_dim, sid,
+                          out_dtype=compute_dtype)
+        v = v * vs_ref[0, h][:, None].astype(compute_dtype)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            pv, v, (((1,), (0,)), ((), ())),
+            p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = m_new
 
     @pl.when(i == nb - 1)
     def _chunk_and_finalize():
-        q = q_ref[0, 0].astype(jnp.float32)                   # [TG, D]
-        k = kn_ref[0, 0].astype(jnp.float32)                  # [T, D]
+        q = q_ref[0, 0].astype(compute_dtype)                 # [TG, D]
+        k = kn_ref[0, 0].astype(compute_dtype)                # [T, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale    # [TG, T]
@@ -115,15 +125,16 @@ def _chunk_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = vn_ref[0, 0].astype(jnp.float32)                  # [T, D]
+        v = vn_ref[0, 0].astype(compute_dtype)                # [T, D]
         acc = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kv_dtype", "sm_scale", "interpret")
+    jax.jit, static_argnames=("kv_dtype", "sm_scale", "interpret",
+                              "compute_dtype")
 )
 def paged_chunk_attention_pallas(
     q: jax.Array,            # [B, T, Hq, D] fresh queries (rope applied)
@@ -139,6 +150,7 @@ def paged_chunk_attention_pallas(
     sm_scale: float | None = None,
     interpret: bool | None = None,
     scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 this call
+    compute_dtype=jnp.float32,  # matmul operand dtype; bf16 = native MXU
 ) -> jax.Array:
     """Drop-in kernel variant of `chunk_attention.paged_chunk_attention`.
     Returns [B, T, Hq, D]."""
@@ -156,7 +168,8 @@ def paged_chunk_attention_pallas(
 
     base = functools.partial(
         _chunk_kernel, kv_dtype=kv_dtype, block_size=block_size,
-        head_dim=head_dim, group=group, sm_scale=float(sm_scale))
+        head_dim=head_dim, group=group, sm_scale=float(sm_scale),
+        compute_dtype=compute_dtype)
     if mixed:
         def kernel(table_ref, start_ref, sid_ref, *rest):
             base(table_ref, start_ref, *rest, sid_ref=sid_ref)
@@ -168,14 +181,16 @@ def paged_chunk_attention_pallas(
           .transpose(0, 2, 1, 3, 4).reshape(B, num_kv_heads, tg, head_dim))
     kn = k_new.transpose(0, 2, 1, 3)   # [B, Hkv, T, D]
     vn = v_new.transpose(0, 2, 1, 3)
-    ks4 = k_scale[..., None]
-    vs4 = v_scale[..., None]
 
     def ctx_index(b, h, i, t, s, *_):
         # clamp to the lane's last real context block: trailing grid steps
         # re-address it, so their copies are elided
         last = jnp.maximum((s[b] - 1) // block_size, 0)
         return (t[b, jnp.minimum(i, last)], h, 0, 0)
+
+    def sc_index(b, h, i, t, s, *_):
+        last = jnp.maximum((s[b] - 1) // block_size, 0)
+        return (t[b, jnp.minimum(i, last)], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if mixed else 2,
@@ -186,8 +201,8 @@ def paged_chunk_attention_pallas(
             pl.BlockSpec((1, 1, T, head_dim), lambda b, h, i, *_: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, block_size, head_dim // pack), ctx_index),
             pl.BlockSpec((1, 1, block_size, head_dim // pack), ctx_index),
-            pl.BlockSpec((1, 1, block_size, 1), ctx_index),
-            pl.BlockSpec((1, 1, block_size, 1), ctx_index),
+            pl.BlockSpec((1, num_kv_heads, block_size), sc_index),
+            pl.BlockSpec((1, num_kv_heads, block_size), sc_index),
         ],
         out_specs=pl.BlockSpec((1, 1, tg, head_dim),
                                lambda b, h, i, *_: (b, h, 0, 0)),
@@ -206,7 +221,7 @@ def paged_chunk_attention_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, num_kv_heads, tg, head_dim), q.dtype),
         interpret=interpret,
-    )(*scalars, q4, kn, vn, k_pool, v_pool, ks4, vs4)
+    )(*scalars, q4, kn, vn, k_pool, v_pool, k_scale, v_scale)
     # [B, Hkv, T*G, D] -> [B, T, Hq, D]
     return (out.reshape(B, num_kv_heads, T, group, head_dim)
             .transpose(0, 2, 1, 3, 4).reshape(B, T, num_q_heads, head_dim))

@@ -46,13 +46,16 @@ NEG_INF = -1e30
 
 
 def _dequant_tile(raw: jax.Array, kv_dtype: KVDtype, head_dim: int,
-                  sid=None) -> jax.Array:
-    """Raw quantized [..., bs, D/pack] tile -> float32 [..., bs, D] (scales
-    separate). MIXED8: `sid` (scalar read from SMEM) selects the byte
-    interpretation per call — 0 = INT8, 1 = FP8 (per-layer mixed pools)."""
+                  sid=None, out_dtype=jnp.float32) -> jax.Array:
+    """Raw quantized [..., bs, D/pack] tile -> `out_dtype` [..., bs, D]
+    (scales separate). All stored values are exactly representable in
+    bfloat16 (int8/int4 integers, e4m3 floats), so out_dtype=bfloat16 loses
+    nothing here — rounding enters only at the scale multiply. MIXED8:
+    `sid` (scalar read from SMEM) selects the byte interpretation per call
+    — 0 = INT8, 1 = FP8 (per-layer mixed pools)."""
     if kv_dtype == KVDtype.MIXED8:
-        i8 = raw.astype(jnp.float32)
-        f8 = jax.lax.bitcast_convert_type(raw, jnp.float8_e4m3fn).astype(jnp.float32)
+        i8 = raw.astype(out_dtype)
+        f8 = jax.lax.bitcast_convert_type(raw, jnp.float8_e4m3fn).astype(out_dtype)
         f8 = jnp.where(jnp.isnan(f8), 0.0, f8)
         return jnp.where(sid == 0, i8, f8)
     if kv_dtype == KVDtype.INT4:
@@ -65,9 +68,9 @@ def _dequant_tile(raw: jax.Array, kv_dtype: KVDtype, head_dim: int,
         # pool stores e4m3 bits in int8 bytes; reinterpret in-register.
         # Foreign-scheme bytes (guard slot, pre-switch blocks) can bitcast
         # to e4m3 NaN — sanitize so masked junk stays finite.
-        f = jax.lax.bitcast_convert_type(raw, jnp.float8_e4m3fn).astype(jnp.float32)
+        f = jax.lax.bitcast_convert_type(raw, jnp.float8_e4m3fn).astype(out_dtype)
         return jnp.where(jnp.isnan(f), 0.0, f)
-    return raw.astype(jnp.float32)
+    return raw.astype(out_dtype)
 
 
 def _decode_kernel(
@@ -82,6 +85,7 @@ def _decode_kernel(
     group: int,
     ppb: int,
     sm_scale: float,
+    compute_dtype=jnp.float32,
     sid_ref=None,   # [1] int32 SMEM — MIXED8 per-layer scheme id
 ):
     k_refs = rest[0:ppb]
@@ -105,36 +109,57 @@ def _decode_kernel(
 
     @pl.when(i * ppb * block_size < seq_len)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)                       # [Hkv, G, D]
-        for j in range(ppb):
-            block_start = (i * ppb + j) * block_size
-            k_raw = k_refs[j][0]                               # [Hkv, bs, Dp]
-            v_raw = v_refs[j][0]
-            kss = ks_refs[j][0][..., 0]                        # [Hkv, bs]
-            vss = vs_refs[j][0][..., 0]
-            pos = block_start + jax.lax.broadcasted_iota(
-                jnp.int32, (G, block_size), 1)                 # [G, bs]
-            for h in range(num_kv_heads):
-                sl = slice(h * G, (h + 1) * G)
-                k = _dequant_tile(k_raw[h], kv_dtype, head_dim, sid)  # [bs, D]
-                s = jax.lax.dot_general(
-                    q[h], k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)        # [G, bs]
-                s = s * kss[h][None, :] * sm_scale
-                s = jnp.where(pos < seq_len, s, NEG_INF)
+        # One block-diagonal pass over ALL heads and pages of this step:
+        # Q [Hkv*G, D] against K/V [ppb*Hkv*bs, D] in single matmuls, with
+        # off-diagonal (query-head != kv-head) score columns masked to
+        # NEG_INF. exp underflows those to exactly 0, so the PV matmul sums
+        # only each head's own columns — Hkv-fold redundant FLOPs, but the
+        # kernel is bandwidth-bound and big MXU ops beat Hkv*ppb tiny ones
+        # (the per-head-loop variant measured 1-5% of HBM peak; see
+        # NOTES_ROUND2).
+        rows = num_kv_heads * G
+        hb = num_kv_heads * block_size
+        cols = ppb * hb
 
-                m_prev = m_ref[sl]
-                m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-                p = jnp.exp(s - m_new)
-                alpha = jnp.exp(m_prev - m_new)
-                l_ref[sl] = l_ref[sl] * alpha + jnp.sum(p, axis=-1,
-                                                        keepdims=True)
-                v = _dequant_tile(v_raw[h], kv_dtype, head_dim, sid)
-                pv = p * vss[h][None, :]
-                acc_ref[sl] = acc_ref[sl] * alpha + jax.lax.dot_general(
-                    pv, v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                m_ref[sl] = m_new
+        q = q_ref[0].reshape(rows, head_dim).astype(compute_dtype)
+        # Scale blocks arrive as [1, Hkv, bs] tiles of the raw 3D scale
+        # pool — a host-side k_scale[..., None] would relayout the ENTIRE
+        # pool (unit dim padded to 128 lanes; ~5ms/call for a 512MB pool).
+        # In-kernel, dequant+scale happen in the tile's natural 3D shape
+        # ([..., None] minor-unit insert is Mosaic-lowerable for f32 where
+        # a [Hkv, bs] -> [hb, 1] shape cast is not), then collapse to 2D.
+        def dq(raw_ref, sc_ref):
+            raw = raw_ref[0]                                   # [Hkv, bs, Dp]
+            x = _dequant_tile(raw, kv_dtype, head_dim, sid,
+                              out_dtype=compute_dtype)         # [Hkv, bs, D]
+            # unit-dim insert happens on f32 (Mosaic only lowers it for
+            # 32-bit types), THEN the scale converts to compute_dtype
+            x = x * sc_ref[0][..., None].astype(compute_dtype)
+            return x.reshape(hb, head_dim)
+        k = jnp.concatenate(
+            [dq(k_refs[j], ks_refs[j]) for j in range(ppb)], axis=0)
+        v = jnp.concatenate(
+            [dq(v_refs[j], vs_refs[j]) for j in range(ppb)], axis=0)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale     # [rows, cols]
+
+        c_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        r_head = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // G
+        c_head = (c_idx // block_size) % num_kv_heads
+        pos = ((i * ppb + c_idx // hb) * block_size + c_idx % block_size)
+        s = jnp.where((c_head == r_head) & (pos < seq_len), s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)                                 # [rows, cols]
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
 
     @pl.when(i == n_steps - 1)
     def _finalize():
@@ -146,7 +171,7 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("kv_dtype", "sm_scale", "interpret",
-                              "pages_per_step")
+                              "pages_per_step", "compute_dtype")
 )
 def paged_attention(
     q: jax.Array,              # [B, num_q_heads, head_dim]
@@ -161,6 +186,7 @@ def paged_attention(
     interpret: bool | None = None,
     scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 this call
     pages_per_step: int | None = None,
+    compute_dtype=jnp.float32,  # matmul operand dtype; bf16 = native MXU
 ) -> jax.Array:
     B, num_q_heads, head_dim = q.shape
     num_slots, num_kv_heads, block_size, _ = k_pool.shape
@@ -186,6 +212,7 @@ def paged_attention(
         group=group,
         ppb=ppb,
         sm_scale=float(sm_scale),
+        compute_dtype=compute_dtype,
     )
     if mixed:
         # third scalar-prefetch operand carries the per-layer scheme id
@@ -196,24 +223,25 @@ def paged_attention(
 
     # group-major q view: [B, Hkv, G, D] — (G, D) are the tiling dims
     q4 = q.reshape(B, num_kv_heads, group, head_dim)
-    # trailing unit dim so BlockSpec can select the head without in-kernel
-    # dynamic indexing (unsupported by the Mosaic lowering)
-    ks4 = k_scale[..., None]
-    vs4 = v_scale[..., None]
 
-    def kv_index(j):
+    def kv_index(j, rank4=True):
         def f(b, i, t, l, *_):
             # clamp to the lane's last real block: grid steps past seq_len
             # re-address it, so their DMAs are elided (no dead traffic for
             # short sequences in a wide table)
             last = jnp.maximum((l[b] - 1) // block_size, 0)
-            return (t[b, jnp.minimum(i * ppb + j, last)], 0, 0, 0)
+            slot = t[b, jnp.minimum(i * ppb + j, last)]
+            return (slot, 0, 0, 0) if rank4 else (slot, 0, 0)
         return f
 
     kv_spec = [pl.BlockSpec((1, num_kv_heads, block_size, head_dim // pack),
                             kv_index(j)) for j in range(ppb)]
-    sc_spec = [pl.BlockSpec((1, num_kv_heads, block_size, 1), kv_index(j))
-               for j in range(ppb)]
+    # scales ride their NATIVE 3D layout [S, Hkv, bs] — (Hkv, bs) are the
+    # tiling dims ((8,128)-rule: Hkv % 8 == 0 or full; bs == full dim). A
+    # trailing unit dim added outside the kernel would pad 1 -> 128 lanes
+    # and relayout the whole pool on every call.
+    sc_spec = [pl.BlockSpec((1, num_kv_heads, block_size),
+                            kv_index(j, rank4=False)) for j in range(ppb)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if mixed else 2,
@@ -236,7 +264,7 @@ def paged_attention(
     if mixed:
         scalars += (jnp.reshape(scheme_id, (1,)).astype(jnp.int32),)
     operands = (q4,) + (k_pool,) * ppb + (v_pool,) * ppb \
-        + (ks4,) * ppb + (vs4,) * ppb
+        + (k_scale,) * ppb + (v_scale,) * ppb
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

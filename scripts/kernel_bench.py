@@ -32,16 +32,21 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     peak_gbs = 820.0 if on_tpu else None  # v5e HBM
 
-    @functools.partial(jax.jit, static_argnames=("kv_dtype", "iters"))
-    def attention_loop(q, kp, vp, ks, vs, table, lens, *, kv_dtype, iters):
+    @functools.partial(jax.jit,
+                       static_argnames=("kv_dtype", "iters", "cdt"))
+    def attention_loop(q, kp, vp, ks, vs, table, lens, *, kv_dtype, iters,
+                       cdt):
         def body(_, q):
             return paged_attention(q, kp, vp, ks, vs, table, lens,
-                                   kv_dtype).astype(q.dtype)
+                                   kv_dtype,
+                                   compute_dtype=cdt).astype(q.dtype)
         return jax.lax.fori_loop(0, iters, body, q)
 
     # Llama-3-8B decode geometry, long context
     B, Hq, Hkv, D, bs = 8, 32, 8, 128, 32
     N = 50
+    cdt = jnp.bfloat16 if "--f32" not in sys.argv else jnp.float32
+    print(f"compute_dtype={jnp.dtype(cdt).name}", flush=True)
     for kv_dtype, name in ((KVDtype.INT8, "int8"), (KVDtype.INT4, "int4"),
                            (KVDtype.BF16, "bf16")):
         pack = 2 if kv_dtype == KVDtype.INT4 else 1
@@ -63,11 +68,11 @@ def main():
             q = jnp.zeros((B, Hq, D), jnp.bfloat16)
 
             out = attention_loop(q, kp, vp, ks, vs, table, lens,
-                                 kv_dtype=kv_dtype, iters=N)
+                                 kv_dtype=kv_dtype, iters=N, cdt=cdt)
             np.asarray(out)  # warm: compile + one run, value-fetch sync
             t0 = time.perf_counter()
             out = attention_loop(q, kp, vp, ks, vs, table, lens,
-                                 kv_dtype=kv_dtype, iters=N)
+                                 kv_dtype=kv_dtype, iters=N, cdt=cdt)
             np.asarray(out)  # value fetch: block_until_ready lies over tunnels
             dt = (time.perf_counter() - t0) / N
             # bytes of KV actually streamed per kernel invocation
