@@ -1,0 +1,117 @@
+"""Multi-host lockstep frontend (parallel/lockstep.py).
+
+The SPMD lockstep invariant: N processes whose clients submit in DIFFERENT
+local orders must apply IDENTICAL command streams to their engines and
+produce identical outputs. Simulated here with two full Engine instances
+(one per "process") joined by the in-memory LocalFabric transport.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from cxl_speckv_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    KVDtype,
+    PrefetchConfig,
+    SystemConfig,
+)
+from cxl_speckv_tpu.engine.engine import Engine
+from cxl_speckv_tpu.models.configs import tiny_test_config
+from cxl_speckv_tpu.models.llama import init_params
+from cxl_speckv_tpu.parallel.lockstep import (
+    LocalFabric,
+    LockstepFrontend,
+    LogEntry,
+    merge_rounds,
+)
+
+CFG = tiny_test_config()
+PARAMS = init_params(CFG, jax.random.PRNGKey(0))
+
+
+def make_engine():
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=24,
+                          num_host_blocks=64, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(enabled=False),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=64,
+                            prefill_chunk=16),
+    )
+    return Engine(CFG, sc, params=PARAMS, enable_lstm=False, seed=0)
+
+
+def test_merge_is_deterministic_and_order_free():
+    a = [LogEntry(0, 0, "request", ((1,), 4, 0.0, None)),
+         LogEntry(0, 1, "depth", (3,))]
+    b = [LogEntry(1, 0, "request", ((2,), 4, 0.0, None))]
+    m1 = merge_rounds([a, b])
+    m2 = merge_rounds([list(a), list(b)])
+    assert m1 == m2
+    assert [(e.client_id, e.client_seq) for e in m1] == [(0, 0), (0, 1), (1, 0)]
+
+
+def test_lockstep_identical_streams_different_interleavings():
+    rng = np.random.RandomState(3)
+    prompts = [rng.randint(1, 256, rng.randint(4, 10)).tolist()
+               for _ in range(6)]
+
+    fabric = LocalFabric(2)
+    e0, e1 = make_engine(), make_engine()
+    f0 = LockstepFrontend(e0, 0, fabric)
+    f1 = LockstepFrontend(e1, 1, fabric)
+
+    # process 0's clients submit prompts 0..2; process 1's submit 3..5 —
+    # and the local submission order differs between the processes' views
+    h0 = [f0.submit(p, max_new_tokens=6) for p in prompts[:3]]
+    h1 = [f1.submit(p, max_new_tokens=6) for p in prompts[3:]]
+
+    f0.stage_round()
+    f1.stage_round()
+    m0 = f0.apply_round()
+    m1 = f1.apply_round()
+
+    # both engines saw ALL six requests, with identical req_id assignment
+    assert len(e0._requests) == len(e1._requests) == 6
+    assert sorted(e0._requests) == sorted(e1._requests)
+    for r0, r1 in zip(e0._requests.values(), e1._requests.values()):
+        assert r0.prompt == r1.prompt
+
+    # handles resolve only for the submitting process
+    assert set(m0) == set(h0) and set(m1) == set(h1)
+
+    out0 = {o.req_id: o.tokens for o in f0.run()}
+    out1 = {o.req_id: o.tokens for o in f1.run()}
+    assert out0 == out1  # byte-identical serving decisions + tokens
+
+
+def test_lockstep_multi_round_with_control_knobs():
+    fabric = LocalFabric(2)
+    e0, e1 = make_engine(), make_engine()
+    f0 = LockstepFrontend(e0, 0, fabric)
+    f1 = LockstepFrontend(e1, 1, fabric)
+
+    f0.submit([5, 6, 7], max_new_tokens=4)
+    f1.set_prefetch_depth(2)
+    f0.stage_round(); f1.stage_round()
+    f0.apply_round(); f1.apply_round()
+
+    # second round: roles swapped
+    f1.submit([9, 9], max_new_tokens=4)
+    f0.stage_round(); f1.stage_round()
+    f0.apply_round(); f1.apply_round()
+
+    out0 = {o.req_id: o.tokens for o in f0.run()}
+    out1 = {o.req_id: o.tokens for o in f1.run()}
+    assert out0 == out1 and len(out0) == 2
+
+
+def test_fabric_enforces_lockstep_protocol():
+    fabric = LocalFabric(2)
+    e0 = make_engine()
+    f0 = LockstepFrontend(e0, 0, fabric)
+    f0.submit([1, 2], max_new_tokens=2)
+    f0.stage_round()
+    with pytest.raises(RuntimeError, match="not yet staged"):
+        f0.apply_round()
