@@ -145,6 +145,11 @@ class PrefetchConfig:
     train_online: bool = False
     train_interval: int = 8         # engine steps between training steps
     train_batch: int = 64
+    # Run training steps on a background worker (the predictor lives on the
+    # host CPU device, so training never contends with the TPU; measured
+    # ~400ms per inline train step stalling the serving loop). False =
+    # synchronous (deterministic tests / offline training loops).
+    train_async: bool = True
     # Token ids hash into this many predictor classes (identity when the
     # model vocab is already smaller). Bounds the predictor's output matmul,
     # softmax, and embedding gradient regardless of model vocab — at 128k

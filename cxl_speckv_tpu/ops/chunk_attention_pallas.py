@@ -7,11 +7,13 @@ chunked prefill and speculative-decoding verification — streaming quantized
 context blocks HBM -> VMEM through the block table and finishing with the
 in-chunk causal part, all in one online-softmax pass.
 
-Sharing the decode kernel's dequant + f32-matmul recipe is the point: with
-one rounding behavior across decode and verify, greedy speculative decoding
-agrees with plain decoding on hardware (VERDICT r1 weak #4/#10 — the
-Precision.HIGHEST einsum band-aid in `chunk_attention.py` is not needed on
-this path).
+Sharing the decode kernel's dequant recipe is the point: scales fold into
+the dequantized K/V pre-matmul, operands are `compute_dtype` (bf16 = native
+MXU rate; f32 available), softmax statistics and accumulators stay f32 —
+with one rounding behavior across decode and verify, greedy speculative
+decoding agrees with plain decoding on hardware (VERDICT r1 weak #4/#10 —
+the Precision.HIGHEST einsum band-aid in `chunk_attention.py` is not
+needed on this path).
 
 Grid (B, Hkv, ctx_blocks + 1): grid steps [0, ctx_blocks) stream context
 blocks — the block index map clamps at the sequence's last real block, so

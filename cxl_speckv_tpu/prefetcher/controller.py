@@ -84,6 +84,9 @@ class PrefetchController:
         self._hist_version: dict[int, int] = {}
         self._pcont: dict[int, tuple[int, float]] = {}
         self._last_loss = None   # pending async train loss (jax scalar)
+        self._train_future = None
+        self._train_executor = None
+        self._pcont_future = None   # (seqs, versions, future) in flight
         self.stats = PrefetchStatistics()
 
     def warmup(self) -> None:
@@ -140,7 +143,19 @@ class PrefetchController:
             stale = [s for s in seqs
                      if self._pcont.get(s, (-1, 0.0))[0]
                      != self._hist_version.get(s, 0)]
-            if stale:
+            if stale and self.config.train_async:
+                # async refresh on the CPU worker: this plan uses the last
+                # known probabilities (one decode round stale — benign for
+                # a should-we-prefetch gate); results install next tick.
+                # Sequences never predicted default to keep (p=1.0).
+                self._harvest_pcont()
+                if self._pcont_future is None:
+                    versions = {s: self._hist_version.get(s, 0)
+                                for s in stale}
+                    hist = self.history_matrix(stale)
+                    self._pcont_future = (stale, versions, self._train_pool()
+                                          .submit(self._predict_pcont, hist))
+            elif stale:
                 p_new = self.predictor.continue_probability(
                     self.history_matrix(stale), self.eos_token_id)
                 for s, pc in zip(stale, p_new):
@@ -190,12 +205,20 @@ class PrefetchController:
 
     def maybe_train(self) -> float | None:
         """Train the predictor on replayed (history, next-token) pairs every
-        `train_interval` ticks. Returns the loss when a step ran."""
+        `train_interval` ticks. With `train_async` (the serving default) the
+        step runs on a single background worker — the predictor lives on
+        the host CPU device, so training costs the TPU serving loop nothing
+        but a submit; `plan()` reading params a step stale is benign.
+        Returns the loss when a synchronous step ran."""
         if not (self.config.train_online and self.predictor is not None):
             return None
         self._ticks += 1
         if self._ticks % self.config.train_interval:
             return None
+        if self._train_future is not None:
+            if not self._train_future.done():
+                return None      # previous step still running: skip, don't queue
+            self._harvest_train()
         # train only at the full fixed batch: a varying batch shape would
         # recompile the CPU train step every time the replay buffer grows
         n = self.config.train_batch
@@ -209,12 +232,50 @@ class PrefetchController:
             hist, t = self._replay[j]
             H[i, T - len(hist):] = hist[-T:]
             y[i] = t
+        if self.config.train_async:
+            self._train_future = self._train_pool().submit(
+                self.predictor.train_batch, H, y)
+            return None
         loss = self.predictor.train_batch(H, y)
         self.stats.train_steps += 1
         self._last_loss = loss  # fetched lazily (async CPU execution)
         return loss
 
+    def _predict_pcont(self, hist):
+        return np.asarray(self.predictor.continue_probability(
+            hist, self.eos_token_id))
+
+    def _harvest_pcont(self) -> None:
+        if self._pcont_future is None:
+            return
+        seqs, versions, fut = self._pcont_future
+        if not fut.done():
+            return
+        self._pcont_future = None
+        for s, pc in zip(seqs, fut.result()):
+            if s in versions:
+                self._pcont[s] = (versions[s], float(pc))
+
+    def _train_pool(self):
+        if self._train_executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._train_executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="lstm-train")
+        return self._train_executor
+
+    def _harvest_train(self) -> None:
+        self._last_loss = self._train_future.result()
+        self.stats.train_steps += 1
+        self._train_future = None
+
+    def drain_training(self) -> None:
+        """Block until an in-flight async train step lands (tests/shutdown)."""
+        if self._train_future is not None:
+            self._harvest_train()
+
     def get_statistics(self) -> PrefetchStatistics:
+        if self._train_future is not None and self._train_future.done():
+            self._harvest_train()
         if self._last_loss is not None:
             self.stats.last_train_loss = float(self._last_loss)
             self._last_loss = None

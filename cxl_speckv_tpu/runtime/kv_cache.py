@@ -377,12 +377,27 @@ class TieredKVCache:
         """One tick: demote under pressure, dispatch/flush queued
         migrations, re-sync block-table rows."""
         if self._device_mode:
-            pressure = self.directory.hbm_pressure()
+            # queued demotes free their slots at dispatch: count them as
+            # already-reclaiming so deferred flushing doesn't over-demote
+            pressure = (self.directory.hbm_pressure()
+                        - self.transfer.pending_down)
             if pressure > 0:
                 self._evict(pressure)
             self.pool.reap_deferred()
-            if not self.defer_migrations:
-                self.dispatch_migrations()
+            if not self.defer_migrations and self.transfer.queued:
+                # Dispatch policy: promotes flush immediately (prefetch
+                # timeliness) and queued writebacks ride the same migrate
+                # program for free; writebacks alone accumulate to a full
+                # batch — a 16-lane program carrying 4 real lanes costs
+                # the same device time as a full one (measured: 11 down
+                # dispatches for 46 blocks, ~90ms each). Half-empty
+                # reserve forces a flush so stale writebacks can't pin
+                # HBM slots indefinitely.
+                if (self.transfer.pending_up
+                        or self.transfer.pending_down >= MIGRATE_BATCH
+                        or self.directory.hbm_free
+                        < self.directory.config.num_reserved_blocks // 2):
+                    self.dispatch_migrations()
             self.pool.sync_moved()
             return
         self.transfer.poll(self.directory)

@@ -78,7 +78,9 @@ def test_controller_prefetches_upcoming_and_skips_resident():
 
 def test_controller_eos_gating():
     kvc = make_kvc()
-    ctl = PrefetchController(PrefetchConfig(depth=4), kvc,
+    # train_async=False: the gate must reflect THIS plan's prediction
+    # synchronously for a deterministic assertion
+    ctl = PrefetchController(PrefetchConfig(depth=4, train_async=False), kvc,
                              predictor=LSTMPredictor(vocab_size=16, seed=0),
                              eos_token_id=0)
     s = kvc.add_seq()
@@ -132,7 +134,8 @@ def test_online_training_learns_pattern():
     """Controller-driven online training: a periodic token stream becomes
     predictable (the reference's training path was a no-op stub)."""
     kvc = make_kvc()
-    cfg = PrefetchConfig(depth=2, train_online=True, train_interval=1,
+    cfg = PrefetchConfig(depth=2, train_online=True, train_async=False,
+                         train_interval=1,
                          train_batch=64, history_len=8)
     ctl = PrefetchController(cfg, kvc,
                              predictor=LSTMPredictor(vocab_size=16, history_len=8, seed=0),
@@ -173,3 +176,60 @@ def test_engine_loads_pretrained_predictor(tmp_path):
                  use_pallas=False, enable_lstm=True)
     got = eng.prefetcher.predictor.params["embed"]
     np.testing.assert_array_equal(np.asarray(got), np.asarray(src.params["embed"]))
+
+
+def test_async_training_off_critical_path():
+    """Serving default: training runs on a background worker — maybe_train
+    returns immediately, completed steps are harvested lazily, and
+    drain_training() lands the in-flight step (engine shutdown path)."""
+    import time
+
+    kvc = make_kvc()
+    cfg = PrefetchConfig(depth=2, train_online=True, train_async=True,
+                         train_interval=1, train_batch=32, history_len=8)
+    ctl = PrefetchController(cfg, kvc,
+                             predictor=LSTMPredictor(vocab_size=16,
+                                                     history_len=8, seed=0),
+                             eos_token_id=0)
+    s = kvc.add_seq()
+    for rep in range(80):
+        ctl.observe_tokens(s, [rep % 7 + 1])
+    t0 = time.monotonic()
+    ctl.maybe_train()       # submits to the worker
+    submit_s = time.monotonic() - t0
+    ctl.drain_training()
+    assert ctl.stats.train_steps == 1
+    assert ctl.stats.last_train_loss == 0.0 or ctl.stats.last_train_loss > 0
+    # a second tick trains again once the first landed
+    ctl.maybe_train()
+    ctl.drain_training()
+    assert ctl.stats.train_steps == 2
+    # the submit itself must be far cheaper than a train step
+    assert submit_s < 0.5, submit_s
+
+
+def test_controller_eos_gating_async_installs_next_tick():
+    """Async mode: the first plan uses keep-by-default, the refreshed
+    probability gates the NEXT plan once the worker lands it."""
+    import time
+
+    kvc = make_kvc()
+    ctl = PrefetchController(PrefetchConfig(depth=4), kvc,
+                             predictor=LSTMPredictor(vocab_size=16, seed=0),
+                             eos_token_id=0)
+    s = kvc.add_seq()
+    kvc.extend_seq(s, 16)
+    demote_all(kvc, s)
+    hist = np.full((64, 16), 5, np.int32)
+    for _ in range(80):
+        ctl.predictor.train_batch(hist, np.zeros(64, np.int32))
+    ctl.observe_tokens(s, [5] * 16)
+    ctl.plan([[s]])  # submits the async refresh; gate not yet in effect
+    for _ in range(200):
+        if ctl._pcont_future is not None and ctl._pcont_future[2].done():
+            break
+        time.sleep(0.01)
+    kvc.maintain()   # land the first plan's promotes so blocks are HBM
+    demote_all(kvc, s)
+    ctl.plan([[s]])  # harvests, then gates
+    assert ctl.stats.skipped_eos_predicted >= 1
