@@ -161,6 +161,19 @@ def paged_chunk_attention_pallas(
     max_blocks = block_table.shape[1]
     group = num_q_heads // num_kv_heads
     tg = T * group
+    if tg < 8 and not (interpret if interpret is not None else interpret_mode()):
+        # Mosaic miscompiles sub-sublane row tiles (TG < 8: verified
+        # "vector.broadcast bf16 -> f32" verifier failure at TG=2). Pad the
+        # token axis up to a full sublane tile; extra rows are discarded.
+        pad_t = max(0, -(-8 // group) - T)   # smallest T' with T'*G >= 8
+        qp = jnp.pad(q, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+        kp_ = jnp.pad(k_new, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+        vp_ = jnp.pad(v_new, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+        out = paged_chunk_attention_pallas(
+            qp, kp_, vp_, k_pool, v_pool, k_scale, v_scale, block_table,
+            start_pos, kv_dtype, sm_scale=sm_scale, interpret=interpret,
+            scheme_id=scheme_id, compute_dtype=compute_dtype)
+        return out[:, :T]
     if sm_scale is None:
         sm_scale = head_dim**-0.5
     if interpret is None:

@@ -22,7 +22,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def run_check(sharp: bool):
+def run_check(sharp: bool, cdt: str = "bfloat16"):
     import jax
     import numpy as np
 
@@ -36,12 +36,12 @@ def run_check(sharp: bool):
         vocab_size=2048, hidden_size=512, intermediate_size=1024,
         num_layers=4, num_q_heads=8, num_kv_heads=4, head_dim=64,
         rope_theta=10000.0, tie_embeddings=False, max_seq_len=512,
-        eos_token_id=0, dtype="bfloat16")
+        eos_token_id=0, dtype="bfloat16", attn_compute_dtype=cdt)
     draft = LlamaConfig(
         vocab_size=2048, hidden_size=256, intermediate_size=512,
         num_layers=2, num_q_heads=4, num_kv_heads=4, head_dim=32,
         rope_theta=10000.0, tie_embeddings=False, max_seq_len=512,
-        eos_token_id=0, dtype="bfloat16")
+        eos_token_id=0, dtype="bfloat16", attn_compute_dtype=cdt)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if sharp:
         # sharper logit margins (the trained-checkpoint stand-in)
@@ -88,9 +88,10 @@ def run_check(sharp: bool):
 def main():
     import jax
     print("backend:", jax.default_backend(), flush=True)
-    a1 = run_check(sharp=False)
-    a2 = run_check(sharp=True)
-    print(f"RESULT plain={a1:.3f} sharp={a2:.3f}", flush=True)
+    cdt = "float32" if "--f32" in sys.argv else "bfloat16"
+    a1 = run_check(sharp=False, cdt=cdt)
+    a2 = run_check(sharp=True, cdt=cdt)
+    print(f"RESULT cdt={cdt} plain={a1:.3f} sharp={a2:.3f}", flush=True)
 
 
 if __name__ == "__main__":
