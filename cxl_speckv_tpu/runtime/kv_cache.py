@@ -214,7 +214,11 @@ class TieredKVCache:
 
     def _ensure_resident_device(self, seq_slots: list[int]) -> int:
         fetched = self.prepare_resident(seq_slots)
-        if self.transfer.queued:
+        # dispatch only when promotes are waiting (the batch needs them
+        # NOW); queued writebacks ride along free in the same program, but
+        # a down-only queue defers to maintain()'s batching policy instead
+        # of burning a ~90ms migrate program on a few writeback lanes
+        if self.transfer.pending_up:
             self.dispatch_migrations()
         return fetched
 
