@@ -15,10 +15,14 @@ decoding agrees with plain decoding on hardware (VERDICT r1 weak #4/#10 —
 the Precision.HIGHEST einsum band-aid in `chunk_attention.py` is not
 needed on this path).
 
-Grid (B, Hkv, ctx_blocks + 1): grid steps [0, ctx_blocks) stream context
-blocks — the block index map clamps at the sequence's last real block, so
-trailing steps re-address the same block and Mosaic elides their copies —
-and the final step folds in the fresh chunk KV (causal) and finalizes.
+Grid (B, Hkv, ctx_steps + 1): each context step streams `pages_per_step`
+blocks through separate BlockSpecs (grid steps carry ~2us fixed
+sequencing cost on a TensorCore, so fewer/bigger steps win — same lesson
+as the decode kernel) and concatenates them into one [ppb*bs, D] operand:
+a far better MXU shape than per-block [bs, D] tiles. Block index maps
+clamp at the sequence's last real context block, so trailing steps
+re-address the same block and Mosaic elides their copies. The final step
+folds in the fresh chunk KV (causal) and finalizes.
 
 q layout [B, Hkv, T*G, D] (row r = t*G + g, g fastest) so each (batch,
 kv-head) tile is one well-shaped MXU operand; causal masking recovers the
@@ -49,24 +53,22 @@ def _chunk_kernel(
     q_ref,       # [1, 1, TG, D]
     kn_ref,      # [1, 1, T, D] fresh keys (this head), already store-rounded
     vn_ref,      # [1, 1, T, D]
-    k_ref,       # [1, 1, bs, D/pack] context block
-    v_ref,
-    ks_ref,      # [1, Hkv, bs] f32 — native 3D scale tile, all heads
-    vs_ref,
-    o_ref,       # [1, 1, TG, D]
-    # scratch
-    acc_ref,     # [TG, D] f32
-    m_ref,       # [TG, 1] f32
-    l_ref,       # [TG, 1] f32
-    *,
+    *rest,       # ppb x (k, v, ks, vs) context refs, o_ref, 3 scratch refs
     kv_dtype: KVDtype,
     block_size: int,
     head_dim: int,
     group: int,
+    ppb: int,
     sm_scale: float,
     compute_dtype=jnp.float32,
     sid_ref=None,   # [1] int32 SMEM — MIXED8 per-layer scheme id
 ):
+    k_refs = rest[0:ppb]
+    v_refs = rest[ppb:2 * ppb]
+    ks_refs = rest[2 * ppb:3 * ppb]
+    vs_refs = rest[3 * ppb:4 * ppb]
+    o_ref, acc_ref, m_ref, l_ref = rest[4 * ppb:]
+
     b = pl.program_id(0)
     h = pl.program_id(1)
     i = pl.program_id(2)
@@ -80,22 +82,34 @@ def _chunk_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when((i < nb - 1) & (i * block_size < start))
+    @pl.when((i < nb - 1) & (i * ppb * block_size < start))
     def _context():
         q = q_ref[0, 0].astype(compute_dtype)                 # [TG, D]
-        # scales ride their native 3D layout; the tile carries all heads
+
+        # Scales ride their native 3D layout; each tile carries all heads
         # (1KB) and the kernel selects this head's row — ref indexing with
         # a dynamic sublane index is Mosaic-lowerable, and a host-side
         # [..., None] relayout of the whole pool is avoided. Folding the
         # scale into the dequantized values PRE-matmul matches the decode
-        # kernel's recipe exactly (one rounding behavior across paths).
-        k = _dequant_tile(k_ref[0, 0], kv_dtype, head_dim, sid,
-                          out_dtype=compute_dtype)            # [bs, D]
-        k = k * ks_ref[0, h][:, None].astype(compute_dtype)
+        # kernel's recipe exactly (one rounding behavior across paths);
+        # the unit-dim insert happens on f32 (32-bit-only Mosaic rule).
+        def dq(raw_ref, sc_ref):
+            x = _dequant_tile(raw_ref[0, 0], kv_dtype, head_dim, sid,
+                              out_dtype=compute_dtype)        # [bs, D]
+            return x * sc_ref[0, h][:, None].astype(compute_dtype)
+
+        k = jnp.concatenate(
+            [dq(k_refs[j], ks_refs[j]) for j in range(ppb)], axis=0)
+        v = jnp.concatenate(
+            [dq(v_refs[j], vs_refs[j]) for j in range(ppb)], axis=0)
+
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale    # [TG, bs]
-        pos = i * block_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            preferred_element_type=jnp.float32) * sm_scale    # [TG, ppb*bs]
+        # pages are CONSECUTIVE logical blocks, so column c's token
+        # position is simply the step base + c
+        pos = (i * ppb * block_size
+               + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
         s = jnp.where(pos < start, s, NEG_INF)
 
         m_prev = m_ref[:]
@@ -103,9 +117,6 @@ def _chunk_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = _dequant_tile(v_ref[0, 0], kv_dtype, head_dim, sid,
-                          out_dtype=compute_dtype)
-        v = v * vs_ref[0, h][:, None].astype(compute_dtype)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -136,7 +147,7 @@ def _chunk_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("kv_dtype", "sm_scale", "interpret",
-                              "compute_dtype")
+                              "compute_dtype", "pages_per_step")
 )
 def paged_chunk_attention_pallas(
     q: jax.Array,            # [B, T, Hq, D] fresh queries (rope applied)
@@ -153,6 +164,7 @@ def paged_chunk_attention_pallas(
     interpret: bool | None = None,
     scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 this call
     compute_dtype=jnp.float32,  # matmul operand dtype; bf16 = native MXU
+    pages_per_step: int | None = None,
 ) -> jax.Array:
     """Drop-in kernel variant of `chunk_attention.paged_chunk_attention`.
     Returns [B, T, Hq, D]."""
@@ -172,7 +184,8 @@ def paged_chunk_attention_pallas(
         out = paged_chunk_attention_pallas(
             qp, kp_, vp_, k_pool, v_pool, k_scale, v_scale, block_table,
             start_pos, kv_dtype, sm_scale=sm_scale, interpret=interpret,
-            scheme_id=scheme_id, compute_dtype=compute_dtype)
+            scheme_id=scheme_id, compute_dtype=compute_dtype,
+            pages_per_step=pages_per_step)
         return out[:, :T]
     if sm_scale is None:
         sm_scale = head_dim**-0.5
@@ -180,10 +193,12 @@ def paged_chunk_attention_pallas(
         interpret = interpret_mode()
     pack = 2 if kv_dtype == KVDtype.INT4 else 1
     mixed = kv_dtype == KVDtype.MIXED8
+    ppb = max(1, pages_per_step or min(8, max_blocks))
+    n_ctx_steps = -(-max_blocks // ppb)
 
     base = functools.partial(
         _chunk_kernel, kv_dtype=kv_dtype, block_size=block_size,
-        head_dim=head_dim, group=group, sm_scale=float(sm_scale),
+        head_dim=head_dim, group=group, ppb=ppb, sm_scale=float(sm_scale),
         compute_dtype=compute_dtype)
     if mixed:
         def kernel(table_ref, start_ref, sid_ref, *rest):
@@ -197,27 +212,28 @@ def paged_chunk_attention_pallas(
     kn = k_new.transpose(0, 2, 1, 3)   # [B, Hkv, T, D]
     vn = v_new.transpose(0, 2, 1, 3)
 
-    def ctx_index(b, h, i, t, s, *_):
-        # clamp to the lane's last real context block: trailing grid steps
-        # re-address it, so their copies are elided
-        last = jnp.maximum((s[b] - 1) // block_size, 0)
-        return (t[b, jnp.minimum(i, last)], h, 0, 0)
+    def ctx_index(j, rank4=True):
+        def f(b, h, i, t, s, *_):
+            # clamp to the lane's last real context block: trailing grid
+            # steps re-address it, so their copies are elided
+            last = jnp.maximum((s[b] - 1) // block_size, 0)
+            slot = t[b, jnp.minimum(i * ppb + j, last)]
+            return (slot, h, 0, 0) if rank4 else (slot, 0, 0)
+        return f
 
-    def sc_index(b, h, i, t, s, *_):
-        last = jnp.maximum((s[b] - 1) // block_size, 0)
-        return (t[b, jnp.minimum(i, last)], 0, 0)
+    kv_spec = [pl.BlockSpec((1, 1, block_size, head_dim // pack),
+                            ctx_index(j)) for j in range(ppb)]
+    sc_spec = [pl.BlockSpec((1, num_kv_heads, block_size),
+                            ctx_index(j, rank4=False)) for j in range(ppb)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if mixed else 2,
-        grid=(B, num_kv_heads, max_blocks + 1),
+        grid=(B, num_kv_heads, n_ctx_steps + 1),
         in_specs=[
             pl.BlockSpec((1, 1, tg, head_dim), lambda b, h, i, *_: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, T, head_dim), lambda b, h, i, *_: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, T, head_dim), lambda b, h, i, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_size, head_dim // pack), ctx_index),
-            pl.BlockSpec((1, 1, block_size, head_dim // pack), ctx_index),
-            pl.BlockSpec((1, num_kv_heads, block_size), sc_index),
-            pl.BlockSpec((1, num_kv_heads, block_size), sc_index),
+            *kv_spec, *kv_spec, *sc_spec, *sc_spec,
         ],
         out_specs=pl.BlockSpec((1, 1, tg, head_dim),
                                lambda b, h, i, *_: (b, h, 0, 0)),
@@ -231,12 +247,14 @@ def paged_chunk_attention_pallas(
     scalars = (block_table, start_pos)
     if mixed:
         scalars += (jnp.reshape(scheme_id, (1,)).astype(jnp.int32),)
+    operands = (q4, kn, vn) + (k_pool,) * ppb + (v_pool,) * ppb \
+        + (k_scale,) * ppb + (v_scale,) * ppb
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, num_kv_heads, tg, head_dim), q.dtype),
         interpret=interpret,
-    )(*scalars, q4, kn, vn, k_pool, v_pool, k_scale, v_scale)
+    )(*scalars, *operands)
     # [B, Hkv, T*G, D] -> [B, T, Hq, D]
     return (out.reshape(B, num_kv_heads, T, group, head_dim)
             .transpose(0, 2, 1, 3, 4).reshape(B, T, num_q_heads, head_dim))
