@@ -29,7 +29,14 @@ from cxl_speckv_tpu.core.stats import Statistics
 class SeqAlloc:
     seq_slot: int
     num_tokens: int = 0
-    blocks: list[int] = field(default_factory=list)  # logical bids, in order
+    # logical bids, position-indexed (block_idx == token_pos // block_size).
+    # Entries retired by a sliding window become None placeholders so the
+    # position indexing stays valid; `live_blocks` skips them.
+    blocks: list[int | None] = field(default_factory=list)
+
+    @property
+    def live_blocks(self) -> list[int]:
+        return [b for b in self.blocks if b is not None]
 
 
 @dataclass
@@ -71,19 +78,41 @@ class BlockPool:
 
     def free_seq(self, seq_slot: int) -> None:
         seq = self._seqs.pop(seq_slot)
-        for bid in seq.blocks:
-            self._bid_loc.pop(bid, None)
-            e = self.directory.entry(bid)
-            # A block mid-transfer cannot be freed yet; the transfer engine
-            # frees it on completion via the deferred-free list.
-            if e.state in (BlockState.IN_FLIGHT_UP, BlockState.IN_FLIGHT_DOWN):
-                self._deferred_free.append(bid)
-            else:
-                self.directory.free(bid)
-                self.stats.blocks_freed += 1
+        for bid in seq.live_blocks:
+            self._free_block(bid)
         self.table.clear_row(seq_slot)
         self._free_slots.append(seq_slot)
         self.stats.seqs_freed += 1
+
+    def _free_block(self, bid: int) -> None:
+        self._bid_loc.pop(bid, None)
+        e = self.directory.entry(bid)
+        # A block mid-transfer cannot be freed yet; the transfer engine
+        # frees it on completion via the deferred-free list.
+        if e.state in (BlockState.IN_FLIGHT_UP, BlockState.IN_FLIGHT_DOWN):
+            self._deferred_free.append(bid)
+        else:
+            self.directory.free(bid)
+            self.stats.blocks_freed += 1
+
+    def retire_below(self, seq_slot: int, first_live_block: int) -> int:
+        """Free leading blocks that fell wholly out of a sliding attention
+        window (Mistral family): once every live query position is past a
+        block, no current or future query can attend to it (windows only
+        move right), so its slot returns to the pool — live KV per sequence
+        is bounded by ~window tokens (the paged rolling buffer). Retired
+        entries stay as None placeholders so block_idx == pos // block_size
+        keeps indexing `blocks`. Returns the freed (block_idx, bid) pairs."""
+        seq = self._seqs[seq_slot]
+        freed: list[tuple[int, int]] = []
+        for i in range(min(first_live_block, len(seq.blocks))):
+            bid = seq.blocks[i]
+            if bid is None:
+                continue
+            seq.blocks[i] = None
+            self._free_block(bid)
+            freed.append((i, bid))
+        return freed
 
     def reap_deferred(self) -> None:
         """Free blocks whose in-flight transfers have since completed."""
@@ -124,7 +153,7 @@ class BlockPool:
             seq.blocks.append(bid)
             self.stats.blocks_allocated += 1
         seq.num_tokens = new_total_tokens
-        live = sum(len(s.blocks) for s in self._seqs.values())
+        live = sum(len(s.live_blocks) for s in self._seqs.values())
         self.stats.peak_blocks = max(self.stats.peak_blocks, live)
         return True
 

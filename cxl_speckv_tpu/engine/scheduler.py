@@ -57,6 +57,12 @@ class Scheduler:
         self.reclaim_hook = None
         # extra committed blocks not visible in `running` (idle session KV)
         self.extra_committed = None
+        # model sliding window (tokens): bounds every request's worst-case
+        # live KV (out-of-window blocks retire; engine sets this)
+        self.window_tokens: int | None = None
+        # requests rejected at admission (can never fit, even alone) — the
+        # engine drains these into clean 'oom' finishes
+        self.rejected: list[Request] = []
 
     # -- admission -----------------------------------------------------------
 
@@ -72,11 +78,20 @@ class Scheduler:
         cc = self.kvc.config
         return cc.num_host_blocks if cc.num_host_blocks > 0 else cc.num_hbm_blocks
 
-    def _committed_blocks(self) -> int:
+    def _worst_case_blocks(self, req: Request) -> int:
+        """Worst-case live-block footprint of a request. A sliding window
+        bounds it: out-of-window blocks retire as the sequence grows, so
+        live KV never exceeds ~window tokens (+ the straddled edge block
+        + the growth block), however long the generation runs."""
         bs = self.kvc.config.block_size
-        committed = sum(
-            -(-(r.context_len + len(r.prompt) + r.max_new_tokens) // bs)
-            for r in self.running.values())
+        total = req.context_len + len(req.prompt) + req.max_new_tokens
+        if self.window_tokens is not None:
+            total = min(total, self.window_tokens + 2 * bs)
+        return -(-total // bs)
+
+    def _committed_blocks(self) -> int:
+        committed = sum(self._worst_case_blocks(r)
+                        for r in self.running.values())
         if self.extra_committed is not None:
             committed += self.extra_committed()
         return committed
@@ -91,11 +106,15 @@ class Scheduler:
         admitted = []
         capacity = self._block_capacity()
         committed = self._committed_blocks()
-        bs = self.kvc.config.block_size
         while self.queue and len(admitted) < max_new:
             head = self.queue[0]
-            need = -(-(head.context_len + len(head.prompt)
-                       + head.max_new_tokens) // bs)
+            need = self._worst_case_blocks(head)
+            if head.seq_slot < 0 and need > capacity:
+                # can never fit even alone: fail cleanly now instead of
+                # livelocking in an admit -> extend-fail -> preempt cycle
+                self.queue.popleft()
+                self.rejected.append(head)
+                continue
             if head.seq_slot >= 0:
                 need = 0  # live session continuation: blocks already held
             if committed + need > capacity and (self.running or committed):
@@ -156,7 +175,7 @@ class Scheduler:
             for r in self._decode_order():
                 if len(batch) >= B:
                     break
-                need = len(self.kvc.pool.seq(r.seq_slot).blocks) + 1
+                need = len(self.kvc.pool.seq(r.seq_slot).live_blocks) + 1
                 if batch and ws + need > ws_cap:
                     continue
                 batch.append(r)
@@ -190,7 +209,7 @@ class Scheduler:
         victim = max(victims, key=lambda r: r.arrival_time)
         if self.free_seq_hook:
             self.free_seq_hook(victim.seq_slot,
-                               list(self.kvc.pool.seq(victim.seq_slot).blocks))
+                               self.kvc.pool.seq(victim.seq_slot).live_blocks)
         self.kvc.free_seq(victim.seq_slot)
         del self.running[victim.req_id]
         victim.seq_slot = -1
@@ -209,16 +228,16 @@ class Scheduler:
     def finish(self, req: Request, reason: str, free: bool = True) -> None:
         req.state = RequestState.FINISHED
         req.finish_reason = reason
-        if free:
+        if free and req.seq_slot >= 0:
             if self.free_seq_hook:
                 self.free_seq_hook(req.seq_slot,
-                                   list(self.kvc.pool.seq(req.seq_slot).blocks))
+                                   self.kvc.pool.seq(req.seq_slot).live_blocks)
             self.kvc.free_seq(req.seq_slot)
-        else:
+        elif not free:
             # session request: KV stays allocated (and demotable) for the
             # next turn; only the scheduling entry retires
             self.kvc.pin_seq(req.seq_slot, False)
-        del self.running[req.req_id]
+        self.running.pop(req.req_id, None)
 
     def tick(self) -> int:
         self._step += 1

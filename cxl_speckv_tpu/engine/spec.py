@@ -144,6 +144,8 @@ class SpecDecoder:
     def sync_seq(self, seq_slot: int) -> None:
         """Assign draft slots for any newly-allocated logical blocks."""
         for i, bid in enumerate(self.kvc.pool.seq(seq_slot).blocks):
+            if bid is None:
+                continue
             if bid not in self._slot_of_bid:
                 slot = self._free.pop()
                 self._slot_of_bid[bid] = slot
@@ -155,6 +157,16 @@ class SpecDecoder:
             if slot is not None:
                 self._free.append(slot)
         self.table[seq_slot, :] = self.guard_slot
+
+    def retire_blocks(self, seq_slot: int, freed: list[tuple[int, int]]) -> None:
+        """Release draft-cache slots for target blocks a sliding window
+        retired (partial `on_free_seq`: only the named table entries reset,
+        the sequence stays live)."""
+        for i, bid in freed:
+            slot = self._slot_of_bid.pop(bid, None)
+            if slot is not None:
+                self._free.append(slot)
+            self.table[seq_slot, i] = self.guard_slot
 
     # -- model steps ---------------------------------------------------------
 

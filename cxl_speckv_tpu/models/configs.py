@@ -1,10 +1,13 @@
-"""Llama-family model configurations.
+"""Model-family configurations (Llama / Mistral / Qwen2 lineages).
 
 The reference contains no model forward pass (SURVEY.md: "the LLM is
 external", `host/python/vllm_speckv_backend.py:104-129` shows the intended
 vLLM decode loop) — the model family here is the decode engine the reference
 assumes exists, covering the BASELINE.json configs: Llama-3.2-1B,
-Llama-3-8B, Llama-3-70B.
+Llama-3-8B, Llama-3-70B, plus the two most common architecture variants a
+serving framework must host: Mistral-style sliding-window attention
+(`sliding_window`, which the paged tiered cache exploits by retiring
+out-of-window KV blocks) and Qwen2-style QKV projection bias (`attn_bias`).
 """
 
 from __future__ import annotations
@@ -38,6 +41,15 @@ class LlamaConfig:
     max_seq_len: int = 8192
     eos_token_id: int = 128009
     dtype: str = "bfloat16"
+    # Mistral-family sliding-window attention: each query attends only to
+    # the last `sliding_window` positions (None = full causal). The serving
+    # engine retires KV blocks that fall wholly outside every future query's
+    # window, bounding live KV per sequence to ~window tokens (the paged
+    # rolling buffer).
+    sliding_window: int | None = None
+    # Qwen2-family bias on the q/k/v projections (o/mlp stay bias-free,
+    # matching HF Qwen2).
+    attn_bias: bool = False
     # Pallas attention matmul operand precision ("bfloat16" = native MXU
     # rate; "float32" for bit-conservative runs). Softmax statistics and
     # accumulators stay f32 either way; XLA reference paths ignore this.
@@ -69,6 +81,27 @@ def llama_3_70b() -> LlamaConfig:
     )
 
 
+def mistral_7b() -> LlamaConfig:
+    """Mistral-7B-v0.1 geometry (HF `mistralai/Mistral-7B-v0.1`):
+    llama-shaped with a 4096-token sliding window and theta 10000."""
+    return LlamaConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_q_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=10000.0, rope_scaling=None, max_seq_len=32768,
+        eos_token_id=2, sliding_window=4096,
+    )
+
+
+def qwen2_7b() -> LlamaConfig:
+    """Qwen2-7B geometry (HF `Qwen/Qwen2-7B`): QKV bias, GQA 28/4."""
+    return LlamaConfig(
+        vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+        num_layers=28, num_q_heads=28, num_kv_heads=4, head_dim=128,
+        rope_theta=1000000.0, rope_scaling=None, max_seq_len=32768,
+        eos_token_id=151643, attn_bias=True, rms_eps=1e-6,
+    )
+
+
 def tiny_test_config(vocab: int = 256) -> LlamaConfig:
     """Small config for CPU tests; dims chosen to exercise GQA + TP sharding."""
     return LlamaConfig(
@@ -83,5 +116,7 @@ PRESETS = {
     "llama-3.2-1b": llama_3_2_1b,
     "llama-3-8b": llama_3_8b,
     "llama-3-70b": llama_3_70b,
+    "mistral-7b": mistral_7b,
+    "qwen2-7b": qwen2_7b,
     "tiny": tiny_test_config,
 }

@@ -1,8 +1,10 @@
-"""HuggingFace Llama checkpoint conversion.
+"""HuggingFace checkpoint conversion (Llama / Mistral / Qwen2 families).
 
-Maps a `transformers.LlamaForCausalLM` state dict onto our stacked-layer
-pytree (`models/llama.py:init_params` layout). Torch is only imported here
-(CPU, conversion-time); the serving path is torch-free.
+Maps a `transformers.{Llama,Mistral,Qwen2}ForCausalLM` state dict onto our
+stacked-layer pytree (`models/llama.py:init_params` layout) — the three
+families share the HF llama module naming; Mistral adds `sliding_window`,
+Qwen2 adds q/k/v projection biases. Torch is only imported here (CPU,
+conversion-time); the serving path is torch-free.
 """
 
 from __future__ import annotations
@@ -28,7 +30,17 @@ def config_from_hf(hf_config) -> LlamaConfig:
     eos = hf_config.eos_token_id
     if isinstance(eos, (list, tuple)):
         eos = eos[0]
+    # Mistral: sliding-window attention; some configs carry the field but
+    # disable it via use_sliding_window=False (Qwen2 default).
+    window = getattr(hf_config, "sliding_window", None)
+    if window is not None and not getattr(hf_config, "use_sliding_window", True):
+        window = None
+    # Qwen2: q/k/v projection biases (attention_bias covers Llama variants)
+    attn_bias = bool(getattr(hf_config, "attention_bias", False)) or (
+        getattr(hf_config, "model_type", "") == "qwen2")
     return LlamaConfig(
+        sliding_window=window,
+        attn_bias=attn_bias,
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
         intermediate_size=hf_config.intermediate_size,
@@ -80,6 +92,11 @@ def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None):
         },
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype=dtype),
     }
+    if config.attn_bias:
+        for ours, hf in (("q_bias", "q_proj"), ("k_bias", "k_proj"),
+                         ("v_bias", "v_proj")):
+            p["layers"][ours] = stack(
+                f"model.layers.{{}}.self_attn.{hf}.bias", transpose=False)
     if not config.tie_embeddings:
         p["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype=dtype)
     return p

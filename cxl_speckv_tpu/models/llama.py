@@ -78,6 +78,13 @@ def init_params(config: LlamaConfig, key: jax.Array, dtype=None) -> Params:
         },
         "final_norm": jnp.ones((H,), dtype),
     }
+    if c.attn_bias:
+        # Qwen2-family bias on q/k/v only (o/mlp bias-free, matching HF).
+        # Random init is non-zero so tests exercise the bias path.
+        for name, width in (("q_bias", qd), ("k_bias", kvd), ("v_bias", kvd)):
+            params["layers"][name] = (
+                jax.random.normal(next(keys), (L, width), jnp.float32) * 0.02
+            ).astype(dtype)
     if not c.tie_embeddings:
         params["lm_head"] = w(next(keys), (H, V), H)
     return params
@@ -138,6 +145,17 @@ def _mlp(x, gate, up, down):
     return h @ down
 
 
+def _qkv(h, lp):
+    """QKV projections, with the Qwen2-family bias when present (the key
+    existence check is static — resolved at trace time from the pytree)."""
+    q, k, v = h @ lp["q"], h @ lp["k"], h @ lp["v"]
+    if "q_bias" in lp:
+        q = q + lp["q_bias"]
+        k = k + lp["k_bias"]
+        v = v + lp["v_bias"]
+    return q, k, v
+
+
 # ---------------------------------------------------------------------------
 # decode step (paged attention over the pools)
 # ---------------------------------------------------------------------------
@@ -183,9 +201,10 @@ def _decode_core(
         (lp, li) = xs
         sid = sids[li] if sids is not None else None
         h = rms_norm(x, lp["attn_norm"], c.rms_eps)
-        q = (h @ lp["q"]).reshape(B, c.num_q_heads, c.head_dim)
-        k = (h @ lp["k"]).reshape(B, c.num_kv_heads, c.head_dim)
-        v = (h @ lp["v"]).reshape(B, c.num_kv_heads, c.head_dim)
+        q, k, v = _qkv(h, lp)
+        q = q.reshape(B, c.num_q_heads, c.head_dim)
+        k = k.reshape(B, c.num_kv_heads, c.head_dim)
+        v = v.reshape(B, c.num_kv_heads, c.head_dim)
         # rope expects a T axis: treat B as T with per-token positions
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
@@ -209,7 +228,7 @@ def _decode_core(
         vsc = vsc.at[slots, :, offs].set(vs[:, :, 0])
 
         o = attend(q, kp, vp, ksc, vsc, block_table, seq_lens, eff_dtype,
-                   scheme_id=sid)
+                   scheme_id=sid, window=c.sliding_window)
         x = x + (o.reshape(B, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
         x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
@@ -440,9 +459,10 @@ def prefill_batch_packed(
         (lp, li) = xs
         sid = sids[li] if sids is not None else None
         h = rms_norm(x, lp["attn_norm"], c.rms_eps)
-        q = (h @ lp["q"]).reshape(B, T, c.num_q_heads, c.head_dim)
-        k = (h @ lp["k"]).reshape(B, T, c.num_kv_heads, c.head_dim)
-        v = (h @ lp["v"]).reshape(B, T, c.num_kv_heads, c.head_dim)
+        q, k, v = _qkv(h, lp)
+        q = q.reshape(B, T, c.num_q_heads, c.head_dim)
+        k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
+        v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -465,7 +485,8 @@ def prefill_batch_packed(
             v_use = dequantize_dual(venc, vs, sid)
 
         o = attend_chunk(q, k_use, v_use, kp, vp, ksc, vsc,
-                         tables, start, eff_dtype, scheme_id=sid)
+                         tables, start, eff_dtype, scheme_id=sid,
+                         window=c.sliding_window)
         x = x + (o.reshape(B, T, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
         x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
@@ -709,9 +730,10 @@ def stream_step(
     def layer(x, xs):
         (lp, li) = xs
         h = rms_norm(x, lp["attn_norm"], c.rms_eps)
-        q = (h @ lp["q"]).reshape(T, c.num_q_heads, c.head_dim)
-        k = (h @ lp["k"]).reshape(T, c.num_kv_heads, c.head_dim)
-        v = (h @ lp["v"]).reshape(T, c.num_kv_heads, c.head_dim)
+        q, k, v = _qkv(h, lp)
+        q = q.reshape(T, c.num_q_heads, c.head_dim)
+        k = k.reshape(T, c.num_kv_heads, c.head_dim)
+        v = v.reshape(T, c.num_kv_heads, c.head_dim)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -724,8 +746,9 @@ def stream_step(
         carry = stream_context_attention(
             q, stores, host_row, start, li, kv_dtype, ops,
             num_layers=L, block_size=bs, max_blocks=table_width_ctx,
-            wave=wave)
-        o = merge_chunk_causal(q, k_use, v_use, carry)
+            wave=wave, window=c.sliding_window)
+        o = merge_chunk_causal(q, k_use, v_use, carry,
+                               window=c.sliding_window)
         x = x + (o.reshape(T, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
         x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
@@ -847,9 +870,10 @@ def verify_step(
         (lp, li) = xs
         sid = sids[li] if sids is not None else None
         h = rms_norm(x, lp["attn_norm"], c.rms_eps)
-        q = (h @ lp["q"]).reshape(B, T, c.num_q_heads, c.head_dim)
-        k = (h @ lp["k"]).reshape(B, T, c.num_kv_heads, c.head_dim)
-        v = (h @ lp["v"]).reshape(B, T, c.num_kv_heads, c.head_dim)
+        q, k, v = _qkv(h, lp)
+        q = q.reshape(B, T, c.num_q_heads, c.head_dim)
+        k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
+        v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -878,7 +902,8 @@ def verify_step(
             v_use = dequantize_dual(venc, vs, sid)
 
         o = attend_chunk(q, k_use, v_use, kp, vp, ksc, vsc,
-                         block_tables, start_pos, eff_dtype, scheme_id=sid)
+                         block_tables, start_pos, eff_dtype, scheme_id=sid,
+                         window=c.sliding_window)
         x = x + (o.reshape(B, T, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
         x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
@@ -970,9 +995,10 @@ def prefill_chunk(
         (lp, li) = xs
         sid = sids[li] if sids is not None else None
         h = rms_norm(x, lp["attn_norm"], c.rms_eps)
-        q = (h @ lp["q"]).reshape(T, c.num_q_heads, c.head_dim)
-        k = (h @ lp["k"]).reshape(T, c.num_kv_heads, c.head_dim)
-        v = (h @ lp["v"]).reshape(T, c.num_kv_heads, c.head_dim)
+        q, k, v = _qkv(h, lp)
+        q = q.reshape(T, c.num_q_heads, c.head_dim)
+        k = k.reshape(T, c.num_kv_heads, c.head_dim)
+        v = v.reshape(T, c.num_kv_heads, c.head_dim)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -1003,7 +1029,8 @@ def prefill_chunk(
         vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
 
         o = attend_chunk(q[None], k_use[None], v_use[None], kp, vp, ksc, vsc,
-                         table_row[None], start1, eff_dtype, scheme_id=sid)
+                         table_row[None], start1, eff_dtype, scheme_id=sid,
+                         window=c.sliding_window)
         o = o[0].reshape(T, c.num_q_heads * c.head_dim).astype(x.dtype)
 
         x = x + o @ lp["o"]
@@ -1046,13 +1073,16 @@ def forward_dense(params: Params, config: LlamaConfig, token_ids: jax.Array) -> 
     positions = jnp.arange(T)
     x = params["embed"][token_ids]  # [B, T, H]
     causal = positions[:, None] >= positions[None, :]
+    if c.sliding_window is not None:
+        causal = causal & (positions[:, None] - positions[None, :] < c.sliding_window)
     sm = c.head_dim**-0.5
 
     def layer(x, lp):
         h = rms_norm(x, lp["attn_norm"], c.rms_eps)
-        q = (h @ lp["q"]).reshape(B, T, c.num_q_heads, c.head_dim)
-        k = (h @ lp["k"]).reshape(B, T, c.num_kv_heads, c.head_dim)
-        v = (h @ lp["v"]).reshape(B, T, c.num_kv_heads, c.head_dim)
+        q, k, v = _qkv(h, lp)
+        q = q.reshape(B, T, c.num_q_heads, c.head_dim)
+        k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
+        v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
         q = apply_rope(q, positions[None], inv_freq)
         k = apply_rope(k, positions[None], inv_freq)
         qg = q.reshape(B, T, c.num_kv_heads, c.q_group, c.head_dim).astype(jnp.float32)

@@ -35,6 +35,7 @@ def paged_chunk_attention(
     kv_dtype: KVDtype,
     sm_scale: float | None = None,
     scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 per call
+    window: int | None = None,            # sliding window (Mistral family)
 ) -> jax.Array:
     """Returns [B, T, Hq, D]."""
     B, T, num_q_heads, head_dim = q.shape
@@ -59,7 +60,15 @@ def paged_chunk_attention(
         s = s * ks[:, :, None, None, :] * sm_scale
         pos = m * block_size + jnp.arange(block_size)
         valid = pos[None, :] < start_pos[:, None]      # [B, bs]
-        s = jnp.where(valid[:, None, None, None, :], s, NEG_INF)
+        valid = valid[:, None, None, None, :]          # [B,1,1,1,bs]
+        if window is not None:
+            # query t sits at absolute position start_pos + t and attends
+            # positions in [start_pos + t - window + 1, start_pos + t]
+            t_idx = jnp.arange(T)
+            lo = start_pos[:, None] + t_idx[None, :] - window   # [B, T]
+            in_win = pos[None, None, :] > lo[:, :, None]        # [B, T, bs]
+            valid = valid & in_win[:, None, None, :, :]
+        s = jnp.where(valid, s, NEG_INF)
 
         m_new = jnp.maximum(m_acc, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -87,6 +96,8 @@ def paged_chunk_attention(
                    precision=jax.lax.Precision.HIGHEST) * sm_scale  # [B,Hkv,G,T,T]
     t_idx = jnp.arange(T)
     causal = t_idx[:, None] >= t_idx[None, :]
+    if window is not None:
+        causal = causal & (t_idx[:, None] - t_idx[None, :] < window)
     s = jnp.where(causal[None, None, None], s, NEG_INF)
     m_new = jnp.maximum(m_acc, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)

@@ -62,6 +62,7 @@ def _chunk_kernel(
     sm_scale: float,
     compute_dtype=jnp.float32,
     sid_ref=None,   # [1] int32 SMEM — MIXED8 per-layer scheme id
+    window=None,    # static sliding window (Mistral family)
 ):
     k_refs = rest[0:ppb]
     v_refs = rest[ppb:2 * ppb]
@@ -82,7 +83,13 @@ def _chunk_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when((i < nb - 1) & (i * ppb * block_size < start))
+    run = (i < nb - 1) & (i * ppb * block_size < start)
+    if window is not None:
+        # steps wholly below the EARLIEST query's window edge (row t=0 at
+        # absolute position `start`) contribute nothing
+        run = run & ((i + 1) * ppb * block_size > start - window)
+
+    @pl.when(run)
     def _context():
         q = q_ref[0, 0].astype(compute_dtype)                 # [TG, D]
 
@@ -110,7 +117,13 @@ def _chunk_kernel(
         # position is simply the step base + c
         pos = (i * ppb * block_size
                + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
-        s = jnp.where(pos < start, s, NEG_INF)
+        ok = pos < start
+        if window is not None:
+            # query row r = t*G + g sits at absolute position start + t and
+            # attends positions in [start + t - window + 1, start + t]
+            row_t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // group
+            ok = ok & (pos + window > start + row_t)
+        s = jnp.where(ok, s, NEG_INF)
 
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -131,7 +144,10 @@ def _chunk_kernel(
             preferred_element_type=jnp.float32) * sm_scale    # [TG, T]
         row_t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // group
         col_t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(row_t >= col_t, s, NEG_INF)
+        ok = row_t >= col_t
+        if window is not None:
+            ok = ok & (row_t - col_t < window)
+        s = jnp.where(ok, s, NEG_INF)
 
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -147,7 +163,7 @@ def _chunk_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("kv_dtype", "sm_scale", "interpret",
-                              "compute_dtype", "pages_per_step")
+                              "compute_dtype", "pages_per_step", "window")
 )
 def paged_chunk_attention_pallas(
     q: jax.Array,            # [B, T, Hq, D] fresh queries (rope applied)
@@ -165,6 +181,7 @@ def paged_chunk_attention_pallas(
     scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 this call
     compute_dtype=jnp.float32,  # matmul operand dtype; bf16 = native MXU
     pages_per_step: int | None = None,
+    window: int | None = None,  # static sliding window (Mistral family)
 ) -> jax.Array:
     """Drop-in kernel variant of `chunk_attention.paged_chunk_attention`.
     Returns [B, T, Hq, D]."""
@@ -185,7 +202,7 @@ def paged_chunk_attention_pallas(
             qp, kp_, vp_, k_pool, v_pool, k_scale, v_scale, block_table,
             start_pos, kv_dtype, sm_scale=sm_scale, interpret=interpret,
             scheme_id=scheme_id, compute_dtype=compute_dtype,
-            pages_per_step=pages_per_step)
+            pages_per_step=pages_per_step, window=window)
         return out[:, :T]
     if sm_scale is None:
         sm_scale = head_dim**-0.5
@@ -199,7 +216,7 @@ def paged_chunk_attention_pallas(
     base = functools.partial(
         _chunk_kernel, kv_dtype=kv_dtype, block_size=block_size,
         head_dim=head_dim, group=group, ppb=ppb, sm_scale=float(sm_scale),
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, window=window)
     if mixed:
         def kernel(table_ref, start_ref, sid_ref, *rest):
             base(table_ref, start_ref, *rest, sid_ref=sid_ref)
@@ -217,7 +234,13 @@ def paged_chunk_attention_pallas(
             # clamp to the lane's last real context block: trailing grid
             # steps re-address it, so their copies are elided
             last = jnp.maximum((s[b] - 1) // block_size, 0)
-            slot = t[b, jnp.minimum(i * ppb + j, last)]
+            idx = i * ppb + j
+            if window is not None:
+                # steps wholly below every query's window re-address the
+                # first in-window block, eliding their copies
+                first = jnp.maximum((s[b] - window) // block_size, 0)
+                idx = jnp.maximum(idx, first)
+            slot = t[b, jnp.minimum(idx, last)]
             return (slot, h, 0, 0) if rank4 else (slot, 0, 0)
         return f
 

@@ -87,6 +87,7 @@ def _decode_kernel(
     sm_scale: float,
     compute_dtype=jnp.float32,
     sid_ref=None,   # [1] int32 SMEM — MIXED8 per-layer scheme id
+    window=None,    # static sliding window (positions < seq_len - window masked)
 ):
     k_refs = rest[0:ppb]
     v_refs = rest[ppb:2 * ppb]
@@ -107,7 +108,12 @@ def _decode_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(i * ppb * block_size < seq_len)
+    run = i * ppb * block_size < seq_len
+    if window is not None:
+        # steps wholly below the window's lower edge contribute nothing
+        run = run & ((i + 1) * ppb * block_size > seq_len - window)
+
+    @pl.when(run)
     def _compute():
         # One block-diagonal pass over ALL heads and pages of this step:
         # Q [Hkv*G, D] against K/V [ppb*Hkv*bs, D] in single matmuls, with
@@ -149,7 +155,10 @@ def _decode_kernel(
         r_head = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // G
         c_head = (c_idx // block_size) % num_kv_heads
         pos = ((i * ppb + c_idx // hb) * block_size + c_idx % block_size)
-        s = jnp.where((c_head == r_head) & (pos < seq_len), s, NEG_INF)
+        ok = (c_head == r_head) & (pos < seq_len)
+        if window is not None:
+            ok = ok & (pos >= seq_len - window)
+        s = jnp.where(ok, s, NEG_INF)
 
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -171,7 +180,7 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("kv_dtype", "sm_scale", "interpret",
-                              "pages_per_step", "compute_dtype")
+                              "pages_per_step", "compute_dtype", "window")
 )
 def paged_attention(
     q: jax.Array,              # [B, num_q_heads, head_dim]
@@ -187,6 +196,7 @@ def paged_attention(
     scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 this call
     pages_per_step: int | None = None,
     compute_dtype=jnp.float32,  # matmul operand dtype; bf16 = native MXU
+    window: int | None = None,  # static sliding window (Mistral family)
 ) -> jax.Array:
     B, num_q_heads, head_dim = q.shape
     num_slots, num_kv_heads, block_size, _ = k_pool.shape
@@ -213,6 +223,7 @@ def paged_attention(
         ppb=ppb,
         sm_scale=float(sm_scale),
         compute_dtype=compute_dtype,
+        window=window,
     )
     if mixed:
         # third scalar-prefetch operand carries the per-layer scheme id
@@ -230,7 +241,13 @@ def paged_attention(
             # re-address it, so their DMAs are elided (no dead traffic for
             # short sequences in a wide table)
             last = jnp.maximum((l[b] - 1) // block_size, 0)
-            slot = t[b, jnp.minimum(i * ppb + j, last)]
+            idx = i * ppb + j
+            if window is not None:
+                # sliding window: steps wholly below the window re-address
+                # the first in-window block, eliding their DMAs too
+                first = jnp.maximum((l[b] - window) // block_size, 0)
+                idx = jnp.maximum(idx, first)
+            slot = t[b, jnp.minimum(idx, last)]
             return (slot, 0, 0, 0) if rank4 else (slot, 0, 0)
         return f
 

@@ -67,8 +67,12 @@ def paged_attention_ref(
     kv_dtype: KVDtype,
     sm_scale: float | None = None,
     scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 per call
+    window: int | None = None,            # sliding window (Mistral family)
 ) -> jax.Array:
-    """Decode-step attention: one query token per sequence."""
+    """Decode-step attention: one query token per sequence.
+
+    With `window`, each query (at position len_b - 1) attends only to
+    positions in [len_b - window, len_b - 1]."""
     B, num_q_heads, head_dim = q.shape
     _, num_kv_heads, block_size, _ = k_pool.shape
     group = num_q_heads // num_kv_heads
@@ -92,7 +96,10 @@ def paged_attention_ref(
         # scores: [Hkv, G, L]; K dequant applied post-matmul via ks
         scores = jnp.einsum("hgd,lhd->hgl", qg, k) * ks.T[:, None, :] * sm_scale
         pos = jnp.arange(L)
-        scores = jnp.where(pos[None, None, :] < len_b, scores, NEG_INF)
+        valid = pos < len_b
+        if window is not None:
+            valid = valid & (pos >= len_b - window)
+        scores = jnp.where(valid[None, None, :], scores, NEG_INF)
         w = jax.nn.softmax(scores, axis=-1)
         # V dequant folded into the weights
         out = jnp.einsum("hgl,lhd->hgd", w * vs.T[:, None, :], v)
@@ -113,6 +120,7 @@ def prefill_attention_ref(
     block_table_row: jax.Array | None = None,  # [max_blocks] for this seq
     kv_dtype: KVDtype = KVDtype.INT8,
     sm_scale: float | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Chunked-prefill attention for a single sequence.
 
@@ -132,6 +140,8 @@ def prefill_attention_ref(
     scores_new = jnp.einsum("thgd,shd->hgts", qg, kf) * sm_scale
     t_idx = jnp.arange(T)
     causal = t_idx[:, None] >= t_idx[None, :]
+    if window is not None:
+        causal = causal & (t_idx[:, None] - t_idx[None, :] < window)
     scores_new = jnp.where(causal[None, None], scores_new, NEG_INF)
 
     if start_pos and k_pool is not None:
@@ -146,7 +156,12 @@ def prefill_attention_ref(
         vs = v_scale[block_table_row].transpose(0, 2, 1).reshape(L, num_kv_heads)
         scores_ctx = jnp.einsum("thgd,lhd->hgtl", qg, k_ctx) * ks.T[:, None, None, :] * sm_scale
         pos = jnp.arange(L)
-        scores_ctx = jnp.where(pos[None, None, None, :] < start_pos, scores_ctx, NEG_INF)
+        ctx_ok = pos[None, :] < start_pos                       # [1, L]
+        if window is not None:
+            # query t sits at absolute position start_pos + t
+            lower = start_pos + t_idx - window + 1              # [T]
+            ctx_ok = ctx_ok & (pos[None, :] >= lower[:, None])  # [T, L]
+        scores_ctx = jnp.where(ctx_ok[None, None], scores_ctx, NEG_INF)
         scores = jnp.concatenate([scores_ctx, scores_new], axis=-1)
         w = jax.nn.softmax(scores, axis=-1)
         w_ctx, w_new = w[..., :L], w[..., L:]

@@ -44,6 +44,7 @@ def stream_context_attention(
     max_blocks: int,
     wave: int = 4,
     sm_scale: float | None = None,
+    window: int | None = None,   # sliding window (Mistral family)
 ):
     """Online-softmax partial attention over host-resident context.
 
@@ -77,8 +78,12 @@ def stream_context_attention(
 
         s = jnp.einsum("thgd,hsd->hgts", qg, kc) * ks[:, None, None, :] * sm_scale
         pos = w * wave * block_size + jnp.arange(wave * block_size)
-        valid = pos < start_pos
-        s = jnp.where(valid[None, None, None, :], s, NEG_INF)
+        valid = pos[None, :] < start_pos                       # [1|T, S]
+        if window is not None:
+            # query t sits at absolute position start_pos + t
+            t_idx = jnp.arange(T)
+            valid = valid & (pos[None, :] > start_pos + t_idx[:, None] - window)
+        s = jnp.where(valid[None, None], s, NEG_INF)
 
         m_new = jnp.maximum(m_acc, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -94,7 +99,11 @@ def stream_context_attention(
         jnp.zeros((*shape, 1)),
         jnp.zeros((*shape, head_dim)),
     )
-    m_acc, l_acc, o_acc = jax.lax.fori_loop(0, n_used, wave_step, init)
+    w0 = jnp.int32(0)
+    if window is not None:
+        # waves wholly below the earliest query's window edge are skipped
+        w0 = jnp.clip((start_pos - window) // (wave * block_size), 0, n_used)
+    m_acc, l_acc, o_acc = jax.lax.fori_loop(w0, n_used, wave_step, init)
     return m_acc, l_acc, o_acc
 
 
@@ -104,6 +113,7 @@ def merge_chunk_causal(
     v_new: jax.Array,
     carry,                # (m, l, o) from stream_context_attention
     sm_scale: float | None = None,
+    window: int | None = None,
 ):
     """Merge in-chunk causal attention into the streamed accumulators and
     finalize. Returns [T, Hq, D]."""
@@ -119,6 +129,8 @@ def merge_chunk_causal(
     s = jnp.einsum("thgd,shd->hgts", qg, kf) * sm_scale
     t_idx = jnp.arange(T)
     causal = t_idx[:, None] >= t_idx[None, :]
+    if window is not None:
+        causal = causal & (t_idx[:, None] - t_idx[None, :] < window)
     s = jnp.where(causal[None, None], s, NEG_INF)
     m_new = jnp.maximum(m_acc, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)

@@ -64,6 +64,7 @@ class CacheRuntimeStatistics(Statistics):
     demand_fetch_blocks: int = 0
     maintain_demotes: int = 0
     migrate_dispatches: int = 0      # device-backend migrate programs issued
+    window_retired_blocks: int = 0   # blocks freed by sliding-window retirement
 
 
 class TieredKVCache:
@@ -189,18 +190,30 @@ class TieredKVCache:
     def free_seq(self, seq_slot: int) -> None:
         self.pool.free_seq(seq_slot)
 
+    def retire_out_of_window(self, seq_slot: int,
+                             first_live_block: int) -> list[tuple[int, int]]:
+        """Free a sequence's leading blocks once a sliding attention window
+        has moved past them (the Mistral-family rolling KV buffer) — the
+        attention kernels never address blocks below
+        `(seq_len - window) // block_size` (`ops/paged_attention.py` index
+        maps), so their slots return to the pool immediately. Returns the
+        freed (block_idx, bid) pairs for dependent caches (spec draft)."""
+        freed = self.pool.retire_below(seq_slot, first_live_block)
+        self.stats.window_retired_blocks += len(freed)
+        return freed
+
     # -- residency management ----------------------------------------------
 
     def seq_nonresident_blocks(self, seq_slot: int) -> list[int]:
         return [
-            bid for bid in self.pool.seq(seq_slot).blocks
+            bid for bid in self.pool.seq(seq_slot).live_blocks
             if self.directory.entry(bid).state == BlockState.HOST
         ]
 
     def touch_seq(self, seq_slot: int) -> None:
         """Record accesses for every block of a scheduled sequence (hit-rate
         accounting — each decode step reads all blocks of the sequence)."""
-        for bid in self.pool.seq(seq_slot).blocks:
+        for bid in self.pool.seq(seq_slot).live_blocks:
             self.directory.access(bid)
 
     def ensure_resident(self, seq_slots: list[int]) -> int:
@@ -230,7 +243,7 @@ class TieredKVCache:
         assert self._device_mode
         fetched = 0
         for s in seq_slots:
-            for b in self.pool.seq(s).blocks:
+            for b in self.pool.seq(s).live_blocks:
                 if self.directory.entry(b).state == BlockState.IN_FLIGHT_DOWN:
                     # queued writeback: always cancellable pre-dispatch
                     self.transfer.cancel_queued_demote(b, self.directory)
@@ -276,7 +289,7 @@ class TieredKVCache:
             # flush+poll pass may not drain every queued writeback.
             while True:
                 inflight_down = [
-                    b for b in self.pool.seq(s).blocks
+                    b for b in self.pool.seq(s).live_blocks
                     if self.directory.entry(b).state == BlockState.IN_FLIGHT_DOWN
                 ]
                 if not inflight_down:
@@ -301,7 +314,7 @@ class TieredKVCache:
             # this sequence decodes — its table row points at their slots
             settle_up = settle_up or any(
                 self.directory.entry(b).state == BlockState.IN_FLIGHT_UP
-                for b in self.pool.seq(s).blocks)
+                for b in self.pool.seq(s).live_blocks)
         if fetched or settle_up:
             if fetched:
                 self.stats.demand_fetch_events += 1
@@ -372,7 +385,7 @@ class TieredKVCache:
         return started
 
     def pin_seq(self, seq_slot: int, pinned: bool) -> None:
-        for bid in self.pool.seq(seq_slot).blocks:
+        for bid in self.pool.seq(seq_slot).live_blocks:
             (self.directory.pin if pinned else self.directory.unpin)(bid)
 
     # -- background maintenance --------------------------------------------
@@ -447,6 +460,8 @@ class TieredKVCache:
         for s in seq_slots:
             blocks = self.pool.seq(s).blocks
             for i, bid in enumerate(blocks):
+                if bid is None:
+                    continue
                 e = self.directory.entry(bid)
                 if e.hbm_slot >= 0 and self.pool.table.get(s, i) != e.hbm_slot:
                     self.pool.table.set(s, i, e.hbm_slot)
