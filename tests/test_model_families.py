@@ -258,6 +258,59 @@ def test_engine_window_serves_past_total_capacity():
     assert outs2[0].finish_reason == "oom"
 
 
+def test_engine_window_spec_decode_identity():
+    """Greedy speculative decoding under a sliding window emits exactly the
+    plain windowed engine's tokens, while window retirement recycles both
+    target blocks AND the spec draft-cache slots."""
+    from cxl_speckv_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        PrefetchConfig,
+        SystemConfig,
+    )
+    from cxl_speckv_tpu.engine.engine import Engine
+    from cxl_speckv_tpu.models.configs import LlamaConfig
+
+    cfg = dataclasses.replace(tiny_test_config(), sliding_window=WINDOW)
+    params = init_params(cfg, jax.random.PRNGKey(42))
+    draft_cfg = LlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=32, intermediate_size=64,
+        num_layers=1, num_q_heads=2, num_kv_heads=2, head_dim=16,
+        rope_theta=10000.0, tie_embeddings=False, max_seq_len=512,
+        eos_token_id=0, dtype="float32", sliding_window=WINDOW,
+    )
+    draft_params = init_params(draft_cfg, jax.random.PRNGKey(7))
+
+    def build(spec):
+        sc = SystemConfig(
+            cache=CacheConfig(block_size=8, num_hbm_blocks=64,
+                              num_host_blocks=128, kv_dtype=KVDtype.INT8),
+            prefetch=PrefetchConfig(depth=2),
+            engine=EngineConfig(max_batch_size=2, max_seq_len=160,
+                                prefill_chunk=32),
+        )
+        kw = (dict(draft_config=draft_cfg, draft_params=draft_params,
+                   spec_gamma=3) if spec else {})
+        return Engine(cfg, sc, params=params, use_pallas=False, seed=0, **kw)
+
+    rng = np.random.RandomState(11)
+    ps = [rng.randint(1, cfg.vocab_size, rng.randint(8, 20)).tolist()
+          for _ in range(3)]
+
+    plain = build(spec=False)
+    for p in ps:
+        plain.add_request(p, max_new_tokens=40)
+    outs_p = {o.req_id: o.tokens for o in plain.run()}
+
+    spec = build(spec=True)
+    for p in ps:
+        spec.add_request(p, max_new_tokens=40)
+    outs_s = {o.req_id: o.tokens for o in spec.run()}
+    assert outs_s == outs_p
+    assert spec.kvc.stats.window_retired_blocks > 0
+    assert spec.spec.stats.rounds > 0
+
+
 @pytest.mark.parametrize("attn_bias", [False, True])
 def test_paged_windowed_decode_matches_dense(attn_bias):
     cfg = dataclasses.replace(tiny_test_config(), sliding_window=WINDOW,
