@@ -206,8 +206,13 @@ class ParallelConfig:
     """Device-mesh layout. New vs the reference (SURVEY.md section 2.6)."""
 
     dp: int = 1                         # data parallel (batch) axis
+    ep: int = 1                         # expert parallel axis (MoE experts)
     tp: int = 1                         # tensor parallel axis (weights + KV heads)
-    axis_names: tuple[str, str] = ("dp", "tp")
+    axis_names: tuple[str, ...] = ("dp", "ep", "tp")
+
+    @property
+    def num_devices(self) -> int:
+        return self.dp * self.ep * self.tp
 
 
 @dataclass

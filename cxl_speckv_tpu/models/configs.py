@@ -54,6 +54,16 @@ class LlamaConfig:
     # rate; "float32" for bit-conservative runs). Softmax statistics and
     # accumulators stay f32 either way; XLA reference paths ignore this.
     attn_compute_dtype: str = "bfloat16"
+    # Mixtral-family sparse MoE MLP: >0 replaces the dense SwiGLU MLP with
+    # `num_experts` expert FFNs behind a top-`num_experts_per_tok` softmax
+    # router (HF MixtralSparseMoeBlock semantics). Expert weights carry a
+    # leading E axis in the param tree and shard over the mesh "ep" axis
+    # (`parallel/sharding.py`); see `models/moe.py` for the two compute
+    # modes ("dense" weighted-combine vs "dispatch" capacity bucketing).
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_impl: str = "dense"
+    moe_capacity_factor: float = 2.0
 
     @property
     def q_group(self) -> int:
@@ -102,6 +112,18 @@ def qwen2_7b() -> LlamaConfig:
     )
 
 
+def mixtral_8x7b() -> LlamaConfig:
+    """Mixtral-8x7B geometry (HF `mistralai/Mixtral-8x7B-v0.1`): Mistral
+    attention shape + 8-expert top-2 sparse MoE MLP (47B params, ~13B
+    active per token)."""
+    return LlamaConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_q_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=1000000.0, rope_scaling=None, max_seq_len=32768,
+        eos_token_id=2, num_experts=8, num_experts_per_tok=2,
+    )
+
+
 def tiny_test_config(vocab: int = 256) -> LlamaConfig:
     """Small config for CPU tests; dims chosen to exercise GQA + TP sharding."""
     return LlamaConfig(
@@ -118,5 +140,6 @@ PRESETS = {
     "llama-3-70b": llama_3_70b,
     "mistral-7b": mistral_7b,
     "qwen2-7b": qwen2_7b,
+    "mixtral-8x7b": mixtral_8x7b,
     "tiny": tiny_test_config,
 }

@@ -41,6 +41,9 @@ def config_from_hf(hf_config) -> LlamaConfig:
     return LlamaConfig(
         sliding_window=window,
         attn_bias=attn_bias,
+        # Mixtral: sparse-MoE MLP
+        num_experts=getattr(hf_config, "num_local_experts", 0) or 0,
+        num_experts_per_tok=getattr(hf_config, "num_experts_per_tok", 2) or 2,
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
         intermediate_size=hf_config.intermediate_size,
@@ -86,12 +89,33 @@ def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None):
             "v": stack("model.layers.{}.self_attn.v_proj.weight"),
             "o": stack("model.layers.{}.self_attn.o_proj.weight"),
             "mlp_norm": stack("model.layers.{}.post_attention_layernorm.weight", transpose=False),
-            "gate": stack("model.layers.{}.mlp.gate_proj.weight"),
-            "up": stack("model.layers.{}.mlp.up_proj.weight"),
-            "down": stack("model.layers.{}.mlp.down_proj.weight"),
         },
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype=dtype),
     }
+    if config.num_experts > 0:
+        # Mixtral MoE: block_sparse_moe.gate is the router [E, H] (-> [H, E]);
+        # experts[e].w1/w3/w2 map to gate/up/down with a leading E axis
+        E = config.num_experts
+
+        def stack_experts(wname):
+            ws = [
+                np.stack([
+                    get(f"model.layers.{i}.block_sparse_moe.experts.{e}.{wname}.weight").T
+                    for e in range(E)
+                ])
+                for i in range(L)
+            ]
+            return jnp.asarray(np.stack(ws), dtype=dtype)
+
+        p["layers"]["router"] = stack(
+            "model.layers.{}.block_sparse_moe.gate.weight")
+        p["layers"]["gate"] = stack_experts("w1")
+        p["layers"]["up"] = stack_experts("w3")
+        p["layers"]["down"] = stack_experts("w2")
+    else:
+        p["layers"]["gate"] = stack("model.layers.{}.mlp.gate_proj.weight")
+        p["layers"]["up"] = stack("model.layers.{}.mlp.up_proj.weight")
+        p["layers"]["down"] = stack("model.layers.{}.mlp.down_proj.weight")
     if config.attn_bias:
         for ours, hf in (("q_bias", "q_proj"), ("k_bias", "k_proj"),
                          ("v_bias", "v_proj")):

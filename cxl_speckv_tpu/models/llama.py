@@ -78,6 +78,15 @@ def init_params(config: LlamaConfig, key: jax.Array, dtype=None) -> Params:
         },
         "final_norm": jnp.ones((H,), dtype),
     }
+    if c.num_experts > 0:
+        # Mixtral-family MoE: the dense gate/up/down grow a leading expert
+        # axis and a router projection joins (routing math itself runs in
+        # f32, models/moe.py).
+        E = c.num_experts
+        params["layers"]["router"] = w(next(keys), (L, H, E), H)
+        params["layers"]["gate"] = w(next(keys), (L, E, H, I), H)
+        params["layers"]["up"] = w(next(keys), (L, E, H, I), H)
+        params["layers"]["down"] = w(next(keys), (L, E, I, H), I)
     if c.attn_bias:
         # Qwen2-family bias on q/k/v only (o/mlp bias-free, matching HF).
         # Random init is non-zero so tests exercise the bias path.
@@ -143,6 +152,19 @@ def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array) -> jax.A
 def _mlp(x, gate, up, down):
     h = jax.nn.silu(x @ gate) * (x @ up)
     return h @ down
+
+
+def _ffn(x, lp, config):
+    """MLP block: dense SwiGLU, or the Mixtral sparse-MoE block when the
+    layer params carry a router (static pytree check, resolved at trace
+    time). x may be [B, H], [T, H], or [B, T, H]."""
+    if "router" not in lp:
+        return _mlp(x, lp["gate"], lp["up"], lp["down"])
+    from cxl_speckv_tpu.models.moe import moe_ffn
+
+    flat = x.reshape(-1, x.shape[-1])
+    out = moe_ffn(flat, lp["router"], lp["gate"], lp["up"], lp["down"], config)
+    return out.reshape(x.shape)
 
 
 def _qkv(h, lp):
@@ -231,7 +253,7 @@ def _decode_core(
                    scheme_id=sid, window=c.sliding_window)
         x = x + (o.reshape(B, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-        x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
+        x = x + _ffn(h2, lp, c)
 
         k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)
         v_pools = jax.lax.dynamic_update_index_in_dim(v_pools, vp, li, 0)
@@ -489,7 +511,7 @@ def prefill_batch_packed(
                          window=c.sliding_window)
         x = x + (o.reshape(B, T, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-        x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
+        x = x + _ffn(h2, lp, c)
 
         kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
         vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
@@ -751,7 +773,7 @@ def stream_step(
                                window=c.sliding_window)
         x = x + (o.reshape(T, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-        x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
+        x = x + _ffn(h2, lp, c)
         return x, (kq, ksc[..., 0], vq, vsc[..., 0])
 
     layer_idx = jnp.arange(c.num_layers)
@@ -906,7 +928,7 @@ def verify_step(
                          window=c.sliding_window)
         x = x + (o.reshape(B, T, -1).astype(x.dtype) @ lp["o"])
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-        x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
+        x = x + _ffn(h2, lp, c)
         kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
         vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[..., 0])
@@ -1035,7 +1057,7 @@ def prefill_chunk(
 
         x = x + o @ lp["o"]
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-        x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
+        x = x + _ffn(h2, lp, c)
 
         # scatter the (already) quantized chunk KV
         kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
@@ -1093,7 +1115,7 @@ def forward_dense(params: Params, config: LlamaConfig, token_ids: jax.Array) -> 
         o = o.reshape(B, T, -1).astype(x.dtype)
         x = x + o @ lp["o"]
         h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-        x = x + _mlp(h2, lp["gate"], lp["up"], lp["down"])
+        x = x + _ffn(h2, lp, c)
         return x, None
 
     x, _ = jax.lax.scan(layer, x, params["layers"])

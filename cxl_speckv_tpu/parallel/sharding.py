@@ -43,6 +43,16 @@ def param_specs(config: LlamaConfig) -> dict[str, Any]:
         },
         "final_norm": P(None),
     }
+    if config.num_experts > 0:
+        # Mixtral MoE: experts shard over "ep", each expert's FFN over "tp"
+        # (column gate/up, row down — same megatron split as the dense MLP).
+        # The combine einsum contracts the expert axis, so GSPMD inserts the
+        # psum over "ep" after local-expert compute; the router is tiny and
+        # replicated.
+        specs["layers"]["router"] = P(None, None, None)
+        specs["layers"]["gate"] = P(None, "ep", None, "tp")
+        specs["layers"]["up"] = P(None, "ep", None, "tp")
+        specs["layers"]["down"] = P(None, "ep", "tp", None)
     if not config.tie_embeddings:
         specs["lm_head"] = P(None, "tp")
     return specs
@@ -91,10 +101,13 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def validate_tp(config: LlamaConfig, tp: int) -> None:
+def validate_tp(config: LlamaConfig, tp: int, ep: int = 1) -> None:
     if config.num_kv_heads % tp:
         raise ValueError(
             f"num_kv_heads={config.num_kv_heads} not divisible by tp={tp}")
     if config.num_q_heads % tp:
         raise ValueError(
             f"num_q_heads={config.num_q_heads} not divisible by tp={tp}")
+    if ep > 1 and (config.num_experts == 0 or config.num_experts % ep):
+        raise ValueError(
+            f"num_experts={config.num_experts} not divisible by ep={ep}")
