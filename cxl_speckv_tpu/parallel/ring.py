@@ -1,0 +1,133 @@
+"""Sequence parallelism: ring attention over an "sp" mesh axis.
+
+NEW relative to the reference (SURVEY.md §2.6/§5: no sequence parallelism
+anywhere in that tree — its long-context story is KV *capacity* expansion,
+which this build implements as tiering + compression + host streaming).
+Ring attention complements that capacity story with a *compute* scaling
+path for scoring/prefilling contexts whose activations exceed one chip:
+the sequence axis shards over "sp", every device holds its q/k/v chunk,
+and KV chunks rotate around the ring with `lax.ppermute` while each
+device accumulates online-softmax partials — attention memory stays
+O(T/S) per device and the p2p hops ride ICI (the blockwise/ring-attention
+construction; arXiv:2310.01889).
+
+Like `parallel/pipeline.py`, this serves the batch-scoring/long-prefill
+regime. The decode serving path keeps dp/ep/tp + the tiered paged cache
+(one query token per step has nothing to shard over sequence).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cxl_speckv_tpu.models.configs import LlamaConfig
+from cxl_speckv_tpu.models.llama import (
+    _ffn,
+    _qkv,
+    apply_rope,
+    rms_norm,
+    rope_frequencies,
+)
+
+_NEG = -1e30
+
+
+def _ring_attention_local(q, k, v, q_pos, kv_pos0, t_local, config):
+    """Inside-shard_map body: online-softmax over rotating KV chunks.
+
+    q [B, Tl, Hq, D]; k/v [B, Tl, Hkv, D] (the local chunk, rotated);
+    q_pos [Tl] global positions of the local queries; kv_pos0 scalar global
+    position of the held KV chunk's first token (changes per rotation).
+    """
+    c = config
+    S = jax.lax.axis_size("sp")
+    B, Tl = q.shape[:2]
+    qg = (q.reshape(B, Tl, c.num_kv_heads, c.q_group, c.head_dim)
+          .astype(jnp.float32))
+    sm = c.head_dim**-0.5
+
+    def step(carry, i):
+        k_cur, v_cur, kv0, m, l, acc = carry
+        kv_pos = kv0 + jnp.arange(Tl)                        # [Tl] global
+        s = jnp.einsum("bthgd,bshd->bhgts", qg,
+                       k_cur.astype(jnp.float32)) * sm       # [B,Hkv,G,Tl,Tl]
+        mask = q_pos[:, None] >= kv_pos[None, :]             # causal
+        if c.sliding_window is not None:
+            mask &= q_pos[:, None] - kv_pos[None, :] < c.sliding_window
+        s = jnp.where(mask[None, None, None], s, _NEG)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        scale = jnp.exp(m - m_new)
+        l = l * scale + jnp.sum(p, axis=-1)
+        acc = acc * scale[..., None] + jnp.einsum(
+            "bhgts,bshd->bhgtd", p, v_cur.astype(jnp.float32))
+        # rotate the KV chunk (and its origin) one hop around the ring
+        perm = [(j, (j + 1) % S) for j in range(S)]
+        k_cur = jax.lax.ppermute(k_cur, "sp", perm)
+        v_cur = jax.lax.ppermute(v_cur, "sp", perm)
+        kv0 = jax.lax.ppermute(kv0, "sp", perm)
+        return (k_cur, v_cur, kv0, m_new, l, acc), None
+
+    m0 = jnp.full((B, c.num_kv_heads, c.q_group, Tl), _NEG, jnp.float32)
+    l0 = jnp.zeros_like(m0)
+    acc0 = jnp.zeros((B, c.num_kv_heads, c.q_group, Tl, c.head_dim),
+                     jnp.float32)
+    (_, _, _, m, l, acc), _ = jax.lax.scan(
+        step, (k, v, kv_pos0, m0, l0, acc0), jnp.arange(S))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]             # [B,Hkv,G,Tl,D]
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, Tl, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+def sp_forward_dense(
+    params,
+    config: LlamaConfig,
+    token_ids: jax.Array,       # [B, T] int32, T % sp == 0
+    *,
+    mesh: Mesh,
+) -> jax.Array:
+    """Full causal forward with the sequence axis sharded over "sp" and
+    ring attention in every layer. Logits [B, T, V], numerically matching
+    `forward_dense` up to online-softmax accumulation order."""
+    c = config
+    S = mesh.shape["sp"]
+    B, T = token_ids.shape
+    if T % S:
+        raise ValueError(f"seq len {T} not divisible by sp={S}")
+    Tl = T // S
+    inv_freq = rope_frequencies(c)
+    head = (params["embed"].T if c.tie_embeddings else params["lm_head"])
+
+    def fn(layers, embed, head, final_norm, tokens):
+        # tokens arrives sequence-sharded: [B, Tl]
+        idx = jax.lax.axis_index("sp")
+        q_pos = idx * Tl + jnp.arange(Tl)
+        x = embed[tokens]                                    # [B, Tl, H]
+
+        def layer(x, lp):
+            h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+            q, k, v = _qkv(h, lp)
+            q = apply_rope(q.reshape(B, Tl, c.num_q_heads, c.head_dim),
+                           q_pos[None], inv_freq)
+            k = apply_rope(k.reshape(B, Tl, c.num_kv_heads, c.head_dim),
+                           q_pos[None], inv_freq)
+            v = v.reshape(B, Tl, c.num_kv_heads, c.head_dim)
+            o = _ring_attention_local(q, k, v, q_pos, idx * Tl, Tl, c)
+            x = x + o.astype(x.dtype) @ lp["o"]
+            h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
+            return x + _ffn(h2, lp, c), None
+
+        x, _ = jax.lax.scan(layer, x, layers)
+        x = rms_norm(x, final_norm, c.rms_eps)
+        return (x @ head).astype(jnp.float32)                # [B, Tl, V]
+
+    sharded = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(None, "sp")),
+        out_specs=P(None, "sp", None), check_vma=False)
+    return sharded(params["layers"], params["embed"], head,
+                   params["final_norm"], token_ids)

@@ -1,0 +1,92 @@
+"""Pipeline parallelism (pp) and ring-attention sequence parallelism (sp):
+both must reproduce `forward_dense` logits exactly (the schedule/sharding
+reorders where math runs, not what it computes)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from cxl_speckv_tpu.models.configs import tiny_test_config
+from cxl_speckv_tpu.models.llama import forward_dense, init_params
+from cxl_speckv_tpu.parallel.pipeline import pipeline_forward
+from cxl_speckv_tpu.parallel.ring import sp_forward_dense
+
+CFG = dataclasses.replace(tiny_test_config(), num_layers=4)
+PARAMS = init_params(CFG, jax.random.PRNGKey(0))
+
+
+def _mesh(axis, n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return Mesh(np.asarray(jax.devices()[:n]), (axis,))
+
+
+def _tokens(b, t, seed=0):
+    return jnp.asarray(
+        np.random.RandomState(seed).randint(1, CFG.vocab_size, (b, t)),
+        jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# pipeline parallelism
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("pp,mbs", [(2, 2), (4, 4), (4, 1)])
+def test_pipeline_matches_dense(pp, mbs):
+    mesh = _mesh("pp", pp)
+    toks = _tokens(4, 16, seed=1)
+    want = forward_dense(PARAMS, CFG, toks)
+    got = pipeline_forward(PARAMS, CFG, toks, mesh=mesh,
+                           num_microbatches=mbs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_moe_and_window():
+    """PP composes with the family variants: Mixtral MoE layers and a
+    binding sliding window flow through the staged schedule unchanged."""
+    cfg = dataclasses.replace(CFG, num_experts=4, num_experts_per_tok=2,
+                              sliding_window=6)
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    mesh = _mesh("pp", 2)
+    toks = _tokens(2, 16, seed=2)
+    want = forward_dense(params, cfg, toks)
+    got = pipeline_forward(params, cfg, toks, mesh=mesh, num_microbatches=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_rejects_bad_split():
+    mesh = _mesh("pp", 3)
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline_forward(PARAMS, CFG, _tokens(4, 8), mesh=mesh,
+                         num_microbatches=2)
+
+
+# ---------------------------------------------------------------------------
+# ring-attention sequence parallelism
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sp", [2, 4])
+def test_sp_ring_matches_dense(sp):
+    mesh = _mesh("sp", sp)
+    toks = _tokens(2, 32, seed=4)
+    want = forward_dense(PARAMS, CFG, toks)
+    got = sp_forward_dense(PARAMS, CFG, toks, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sp_ring_sliding_window():
+    cfg = dataclasses.replace(CFG, sliding_window=5)
+    params = init_params(cfg, jax.random.PRNGKey(5))
+    mesh = _mesh("sp", 4)
+    toks = _tokens(2, 32, seed=6)
+    want = forward_dense(params, cfg, toks)
+    got = sp_forward_dense(params, cfg, toks, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
