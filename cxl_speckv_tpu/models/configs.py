@@ -64,10 +64,48 @@ class LlamaConfig:
     num_experts_per_tok: int = 2
     moe_impl: str = "dense"
     moe_capacity_factor: float = 2.0
+    # Gemma-2-family features. attn_pattern is a repeating per-layer
+    # local/global pattern: entry i%len is True for a sliding-window layer
+    # (window = sliding_window) and False for a global layer; None = every
+    # layer uses `sliding_window` uniformly (Mistral). The layer scan
+    # specializes windows STATICALLY by scanning one pattern-period per
+    # iteration (`models/llama.py:_scan_layers`), so kernels keep static
+    # windows and their DMA-elision index maps.
+    attn_pattern: tuple | None = None
+    attn_softcap: float | None = None    # tanh cap on attention scores
+    final_softcap: float | None = None   # tanh cap on lm-head logits
+    norm_offset: bool = False            # RMSNorm multiplies by (1 + w)
+    post_norms: bool = False             # sandwich norms around attn/MLP
+    act_fn: str = "silu"                 # "silu" | "gelu_tanh"
+    embed_scale: bool = False            # scale embeddings by sqrt(H)
+    query_scale: float | None = None     # softmax scale; None = D^-0.5
 
     @property
     def q_group(self) -> int:
         return self.num_q_heads // self.num_kv_heads
+
+    @property
+    def sm_scale(self) -> float:
+        return (self.query_scale if self.query_scale is not None
+                else self.head_dim**-0.5)
+
+    def layer_windows(self) -> tuple:
+        """Per-layer static sliding windows (None = global)."""
+        if self.attn_pattern is None:
+            return (self.sliding_window,) * self.num_layers
+        return tuple(
+            self.sliding_window if self.attn_pattern[i % len(self.attn_pattern)]
+            else None
+            for i in range(self.num_layers))
+
+    @property
+    def retirement_window(self) -> int | None:
+        """Window below which KV blocks may retire engine-side: the MAX
+        over layers — None (no retirement) if ANY layer attends globally."""
+        wins = self.layer_windows()
+        if any(w is None for w in wins):
+            return None
+        return max(wins)
 
 
 def llama_3_2_1b() -> LlamaConfig:
@@ -124,6 +162,21 @@ def mixtral_8x7b() -> LlamaConfig:
     )
 
 
+def gemma2_9b() -> LlamaConfig:
+    """Gemma-2-9B geometry (HF `google/gemma-2-9b`): alternating
+    sliding/global attention, tanh softcaps, GeGLU, sandwich norms."""
+    return LlamaConfig(
+        vocab_size=256000, hidden_size=3584, intermediate_size=14336,
+        num_layers=42, num_q_heads=16, num_kv_heads=8, head_dim=256,
+        rope_theta=10000.0, rope_scaling=None, rms_eps=1e-6,
+        tie_embeddings=True, max_seq_len=8192, eos_token_id=1,
+        sliding_window=4096, attn_pattern=(True, False),
+        attn_softcap=50.0, final_softcap=30.0, norm_offset=True,
+        post_norms=True, act_fn="gelu_tanh", embed_scale=True,
+        query_scale=256.0**-0.5,
+    )
+
+
 def tiny_test_config(vocab: int = 256) -> LlamaConfig:
     """Small config for CPU tests; dims chosen to exercise GQA + TP sharding."""
     return LlamaConfig(
@@ -141,5 +194,6 @@ PRESETS = {
     "mistral-7b": mistral_7b,
     "qwen2-7b": qwen2_7b,
     "mixtral-8x7b": mixtral_8x7b,
+    "gemma2-9b": gemma2_9b,
     "tiny": tiny_test_config,
 }

@@ -38,7 +38,28 @@ def config_from_hf(hf_config) -> LlamaConfig:
     # Qwen2: q/k/v projection biases (attention_bias covers Llama variants)
     attn_bias = bool(getattr(hf_config, "attention_bias", False)) or (
         getattr(hf_config, "model_type", "") == "qwen2")
+    # Gemma-2: alternating local/global attention, tanh softcaps, GeGLU,
+    # sandwich norms, scaled embeddings, query_pre_attn_scalar
+    gemma_kw = {}
+    if getattr(hf_config, "model_type", "") == "gemma2":
+        types = list(hf_config.layer_types)
+        pattern = tuple(t == "sliding_attention" for t in types)
+        # reduce to the smallest repeating period (HF stores the full list)
+        for p in range(1, len(pattern) + 1):
+            if len(pattern) % p == 0 and all(
+                    pattern[i] == pattern[i % p] for i in range(len(pattern))):
+                pattern = pattern[:p]
+                break
+        gemma_kw = dict(
+            attn_pattern=pattern,
+            attn_softcap=hf_config.attn_logit_softcapping,
+            final_softcap=hf_config.final_logit_softcapping,
+            norm_offset=True, post_norms=True, act_fn="gelu_tanh",
+            embed_scale=True,
+            query_scale=float(hf_config.query_pre_attn_scalar) ** -0.5,
+        )
     return LlamaConfig(
+        **gemma_kw,
         sliding_window=window,
         attn_bias=attn_bias,
         # Mixtral: sparse-MoE MLP
@@ -92,6 +113,14 @@ def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None):
         },
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype=dtype),
     }
+    if config.post_norms:
+        # Gemma-2 sandwich norms: post_attention_layernorm is the POST-attn
+        # norm (the MLP pre-norm is pre_feedforward_layernorm)
+        p["layers"]["post_attn_norm"] = p["layers"].pop("mlp_norm")
+        p["layers"]["mlp_norm"] = stack(
+            "model.layers.{}.pre_feedforward_layernorm.weight", transpose=False)
+        p["layers"]["post_mlp_norm"] = stack(
+            "model.layers.{}.post_feedforward_layernorm.weight", transpose=False)
     if config.num_experts > 0:
         # Mixtral MoE: block_sparse_moe.gate is the router [E, H] (-> [H, E]);
         # experts[e].w1/w3/w2 map to gate/up/down with a leading E axis

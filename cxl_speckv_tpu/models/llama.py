@@ -56,7 +56,7 @@ def init_params(config: LlamaConfig, key: jax.Array, dtype=None) -> Params:
     """
     c = config
     dtype = dtype or jnp.dtype(c.dtype)
-    keys = iter(jax.random.split(key, 16))
+    keys = iter(jax.random.split(key, 24))
     L, H, I, V = c.num_layers, c.hidden_size, c.intermediate_size, c.vocab_size
     qd, kvd = c.num_q_heads * c.head_dim, c.num_kv_heads * c.head_dim
 
@@ -94,6 +94,14 @@ def init_params(config: LlamaConfig, key: jax.Array, dtype=None) -> Params:
             params["layers"][name] = (
                 jax.random.normal(next(keys), (L, width), jnp.float32) * 0.02
             ).astype(dtype)
+    if c.post_norms:
+        # Gemma-2 sandwich norms (HF post_attention_layernorm /
+        # post_feedforward_layernorm; attn_norm/mlp_norm are the pre-norms).
+        # Random init (not the 0/1 identity) so tests exercise the path.
+        for name in ("post_attn_norm", "post_mlp_norm"):
+            params["layers"][name] = (
+                jax.random.normal(next(keys), (L, H), jnp.float32) * 0.05
+            ).astype(dtype)
     if not c.tie_embeddings:
         params["lm_head"] = w(next(keys), (H, V), H)
     return params
@@ -107,10 +115,86 @@ def param_count(params: Params) -> int:
 # building blocks
 # ---------------------------------------------------------------------------
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float,
+             offset: float = 0.0) -> jax.Array:
+    """RMSNorm; offset=1.0 gives the Gemma convention (zero-init weights,
+    multiply by 1 + w)."""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
+    normed = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return normed * (weight + offset) if offset else normed * weight
+
+
+def _norm(x: jax.Array, weight: jax.Array, config: LlamaConfig) -> jax.Array:
+    return rms_norm(x, weight, config.rms_eps,
+                    1.0 if config.norm_offset else 0.0)
+
+
+def _soft_cap(x: jax.Array, cap: float | None) -> jax.Array:
+    """Gemma-2 tanh softcapping (static no-op when cap is None)."""
+    return x if cap is None else cap * jnp.tanh(x / cap)
+
+
+def _embed(params: Params, config: LlamaConfig, token_ids: jax.Array):
+    x = params["embed"][token_ids]
+    if config.embed_scale:
+        x = x * jnp.asarray(config.hidden_size**0.5, x.dtype)
+    return x
+
+
+def _final_logits(x: jax.Array, params: Params, config: LlamaConfig):
+    head = params["embed"].T if config.tie_embeddings else params["lm_head"]
+    return _soft_cap((x @ head).astype(jnp.float32), config.final_softcap)
+
+
+def _scan_layers(step, carry, layers, config: LlamaConfig,
+                 with_output: bool = False):
+    """Scan the stacked layer weights with per-layer STATIC attention
+    windows. `step(carry, lp, li, window) -> carry` (or `(carry, y)` with
+    `with_output`, ys stacked [L, ...] in layer order).
+
+    Uniform models scan one layer per iteration. Models with an
+    alternating local/global pattern (Gemma-2 `attn_pattern`) scan one
+    pattern-PERIOD per iteration with each sub-layer's window baked
+    statically into the (period-times unrolled) body — attention kernels
+    keep static windows (and their DMA-elision index maps) at constant
+    compile time in depth."""
+    wins = config.layer_windows()
+    L = config.num_layers
+    if len(set(wins)) <= 1:
+        def body(c2, xs):
+            lp, li = xs
+            out = step(c2, lp, li, wins[0] if wins else None)
+            return out if with_output else (out, None)
+        c2, ys = jax.lax.scan(body, carry, (layers, jnp.arange(L)))
+        return (c2, ys) if with_output else c2
+
+    period = len(config.attn_pattern)
+    if L % period:
+        raise ValueError(
+            f"num_layers={L} not divisible by attn_pattern period {period}")
+    grouped = jax.tree.map(
+        lambda a: a.reshape(L // period, period, *a.shape[1:]), layers)
+    idx = jnp.arange(L).reshape(L // period, period)
+
+    def body(c2, xs):
+        lps, lis = xs
+        ys = []
+        for j in range(period):
+            lp = jax.tree.map(lambda a, j=j: a[j], lps)
+            out = step(c2, lp, lis[j], wins[j])
+            c2, y = out if with_output else (out, None)
+            ys.append(y)
+        stacked = (jax.tree.map(lambda *a: jnp.stack(a), *ys)
+                   if with_output else None)
+        return c2, stacked
+
+    c2, ys = jax.lax.scan(body, carry, (grouped, idx))
+    if not with_output:
+        return c2
+    # [L/period, period, ...] -> [L, ...]
+    ys = jax.tree.map(lambda a: a.reshape(L, *a.shape[2:]), ys)
+    return c2, ys
 
 
 def rope_frequencies(config: LlamaConfig) -> jax.Array:
@@ -149,17 +233,25 @@ def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array) -> jax.A
     return out.astype(x.dtype)
 
 
-def _mlp(x, gate, up, down):
-    h = jax.nn.silu(x @ gate) * (x @ up)
+def _act(config):
+    if config.act_fn == "silu":
+        return jax.nn.silu
+    if config.act_fn == "gelu_tanh":
+        return functools.partial(jax.nn.gelu, approximate=True)
+    raise ValueError(f"unknown act_fn {config.act_fn!r}")
+
+
+def _mlp(x, gate, up, down, act=jax.nn.silu):
+    h = act(x @ gate) * (x @ up)
     return h @ down
 
 
 def _ffn(x, lp, config):
-    """MLP block: dense SwiGLU, or the Mixtral sparse-MoE block when the
-    layer params carry a router (static pytree check, resolved at trace
-    time). x may be [B, H], [T, H], or [B, T, H]."""
+    """MLP block: dense gated MLP (SwiGLU / Gemma GeGLU), or the Mixtral
+    sparse-MoE block when the layer params carry a router (static pytree
+    check, resolved at trace time). x may be [B, H], [T, H], or [B, T, H]."""
     if "router" not in lp:
-        return _mlp(x, lp["gate"], lp["up"], lp["down"])
+        return _mlp(x, lp["gate"], lp["up"], lp["down"], _act(config))
     from cxl_speckv_tpu.models.moe import moe_ffn
 
     flat = x.reshape(-1, x.shape[-1])
@@ -176,6 +268,20 @@ def _qkv(h, lp):
         k = k + lp["k_bias"]
         v = v + lp["v_bias"]
     return q, k, v
+
+
+def _block_residuals(x, o_flat, lp, config):
+    """Shared residual structure after attention: o-projection (+ Gemma-2
+    post-attention norm), then the MLP block (+ post-MLP norm)."""
+    att = o_flat.astype(x.dtype) @ lp["o"]
+    if "post_attn_norm" in lp:
+        att = _norm(att, lp["post_attn_norm"], config)
+    x = x + att
+    h2 = _norm(x, lp["mlp_norm"], config)
+    mlp = _ffn(h2, lp, config)
+    if "post_mlp_norm" in lp:
+        mlp = _norm(mlp, lp["post_mlp_norm"], config)
+    return x + mlp
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +307,7 @@ def _decode_core(
     B = token_ids.shape[0]
     bs = k_pools.shape[3]  # pools [L, S, Hkv, bs, D/pack]
     inv_freq = rope_frequencies(c)
-    x = params["embed"][token_ids]  # [B, H]
+    x = _embed(params, c, token_ids)  # [B, H]
 
     # physical scatter coordinates of this token (clamped: overshoot steps of
     # a fused multi-decode past a finished lane stay inside the table)
@@ -218,11 +324,10 @@ def _decode_core(
     sids = scheme_id_table(kv_dtype)
     eff_dtype = KVDtype.MIXED8 if sids is not None else kv_dtype
 
-    def layer(carry, xs):
+    def layer(carry, lp, li, window):
         x, k_pools, v_pools, k_scales, v_scales = carry
-        (lp, li) = xs
         sid = sids[li] if sids is not None else None
-        h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+        h = _norm(x, lp["attn_norm"], c)
         q, k, v = _qkv(h, lp)
         q = q.reshape(B, c.num_q_heads, c.head_dim)
         k = k.reshape(B, c.num_kv_heads, c.head_dim)
@@ -250,26 +355,22 @@ def _decode_core(
         vsc = vsc.at[slots, :, offs].set(vs[:, :, 0])
 
         o = attend(q, kp, vp, ksc, vsc, block_table, seq_lens, eff_dtype,
-                   scheme_id=sid, window=c.sliding_window)
-        x = x + (o.reshape(B, -1).astype(x.dtype) @ lp["o"])
-        h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-        x = x + _ffn(h2, lp, c)
+                   scheme_id=sid, window=window, sm_scale=c.sm_scale,
+                   softcap=c.attn_softcap)
+        x = _block_residuals(x, o.reshape(B, -1), lp, c)
 
         k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)
         v_pools = jax.lax.dynamic_update_index_in_dim(v_pools, vp, li, 0)
         k_scales = jax.lax.dynamic_update_index_in_dim(k_scales, ksc, li, 0)
         v_scales = jax.lax.dynamic_update_index_in_dim(v_scales, vsc, li, 0)
-        return (x, k_pools, v_pools, k_scales, v_scales), None
+        return (x, k_pools, v_pools, k_scales, v_scales)
 
-    layer_idx = jnp.arange(c.num_layers)
-    (x, k_pools, v_pools, k_scales, v_scales), _ = jax.lax.scan(
+    x, k_pools, v_pools, k_scales, v_scales = _scan_layers(
         layer, (x, k_pools, v_pools, k_scales, v_scales),
-        (params["layers"], layer_idx),
-    )
+        params["layers"], c)
 
-    x = rms_norm(x, params["final_norm"], c.rms_eps)
-    head = params["embed"].T if config.tie_embeddings else params["lm_head"]
-    logits = (x @ head).astype(jnp.float32)
+    x = _norm(x, params["final_norm"], c)
+    logits = _final_logits(x, params, c)
     return logits, k_pools, v_pools, k_scales, v_scales
 
 
@@ -472,15 +573,14 @@ def prefill_batch_packed(
     slots = jnp.take_along_axis(tables, blk, axis=1)
     slots = jnp.where(t_idx < valid[:, None], slots, guard_slot)
     offs = positions % bs
-    x = params["embed"][token_ids]                        # [B, T, H]
+    x = _embed(params, c, token_ids)                      # [B, T, H]
     sids = scheme_id_table(kv_dtype)
     eff_dtype = KVDtype.MIXED8 if sids is not None else kv_dtype
 
-    def layer(carry, xs):
+    def layer(carry, lp, li, window):
         x, k_pools, v_pools, k_scales, v_scales = carry
-        (lp, li) = xs
         sid = sids[li] if sids is not None else None
-        h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+        h = _norm(x, lp["attn_norm"], c)
         q, k, v = _qkv(h, lp)
         q = q.reshape(B, T, c.num_q_heads, c.head_dim)
         k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
@@ -508,10 +608,9 @@ def prefill_batch_packed(
 
         o = attend_chunk(q, k_use, v_use, kp, vp, ksc, vsc,
                          tables, start, eff_dtype, scheme_id=sid,
-                         window=c.sliding_window)
-        x = x + (o.reshape(B, T, -1).astype(x.dtype) @ lp["o"])
-        h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-        x = x + _ffn(h2, lp, c)
+                         window=window, sm_scale=c.sm_scale,
+                         softcap=c.attn_softcap)
+        x = _block_residuals(x, o.reshape(B, T, -1), lp, c)
 
         kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
         vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
@@ -521,20 +620,17 @@ def prefill_batch_packed(
         v_pools = jax.lax.dynamic_update_index_in_dim(v_pools, vp, li, 0)
         k_scales = jax.lax.dynamic_update_index_in_dim(k_scales, ksc, li, 0)
         v_scales = jax.lax.dynamic_update_index_in_dim(v_scales, vsc, li, 0)
-        return (x, k_pools, v_pools, k_scales, v_scales), None
+        return (x, k_pools, v_pools, k_scales, v_scales)
 
-    layer_idx = jnp.arange(c.num_layers)
-    (x, k_pools, v_pools, k_scales, v_scales), _ = jax.lax.scan(
+    x, k_pools, v_pools, k_scales, v_scales = _scan_layers(
         layer, (x, k_pools, v_pools, k_scales, v_scales),
-        (params["layers"], layer_idx),
-    )
+        params["layers"], c)
     # last-valid hidden state per lane -> logits -> sampled token
     last = jnp.clip(valid - 1, 0, T - 1)
     x_last = jnp.take_along_axis(x, last[:, None, None].astype(jnp.int32)
                                  .repeat(x.shape[-1], axis=2), axis=1)[:, 0]
-    x_last = rms_norm(x_last, params["final_norm"], c.rms_eps)
-    head = params["embed"].T if config.tie_embeddings else params["lm_head"]
-    logits = (x_last @ head).astype(jnp.float32)          # [B, V]
+    x_last = _norm(x_last, params["final_norm"], c)
+    logits = _final_logits(x_last, params, c)             # [B, V]
     toks = sample_tokens(logits, temps, key).astype(jnp.int32)
     return toks, k_pools, v_pools, k_scales, v_scales
 
@@ -746,12 +842,11 @@ def stream_step(
 
     positions = start + jnp.arange(T)
     inv_freq = rope_frequencies(c)
-    x = params["embed"][token_ids]  # [T, H]
+    x = _embed(params, c, token_ids)  # [T, H]
     stores = (k_store, v_store, ks_store, vs_store)
 
-    def layer(x, xs):
-        (lp, li) = xs
-        h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+    def layer(x, lp, li, window):
+        h = _norm(x, lp["attn_norm"], c)
         q, k, v = _qkv(h, lp)
         q = q.reshape(T, c.num_q_heads, c.head_dim)
         k = k.reshape(T, c.num_kv_heads, c.head_dim)
@@ -768,17 +863,16 @@ def stream_step(
         carry = stream_context_attention(
             q, stores, host_row, start, li, kv_dtype, ops,
             num_layers=L, block_size=bs, max_blocks=table_width_ctx,
-            wave=wave, window=c.sliding_window)
+            wave=wave, window=window, sm_scale=c.sm_scale,
+            softcap=c.attn_softcap)
         o = merge_chunk_causal(q, k_use, v_use, carry,
-                               window=c.sliding_window)
-        x = x + (o.reshape(T, -1).astype(x.dtype) @ lp["o"])
-        h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-        x = x + _ffn(h2, lp, c)
+                               window=window, sm_scale=c.sm_scale,
+                               softcap=c.attn_softcap)
+        x = _block_residuals(x, o.reshape(T, -1), lp, c)
         return x, (kq, ksc[..., 0], vq, vsc[..., 0])
 
-    layer_idx = jnp.arange(c.num_layers)
-    x, (kq_l, ks_l, vq_l, vs_l) = jax.lax.scan(
-        layer, x, (params["layers"], layer_idx))
+    x, (kq_l, ks_l, vq_l, vs_l) = _scan_layers(
+        layer, x, params["layers"], c, with_output=True)
     # kq_l [L, T, Hkv, Dp] -> token-major [T, L, Hkv, Dp]
 
     # -- append: read-modify-write of the touched blocks --------------------
@@ -813,9 +907,8 @@ def stream_step(
 
     last = jnp.clip(valid - 1, 0, T - 1)
     x_last = jax.lax.dynamic_slice_in_dim(x, last, 1, axis=0)
-    x_last = rms_norm(x_last, params["final_norm"], c.rms_eps)
-    head = params["embed"].T if config.tie_embeddings else params["lm_head"]
-    logits = (x_last @ head).astype(jnp.float32)
+    x_last = _norm(x_last, params["final_norm"], c)
+    logits = _final_logits(x_last, params, c)
     tok = sample_tokens(logits, temps, key)[0].astype(jnp.int32)
     return (tok, *stores)
 
@@ -878,7 +971,7 @@ def verify_step(
     guard_slot = k_pools.shape[1] - 1
     inv_freq = rope_frequencies(c)
     positions = start_pos[:, None] + jnp.arange(T)[None, :]   # [B, T]
-    x = params["embed"][token_ids]                            # [B, T, H]
+    x = _embed(params, c, token_ids)                          # [B, T, H]
 
     blk = jnp.clip(positions // bs, 0, max_blocks - 1)
     slots = jnp.take_along_axis(block_tables, blk, axis=1)    # [B, T]
@@ -887,11 +980,10 @@ def verify_step(
     sids = scheme_id_table(kv_dtype)
     eff_dtype = KVDtype.MIXED8 if sids is not None else kv_dtype
 
-    def layer(carry, xs):
+    def layer(carry, lp, li, window):
         x, k_pools, v_pools, k_scales, v_scales = carry
-        (lp, li) = xs
         sid = sids[li] if sids is not None else None
-        h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+        h = _norm(x, lp["attn_norm"], c)
         q, k, v = _qkv(h, lp)
         q = q.reshape(B, T, c.num_q_heads, c.head_dim)
         k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
@@ -925,10 +1017,9 @@ def verify_step(
 
         o = attend_chunk(q, k_use, v_use, kp, vp, ksc, vsc,
                          block_tables, start_pos, eff_dtype, scheme_id=sid,
-                         window=c.sliding_window)
-        x = x + (o.reshape(B, T, -1).astype(x.dtype) @ lp["o"])
-        h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-        x = x + _ffn(h2, lp, c)
+                         window=window, sm_scale=c.sm_scale,
+                         softcap=c.attn_softcap)
+        x = _block_residuals(x, o.reshape(B, T, -1), lp, c)
         kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
         vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[..., 0])
@@ -938,16 +1029,13 @@ def verify_step(
         v_pools = jax.lax.dynamic_update_index_in_dim(v_pools, vp, li, 0)
         k_scales = jax.lax.dynamic_update_index_in_dim(k_scales, ksc, li, 0)
         v_scales = jax.lax.dynamic_update_index_in_dim(v_scales, vsc, li, 0)
-        return (x, k_pools, v_pools, k_scales, v_scales), None
+        return (x, k_pools, v_pools, k_scales, v_scales)
 
-    layer_idx = jnp.arange(c.num_layers)
-    (x, k_pools, v_pools, k_scales, v_scales), _ = jax.lax.scan(
+    x, k_pools, v_pools, k_scales, v_scales = _scan_layers(
         layer, (x, k_pools, v_pools, k_scales, v_scales),
-        (params["layers"], layer_idx),
-    )
-    x = rms_norm(x, params["final_norm"], c.rms_eps)
-    head = params["embed"].T if config.tie_embeddings else params["lm_head"]
-    logits = (x @ head).astype(jnp.float32)
+        params["layers"], c)
+    x = _norm(x, params["final_norm"], c)
+    logits = _final_logits(x, params, c)
     return logits, k_pools, v_pools, k_scales, v_scales
 
 
@@ -1003,7 +1091,7 @@ def prefill_chunk(
     if valid_len is None:
         valid_len = jnp.int32(T)
     positions = start_pos + jnp.arange(T)
-    x = params["embed"][token_ids]  # [T, H]
+    x = _embed(params, c, token_ids)  # [T, H]
 
     slots = table_row[jnp.clip(positions // bs, 0, max_blocks - 1)]  # [T]
     slots = jnp.where(jnp.arange(T) < valid_len, slots, guard_slot)
@@ -1012,11 +1100,10 @@ def prefill_chunk(
     sids = scheme_id_table(kv_dtype)
     eff_dtype = KVDtype.MIXED8 if sids is not None else kv_dtype
 
-    def layer(carry, xs):
+    def layer(carry, lp, li, window):
         x, k_pools, v_pools, k_scales, v_scales = carry
-        (lp, li) = xs
         sid = sids[li] if sids is not None else None
-        h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+        h = _norm(x, lp["attn_norm"], c)
         q, k, v = _qkv(h, lp)
         q = q.reshape(T, c.num_q_heads, c.head_dim)
         k = k.reshape(T, c.num_kv_heads, c.head_dim)
@@ -1052,12 +1139,11 @@ def prefill_chunk(
 
         o = attend_chunk(q[None], k_use[None], v_use[None], kp, vp, ksc, vsc,
                          table_row[None], start1, eff_dtype, scheme_id=sid,
-                         window=c.sliding_window)
-        o = o[0].reshape(T, c.num_q_heads * c.head_dim).astype(x.dtype)
+                         window=window, sm_scale=c.sm_scale,
+                         softcap=c.attn_softcap)
+        o = o[0].reshape(T, c.num_q_heads * c.head_dim)
 
-        x = x + o @ lp["o"]
-        h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-        x = x + _ffn(h2, lp, c)
+        x = _block_residuals(x, o, lp, c)
 
         # scatter the (already) quantized chunk KV
         kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
@@ -1068,17 +1154,14 @@ def prefill_chunk(
         v_pools = jax.lax.dynamic_update_index_in_dim(v_pools, vp, li, 0)
         k_scales = jax.lax.dynamic_update_index_in_dim(k_scales, ksc, li, 0)
         v_scales = jax.lax.dynamic_update_index_in_dim(v_scales, vsc, li, 0)
-        return (x, k_pools, v_pools, k_scales, v_scales), None
+        return (x, k_pools, v_pools, k_scales, v_scales)
 
-    layer_idx = jnp.arange(c.num_layers)
-    (x, k_pools, v_pools, k_scales, v_scales), _ = jax.lax.scan(
+    x, k_pools, v_pools, k_scales, v_scales = _scan_layers(
         layer, (x, k_pools, v_pools, k_scales, v_scales),
-        (params["layers"], layer_idx),
-    )
+        params["layers"], c)
     x_last = jax.lax.dynamic_slice_in_dim(x, valid_len - 1, 1, axis=0)
-    x_last = rms_norm(x_last, params["final_norm"], c.rms_eps)
-    head = params["embed"].T if config.tie_embeddings else params["lm_head"]
-    logits = (x_last @ head).astype(jnp.float32)[0]
+    x_last = _norm(x_last, params["final_norm"], c)
+    logits = _final_logits(x_last, params, c)[0]
     return logits, k_pools, v_pools, k_scales, v_scales
 
 
@@ -1093,14 +1176,16 @@ def forward_dense(params: Params, config: LlamaConfig, token_ids: jax.Array) -> 
     B, T = token_ids.shape
     inv_freq = rope_frequencies(c)
     positions = jnp.arange(T)
-    x = params["embed"][token_ids]  # [B, T, H]
-    causal = positions[:, None] >= positions[None, :]
-    if c.sliding_window is not None:
-        causal = causal & (positions[:, None] - positions[None, :] < c.sliding_window)
-    sm = c.head_dim**-0.5
+    x = _embed(params, c, token_ids)  # [B, T, H]
+    base_causal = positions[:, None] >= positions[None, :]
+    sm = c.sm_scale
 
-    def layer(x, lp):
-        h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+    def layer(x, lp, li, window):
+        causal = base_causal
+        if window is not None:
+            causal = causal & (
+                positions[:, None] - positions[None, :] < window)
+        h = _norm(x, lp["attn_norm"], c)
         q, k, v = _qkv(h, lp)
         q = q.reshape(B, T, c.num_q_heads, c.head_dim)
         k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
@@ -1109,16 +1194,12 @@ def forward_dense(params: Params, config: LlamaConfig, token_ids: jax.Array) -> 
         k = apply_rope(k, positions[None], inv_freq)
         qg = q.reshape(B, T, c.num_kv_heads, c.q_group, c.head_dim).astype(jnp.float32)
         s = jnp.einsum("bthgd,bshd->bhgts", qg, k.astype(jnp.float32)) * sm
+        s = _soft_cap(s, c.attn_softcap)
         s = jnp.where(causal[None, None, None], s, -1e30)
         w = jax.nn.softmax(s, axis=-1)
         o = jnp.einsum("bhgts,bshd->bthgd", w, v.astype(jnp.float32))
-        o = o.reshape(B, T, -1).astype(x.dtype)
-        x = x + o @ lp["o"]
-        h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-        x = x + _ffn(h2, lp, c)
-        return x, None
+        return _block_residuals(x, o.reshape(B, T, -1), lp, c)
 
-    x, _ = jax.lax.scan(layer, x, params["layers"])
-    x = rms_norm(x, params["final_norm"], c.rms_eps)
-    head = params["embed"].T if c.tie_embeddings else params["lm_head"]
-    return (x @ head).astype(jnp.float32)
+    x = _scan_layers(layer, x, params["layers"], c)
+    x = _norm(x, params["final_norm"], c)
+    return _final_logits(x, params, c)

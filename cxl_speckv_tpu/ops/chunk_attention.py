@@ -36,6 +36,7 @@ def paged_chunk_attention(
     sm_scale: float | None = None,
     scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 per call
     window: int | None = None,            # sliding window (Mistral family)
+    softcap: float | None = None,         # tanh score cap (Gemma family)
 ) -> jax.Array:
     """Returns [B, T, Hq, D]."""
     B, T, num_q_heads, head_dim = q.shape
@@ -58,6 +59,8 @@ def paged_chunk_attention(
         s = jnp.einsum("bthgd,bhsd->bhgts", qg, kblk,
                        precision=jax.lax.Precision.HIGHEST)  # [B,Hkv,G,T,bs]
         s = s * ks[:, :, None, None, :] * sm_scale
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
         pos = m * block_size + jnp.arange(block_size)
         valid = pos[None, :] < start_pos[:, None]      # [B, bs]
         valid = valid[:, None, None, None, :]          # [B,1,1,1,bs]
@@ -94,6 +97,8 @@ def paged_chunk_attention(
     vf = v_new.astype(jnp.float32)
     s = jnp.einsum("bthgd,bshd->bhgts", qg, kf,
                    precision=jax.lax.Precision.HIGHEST) * sm_scale  # [B,Hkv,G,T,T]
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
     t_idx = jnp.arange(T)
     causal = t_idx[:, None] >= t_idx[None, :]
     if window is not None:

@@ -63,6 +63,7 @@ def _chunk_kernel(
     compute_dtype=jnp.float32,
     sid_ref=None,   # [1] int32 SMEM — MIXED8 per-layer scheme id
     window=None,    # static sliding window (Mistral family)
+    softcap=None,   # static tanh score cap (Gemma family)
 ):
     k_refs = rest[0:ppb]
     v_refs = rest[ppb:2 * ppb]
@@ -113,6 +114,8 @@ def _chunk_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale    # [TG, ppb*bs]
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
         # pages are CONSECUTIVE logical blocks, so column c's token
         # position is simply the step base + c
         pos = (i * ppb * block_size
@@ -142,6 +145,8 @@ def _chunk_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale    # [TG, T]
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
         row_t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // group
         col_t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         ok = row_t >= col_t
@@ -163,7 +168,8 @@ def _chunk_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("kv_dtype", "sm_scale", "interpret",
-                              "compute_dtype", "pages_per_step", "window")
+                              "compute_dtype", "pages_per_step", "window",
+                              "softcap")
 )
 def paged_chunk_attention_pallas(
     q: jax.Array,            # [B, T, Hq, D] fresh queries (rope applied)
@@ -182,6 +188,7 @@ def paged_chunk_attention_pallas(
     compute_dtype=jnp.float32,  # matmul operand dtype; bf16 = native MXU
     pages_per_step: int | None = None,
     window: int | None = None,  # static sliding window (Mistral family)
+    softcap: float | None = None,  # static tanh score cap (Gemma family)
 ) -> jax.Array:
     """Drop-in kernel variant of `chunk_attention.paged_chunk_attention`.
     Returns [B, T, Hq, D]."""
@@ -202,7 +209,7 @@ def paged_chunk_attention_pallas(
             qp, kp_, vp_, k_pool, v_pool, k_scale, v_scale, block_table,
             start_pos, kv_dtype, sm_scale=sm_scale, interpret=interpret,
             scheme_id=scheme_id, compute_dtype=compute_dtype,
-            pages_per_step=pages_per_step, window=window)
+            pages_per_step=pages_per_step, window=window, softcap=softcap)
         return out[:, :T]
     if sm_scale is None:
         sm_scale = head_dim**-0.5
@@ -216,7 +223,7 @@ def paged_chunk_attention_pallas(
     base = functools.partial(
         _chunk_kernel, kv_dtype=kv_dtype, block_size=block_size,
         head_dim=head_dim, group=group, ppb=ppb, sm_scale=float(sm_scale),
-        compute_dtype=compute_dtype, window=window)
+        compute_dtype=compute_dtype, window=window, softcap=softcap)
     if mixed:
         def kernel(table_ref, start_ref, sid_ref, *rest):
             base(table_ref, start_ref, *rest, sid_ref=sid_ref)

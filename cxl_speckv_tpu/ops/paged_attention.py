@@ -88,6 +88,7 @@ def _decode_kernel(
     compute_dtype=jnp.float32,
     sid_ref=None,   # [1] int32 SMEM — MIXED8 per-layer scheme id
     window=None,    # static sliding window (positions < seq_len - window masked)
+    softcap=None,   # static tanh score cap (Gemma family)
 ):
     k_refs = rest[0:ppb]
     v_refs = rest[ppb:2 * ppb]
@@ -150,6 +151,8 @@ def _decode_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale     # [rows, cols]
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
 
         c_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
         r_head = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // G
@@ -180,7 +183,8 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("kv_dtype", "sm_scale", "interpret",
-                              "pages_per_step", "compute_dtype", "window")
+                              "pages_per_step", "compute_dtype", "window",
+                              "softcap")
 )
 def paged_attention(
     q: jax.Array,              # [B, num_q_heads, head_dim]
@@ -197,6 +201,7 @@ def paged_attention(
     pages_per_step: int | None = None,
     compute_dtype=jnp.float32,  # matmul operand dtype; bf16 = native MXU
     window: int | None = None,  # static sliding window (Mistral family)
+    softcap: float | None = None,  # static tanh score cap (Gemma family)
 ) -> jax.Array:
     B, num_q_heads, head_dim = q.shape
     num_slots, num_kv_heads, block_size, _ = k_pool.shape
@@ -224,6 +229,7 @@ def paged_attention(
         sm_scale=float(sm_scale),
         compute_dtype=compute_dtype,
         window=window,
+        softcap=softcap,
     )
     if mixed:
         # third scalar-prefetch operand carries the per-layer scheme id

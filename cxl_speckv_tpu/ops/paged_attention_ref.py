@@ -31,6 +31,11 @@ from cxl_speckv_tpu.ops.quant import _unpack_int4
 NEG_INF = -1e30
 
 
+def _cap(s: jax.Array, softcap: float | None) -> jax.Array:
+    """Gemma-2 tanh score softcapping (static no-op when None)."""
+    return s if softcap is None else softcap * jnp.tanh(s / softcap)
+
+
 def _dequant_block(q: jax.Array, kv_dtype: KVDtype,
                    scheme_id: jax.Array | None = None) -> jax.Array:
     """Raw pool storage -> float32 values (scales applied separately).
@@ -68,6 +73,7 @@ def paged_attention_ref(
     sm_scale: float | None = None,
     scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 per call
     window: int | None = None,            # sliding window (Mistral family)
+    softcap: float | None = None,         # tanh score cap (Gemma family)
 ) -> jax.Array:
     """Decode-step attention: one query token per sequence.
 
@@ -95,6 +101,7 @@ def paged_attention_ref(
         qg = q_b.reshape(num_kv_heads, group, head_dim).astype(jnp.float32)
         # scores: [Hkv, G, L]; K dequant applied post-matmul via ks
         scores = jnp.einsum("hgd,lhd->hgl", qg, k) * ks.T[:, None, :] * sm_scale
+        scores = _cap(scores, softcap)
         pos = jnp.arange(L)
         valid = pos < len_b
         if window is not None:
@@ -121,6 +128,7 @@ def prefill_attention_ref(
     kv_dtype: KVDtype = KVDtype.INT8,
     sm_scale: float | None = None,
     window: int | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Chunked-prefill attention for a single sequence.
 
@@ -137,7 +145,7 @@ def prefill_attention_ref(
     kf = k_new.astype(jnp.float32)
     vf = v_new.astype(jnp.float32)
     # causal scores within the chunk: [Hkv, G, T, T]
-    scores_new = jnp.einsum("thgd,shd->hgts", qg, kf) * sm_scale
+    scores_new = _cap(jnp.einsum("thgd,shd->hgts", qg, kf) * sm_scale, softcap)
     t_idx = jnp.arange(T)
     causal = t_idx[:, None] >= t_idx[None, :]
     if window is not None:
@@ -154,7 +162,9 @@ def prefill_attention_ref(
         v_ctx = v_ctx.transpose(0, 2, 1, 3).reshape(L, num_kv_heads, head_dim)
         ks = k_scale[block_table_row].transpose(0, 2, 1).reshape(L, num_kv_heads)
         vs = v_scale[block_table_row].transpose(0, 2, 1).reshape(L, num_kv_heads)
-        scores_ctx = jnp.einsum("thgd,lhd->hgtl", qg, k_ctx) * ks.T[:, None, None, :] * sm_scale
+        scores_ctx = _cap(
+            jnp.einsum("thgd,lhd->hgtl", qg, k_ctx)
+            * ks.T[:, None, None, :] * sm_scale, softcap)
         pos = jnp.arange(L)
         ctx_ok = pos[None, :] < start_pos                       # [1, L]
         if window is not None:

@@ -45,6 +45,7 @@ def stream_context_attention(
     wave: int = 4,
     sm_scale: float | None = None,
     window: int | None = None,   # sliding window (Mistral family)
+    softcap: float | None = None,  # tanh score cap (Gemma family)
 ):
     """Online-softmax partial attention over host-resident context.
 
@@ -77,6 +78,8 @@ def stream_context_attention(
         vs = vsb.transpose(1, 0, 2).reshape(num_kv_heads, wave * block_size)
 
         s = jnp.einsum("thgd,hsd->hgts", qg, kc) * ks[:, None, None, :] * sm_scale
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
         pos = w * wave * block_size + jnp.arange(wave * block_size)
         valid = pos[None, :] < start_pos                       # [1|T, S]
         if window is not None:
@@ -114,6 +117,7 @@ def merge_chunk_causal(
     carry,                # (m, l, o) from stream_context_attention
     sm_scale: float | None = None,
     window: int | None = None,
+    softcap: float | None = None,
 ):
     """Merge in-chunk causal attention into the streamed accumulators and
     finalize. Returns [T, Hq, D]."""
@@ -127,6 +131,8 @@ def merge_chunk_causal(
     kf = k_new.astype(jnp.float32)
     vf = v_new.astype(jnp.float32)
     s = jnp.einsum("thgd,shd->hgts", qg, kf) * sm_scale
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
     t_idx = jnp.arange(T)
     causal = t_idx[:, None] >= t_idx[None, :]
     if window is not None:

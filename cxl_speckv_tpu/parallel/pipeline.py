@@ -30,33 +30,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cxl_speckv_tpu.models.configs import LlamaConfig
 from cxl_speckv_tpu.models.llama import (
-    _ffn,
+    _block_residuals,
+    _norm,
     _qkv,
+    _soft_cap,
     apply_rope,
-    rms_norm,
     rope_frequencies,
 )
 
 
 def _dense_layer(x, lp, config, positions, causal):
-    """One dense transformer layer (no cache). x [mb, T, H]."""
+    """One dense transformer layer (no cache). x [mb, T, H]. `causal` is
+    the layer's (possibly windowed) mask; softcap/norm-offset/sandwich-norm
+    conventions follow the config (shared llama.py building blocks)."""
     c = config
     B, T = x.shape[:2]
     inv_freq = rope_frequencies(c)
-    h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+    h = _norm(x, lp["attn_norm"], c)
     q, k, v = _qkv(h, lp)
     q = apply_rope(q.reshape(B, T, c.num_q_heads, c.head_dim), positions, inv_freq)
     k = apply_rope(k.reshape(B, T, c.num_kv_heads, c.head_dim), positions, inv_freq)
     v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
     qg = q.reshape(B, T, c.num_kv_heads, c.q_group, c.head_dim).astype(jnp.float32)
     s = jnp.einsum("bthgd,bshd->bhgts", qg, k.astype(jnp.float32))
-    s = s * c.head_dim**-0.5
+    s = _soft_cap(s * c.sm_scale, c.attn_softcap)
     s = jnp.where(causal[None, None, None], s, -1e30)
     w = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgts,bshd->bthgd", w, v.astype(jnp.float32))
-    x = x + o.reshape(B, T, -1).astype(x.dtype) @ lp["o"]
-    h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-    return x + _ffn(h2, lp, c)
+    return _block_residuals(x, o.reshape(B, T, -1), lp, c)
 
 
 def _stage_params(params, num_stages: int):
@@ -96,10 +97,24 @@ def pipeline_forward(
     mb = B // M
 
     staged = _stage_params(params, S)
+    Lps = c.num_layers // S
+    wins = c.layer_windows()
+    period = 1
+    if len(set(wins)) > 1:
+        period = len(c.attn_pattern)
+        if Lps % period:
+            raise ValueError(
+                f"per-stage layers {Lps} not divisible by attn_pattern "
+                f"period {period} — stages would misalign the pattern")
     positions = jnp.arange(T)
-    causal = positions[:, None] >= positions[None, :]
-    if c.sliding_window is not None:
-        causal &= positions[:, None] - positions[None, :] < c.sliding_window
+    base_causal = positions[:, None] >= positions[None, :]
+
+    def mask_for(window):
+        if window is None:
+            return base_causal
+        return base_causal & (
+            positions[:, None] - positions[None, :] < window)
+
     head = (params["embed"].T if c.tie_embeddings else params["lm_head"])
 
     mbs = token_ids.reshape(M, mb, T)
@@ -110,9 +125,25 @@ def pipeline_forward(
         my_layers = jax.tree.map(lambda a: a[0], layers)
 
         def run_stage(x):
-            def body(x, lp):
-                return _dense_layer(x, lp, c, positions[None], causal), None
-            return jax.lax.scan(body, x, my_layers)[0]
+            if period == 1:
+                def body(x, lp):
+                    return _dense_layer(x, lp, c, positions[None],
+                                        mask_for(wins[0])), None
+                return jax.lax.scan(body, x, my_layers)[0]
+            # alternating local/global (Gemma-2): one pattern-period per
+            # scan iteration, windows static per sub-layer (stage start
+            # indices are period-aligned since Lps % period == 0)
+            grouped = jax.tree.map(
+                lambda a: a.reshape(Lps // period, period, *a.shape[1:]),
+                my_layers)
+
+            def body(x, lps):
+                for j in range(period):
+                    lp = jax.tree.map(lambda a, j=j: a[j], lps)
+                    x = _dense_layer(x, lp, c, positions[None],
+                                     mask_for(wins[j]))
+                return x, None
+            return jax.lax.scan(body, x, grouped)[0]
 
         H = embed.shape[1]
         V = head.shape[1]
@@ -122,12 +153,15 @@ def pipeline_forward(
             # stage 0 injects microbatch t (clamped; ticks past M feed a
             # dummy that never reaches the output buffer)
             inject = embed[mbs[jnp.clip(t, 0, M - 1)]]
+            if c.embed_scale:
+                inject = inject * jnp.asarray(c.hidden_size**0.5, inject.dtype)
             x_in = jnp.where(stage == 0, inject.astype(x_recv.dtype), x_recv)
             y = run_stage(x_in)
             # last stage finalizes microbatch t-(S-1)
             out_idx = t - (S - 1)
-            xf = rms_norm(y, final_norm, c.rms_eps)
-            logits = (xf @ head).astype(jnp.float32)
+            xf = _norm(y, final_norm, c)
+            logits = _soft_cap((xf @ head).astype(jnp.float32),
+                               c.final_softcap)
             valid = (stage == S - 1) & (out_idx >= 0)
             logits_buf = jax.lax.dynamic_update_index_in_dim(
                 logits_buf,

@@ -26,17 +26,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from cxl_speckv_tpu.models.configs import LlamaConfig
 from cxl_speckv_tpu.models.llama import (
-    _ffn,
+    _block_residuals,
+    _norm,
     _qkv,
+    _soft_cap,
     apply_rope,
-    rms_norm,
     rope_frequencies,
 )
 
 _NEG = -1e30
 
 
-def _ring_attention_local(q, k, v, q_pos, kv_pos0, t_local, config):
+def _ring_attention_local(q, k, v, q_pos, kv_pos0, t_local, config,
+                          window=None):
     """Inside-shard_map body: online-softmax over rotating KV chunks.
 
     q [B, Tl, Hq, D]; k/v [B, Tl, Hkv, D] (the local chunk, rotated);
@@ -48,16 +50,17 @@ def _ring_attention_local(q, k, v, q_pos, kv_pos0, t_local, config):
     B, Tl = q.shape[:2]
     qg = (q.reshape(B, Tl, c.num_kv_heads, c.q_group, c.head_dim)
           .astype(jnp.float32))
-    sm = c.head_dim**-0.5
+    sm = c.sm_scale
 
     def step(carry, i):
         k_cur, v_cur, kv0, m, l, acc = carry
         kv_pos = kv0 + jnp.arange(Tl)                        # [Tl] global
         s = jnp.einsum("bthgd,bshd->bhgts", qg,
                        k_cur.astype(jnp.float32)) * sm       # [B,Hkv,G,Tl,Tl]
+        s = _soft_cap(s, c.attn_softcap)
         mask = q_pos[:, None] >= kv_pos[None, :]             # causal
-        if c.sliding_window is not None:
-            mask &= q_pos[:, None] - kv_pos[None, :] < c.sliding_window
+        if window is not None:
+            mask &= q_pos[:, None] - kv_pos[None, :] < window
         s = jnp.where(mask[None, None, None], s, _NEG)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[..., None])
@@ -102,28 +105,51 @@ def sp_forward_dense(
     inv_freq = rope_frequencies(c)
     head = (params["embed"].T if c.tie_embeddings else params["lm_head"])
 
+    wins = c.layer_windows()
+    period = 1
+    if len(set(wins)) > 1:
+        period = len(c.attn_pattern)
+        if c.num_layers % period:
+            raise ValueError("num_layers not divisible by attn_pattern period")
+
     def fn(layers, embed, head, final_norm, tokens):
         # tokens arrives sequence-sharded: [B, Tl]
         idx = jax.lax.axis_index("sp")
         q_pos = idx * Tl + jnp.arange(Tl)
         x = embed[tokens]                                    # [B, Tl, H]
+        if c.embed_scale:
+            x = x * jnp.asarray(c.hidden_size**0.5, x.dtype)
 
-        def layer(x, lp):
-            h = rms_norm(x, lp["attn_norm"], c.rms_eps)
+        def one_layer(x, lp, window):
+            h = _norm(x, lp["attn_norm"], c)
             q, k, v = _qkv(h, lp)
             q = apply_rope(q.reshape(B, Tl, c.num_q_heads, c.head_dim),
                            q_pos[None], inv_freq)
             k = apply_rope(k.reshape(B, Tl, c.num_kv_heads, c.head_dim),
                            q_pos[None], inv_freq)
             v = v.reshape(B, Tl, c.num_kv_heads, c.head_dim)
-            o = _ring_attention_local(q, k, v, q_pos, idx * Tl, Tl, c)
-            x = x + o.astype(x.dtype) @ lp["o"]
-            h2 = rms_norm(x, lp["mlp_norm"], c.rms_eps)
-            return x + _ffn(h2, lp, c), None
+            o = _ring_attention_local(q, k, v, q_pos, idx * Tl, Tl, c,
+                                      window=window)
+            return _block_residuals(x, o, lp, c)
 
-        x, _ = jax.lax.scan(layer, x, layers)
-        x = rms_norm(x, final_norm, c.rms_eps)
-        return (x @ head).astype(jnp.float32)                # [B, Tl, V]
+        if period == 1:
+            def layer(x, lp):
+                return one_layer(x, lp, wins[0]), None
+            x, _ = jax.lax.scan(layer, x, layers)
+        else:
+            grouped = jax.tree.map(
+                lambda a: a.reshape(c.num_layers // period, period,
+                                    *a.shape[1:]), layers)
+
+            def layer(x, lps):
+                for j in range(period):
+                    lp = jax.tree.map(lambda a, j=j: a[j], lps)
+                    x = one_layer(x, lp, wins[j])
+                return x, None
+            x, _ = jax.lax.scan(layer, x, grouped)
+        x = _norm(x, final_norm, c)
+        return _soft_cap((x @ head).astype(jnp.float32),
+                         c.final_softcap)                    # [B, Tl, V]
 
     sharded = jax.shard_map(
         fn, mesh=mesh,

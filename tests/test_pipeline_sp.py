@@ -60,6 +60,25 @@ def test_pipeline_moe_and_window():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pipeline_and_sp_gemma_pattern():
+    """Gemma-2 conventions through pp and sp: alternating static windows,
+    softcaps, sandwich norms, GeGLU, scaled embeddings."""
+    cfg = dataclasses.replace(
+        CFG, sliding_window=5, attn_pattern=(True, False), attn_softcap=25.0,
+        final_softcap=8.0, norm_offset=True, post_norms=True,
+        act_fn="gelu_tanh", embed_scale=True, query_scale=10.0**-0.5)
+    params = init_params(cfg, jax.random.PRNGKey(9))
+    toks = _tokens(2, 16, seed=8)
+    want = forward_dense(params, cfg, toks)
+    got_pp = pipeline_forward(params, cfg, toks, mesh=_mesh("pp", 2),
+                              num_microbatches=2)
+    np.testing.assert_allclose(np.asarray(got_pp), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    got_sp = sp_forward_dense(params, cfg, toks, mesh=_mesh("sp", 4))
+    np.testing.assert_allclose(np.asarray(got_sp), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pipeline_rejects_bad_split():
     mesh = _mesh("pp", 3)
     with pytest.raises(ValueError, match="not divisible"):
