@@ -76,6 +76,25 @@ def load_library():
     u64, i64, i32 = ctypes.c_uint64, ctypes.c_int64, ctypes.c_int32
     p32, p64 = ctypes.POINTER(i32), ctypes.POINTER(i64)
     sigs = {
+        "speckv_pool_create": ([u64, i32, i32, i32], u64),
+        "speckv_pool_destroy": ([u64], None),
+        "speckv_pool_add_seq": ([u64], i32),
+        "speckv_pool_free_seq": ([u64, i32], i32),
+        "speckv_pool_blocks_needed": ([u64, i32, i64], i32),
+        "speckv_pool_extend": ([u64, i32, i64], i32),
+        "speckv_pool_retire_below": ([u64, i32, i32, p64, p64, i32], i32),
+        "speckv_pool_reap_deferred": ([u64], None),
+        "speckv_pool_refresh_slot": ([u64, i32, i32], i32),
+        "speckv_pool_locate": ([u64, i64, p32], i64),
+        "speckv_pool_sync_moved": ([u64], i32),
+        "speckv_pool_live_seqs": ([u64, p32, i32], i32),
+        "speckv_pool_seq_tokens": ([u64, i32], i64),
+        "speckv_pool_seq_blocks": ([u64, i32, p64, i32], i32),
+        "speckv_pool_last_block": ([u64, i32], i64),
+        "speckv_pool_has_seq": ([u64, i32], i32),
+        "speckv_pool_table": ([u64], ctypes.POINTER(i32)),
+        "speckv_pool_stats": ([u64, p64], i32),
+        "speckv_pool_reset_stats": ([u64], None),
         "speckv_dir_create": ([i32, i32, i32, i32], u64),
         "speckv_dir_destroy": ([u64], None),
         "speckv_dir_allocate": ([u64, i32], i64),
@@ -302,3 +321,174 @@ class NativeResidencyDirectory:
 
     def reset_statistics(self) -> None:
         self._lib.speckv_dir_reset_stats(self._h)
+
+
+# ---------------------------------------------------------------------------
+# Native BlockPool — C++ per-sequence allocator (reference SpeckvAllocator
+# analog, host/src/speckv_allocator.cpp), drop-in for core.block_pool.BlockPool
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from cxl_speckv_tpu.core.block_pool import PoolStatistics
+from cxl_speckv_tpu.core.block_table import BlockTable
+
+_POOL_STATS_FIELDS = (
+    "seqs_allocated", "seqs_freed", "blocks_allocated", "blocks_freed",
+    "peak_blocks", "alloc_failures",
+)
+
+
+class _NativeSeqView:
+    """SeqAlloc-compatible view over one native sequence."""
+
+    __slots__ = ("_pool", "seq_slot")
+
+    def __init__(self, pool: "NativeBlockPool", seq_slot: int):
+        self._pool = pool
+        self.seq_slot = seq_slot
+
+    @property
+    def blocks(self) -> list:
+        return self._pool._seq_blocks(self.seq_slot)
+
+    @property
+    def live_blocks(self) -> list:
+        return [b for b in self.blocks if b is not None]
+
+    @property
+    def num_tokens(self) -> int:
+        return self._pool._lib.speckv_pool_seq_tokens(
+            self._pool._h, self.seq_slot)
+
+
+class _NativeTable(BlockTable):
+    """BlockTable whose storage is the C++ pool's table, mapped zero-copy."""
+
+    def __init__(self, pool: "NativeBlockPool",
+                 max_seqs: int, max_blocks_per_seq: int):
+        self.max_seqs = max_seqs
+        self.max_blocks_per_seq = max_blocks_per_seq
+        ptr = pool._lib.speckv_pool_table(pool._h)
+        self._table = np.ctypeslib.as_array(
+            ptr, shape=(max_seqs, max_blocks_per_seq))
+
+
+class NativeBlockPool:
+    """Drop-in replacement for `core.block_pool.BlockPool` over the C++
+    allocator; must be paired with `NativeResidencyDirectory` (the C++ pool
+    allocates/frees through the same underlying directory object)."""
+
+    def __init__(self, config, directory: NativeResidencyDirectory,
+                 max_seqs: int, max_blocks_per_seq: int):
+        if not isinstance(directory, NativeResidencyDirectory):
+            raise TypeError("NativeBlockPool requires the native directory")
+        self.config = config
+        self.directory = directory
+        self._lib = load_library()
+        self._h = self._lib.speckv_pool_create(
+            directory._h, max_seqs, max_blocks_per_seq, config.block_size)
+        if not self._h:
+            raise RuntimeError("native pool creation failed")
+        self.table = _NativeTable(self, max_seqs, max_blocks_per_seq)
+        self._max_blocks = max_blocks_per_seq
+
+    def __del__(self):
+        try:
+            self._lib.speckv_pool_destroy(self._h)
+        except Exception:
+            pass
+
+    # -- sequence lifecycle -------------------------------------------------
+
+    def add_seq(self):
+        slot = self._lib.speckv_pool_add_seq(self._h)
+        return None if slot < 0 else slot
+
+    def free_seq(self, seq_slot: int) -> None:
+        rc = self._lib.speckv_pool_free_seq(self._h, seq_slot)
+        if rc < 0:
+            raise KeyError(seq_slot)
+
+    def retire_below(self, seq_slot: int, first_live_block: int):
+        cap = self._max_blocks
+        idx = (ctypes.c_int64 * cap)()
+        bid = (ctypes.c_int64 * cap)()
+        n = self._lib.speckv_pool_retire_below(
+            self._h, seq_slot, first_live_block, idx, bid, cap)
+        if n < 0:
+            raise KeyError(seq_slot)
+        return [(int(idx[i]), int(bid[i])) for i in range(min(n, cap))]
+
+    def reap_deferred(self) -> None:
+        self._lib.speckv_pool_reap_deferred(self._h)
+
+    # -- capacity growth ----------------------------------------------------
+
+    def blocks_needed(self, seq_slot: int, new_total_tokens: int) -> int:
+        n = self._lib.speckv_pool_blocks_needed(
+            self._h, seq_slot, new_total_tokens)
+        if n < 0:
+            raise KeyError(seq_slot)
+        return n
+
+    def extend(self, seq_slot: int, new_total_tokens: int) -> bool:
+        rc = self._lib.speckv_pool_extend(self._h, seq_slot, new_total_tokens)
+        if rc < 0:
+            raise KeyError(seq_slot)
+        return bool(rc)
+
+    # -- accessors ----------------------------------------------------------
+
+    def _seq_blocks(self, seq_slot: int) -> list:
+        cap = self._max_blocks
+        out = (ctypes.c_int64 * cap)()
+        n = self._lib.speckv_pool_seq_blocks(self._h, seq_slot, out, cap)
+        if n < 0:
+            raise KeyError(seq_slot)
+        return [None if out[i] < 0 else int(out[i])
+                for i in range(min(n, cap))]
+
+    def seq(self, seq_slot: int) -> _NativeSeqView:
+        if not self._lib.speckv_pool_has_seq(self._h, seq_slot):
+            raise KeyError(seq_slot)
+        return _NativeSeqView(self, seq_slot)
+
+    def live_seqs(self) -> list:
+        cap = self.table.max_seqs
+        out = (ctypes.c_int32 * cap)()
+        n = self._lib.speckv_pool_live_seqs(self._h, out, cap)
+        return [int(out[i]) for i in range(min(n, cap))]
+
+    def last_block(self, seq_slot: int) -> int:
+        bid = self._lib.speckv_pool_last_block(self._h, seq_slot)
+        if bid < 0:
+            raise KeyError(seq_slot)
+        return bid
+
+    def refresh_slot(self, seq_slot: int, block_idx: int) -> None:
+        rc = self._lib.speckv_pool_refresh_slot(self._h, seq_slot, block_idx)
+        if rc < 0:
+            raise KeyError((seq_slot, block_idx))
+
+    def locate(self, bid: int):
+        idx = ctypes.c_int32()
+        slot = self._lib.speckv_pool_locate(self._h, bid, ctypes.byref(idx))
+        return None if slot < 0 else (int(slot), int(idx.value))
+
+    def sync_moved(self) -> int:
+        return self._lib.speckv_pool_sync_moved(self._h)
+
+    def get_statistics(self) -> PoolStatistics:
+        out = (ctypes.c_int64 * 6)()
+        rc = self._lib.speckv_pool_stats(self._h, out)
+        if rc < 0:
+            raise RuntimeError("pool stats failed")
+        return PoolStatistics(**dict(zip(_POOL_STATS_FIELDS, out)))
+
+    @property
+    def stats(self) -> PoolStatistics:
+        return self.get_statistics()
+
+    def reset_statistics(self) -> None:
+        self._lib.speckv_pool_reset_stats(self._h)

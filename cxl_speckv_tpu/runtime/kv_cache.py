@@ -81,11 +81,17 @@ class TieredKVCache:
             import os
             native = os.environ.get("SPECKV_NATIVE") == "1"
         if native:
-            from cxl_speckv_tpu.native import NativeResidencyDirectory
+            from cxl_speckv_tpu.native import (
+                NativeBlockPool,
+                NativeResidencyDirectory,
+            )
             self.directory = NativeResidencyDirectory(cache_config)
+            self.pool = NativeBlockPool(cache_config, self.directory,
+                                        max_seqs, max_blocks_per_seq)
         else:
             self.directory = ResidencyDirectory(cache_config)
-        self.pool = BlockPool(cache_config, self.directory, max_seqs, max_blocks_per_seq)
+            self.pool = BlockPool(cache_config, self.directory, max_seqs,
+                                  max_blocks_per_seq)
 
         c = model_config
         pack = 2 if self.kv_dtype == KVDtype.INT4 else 1

@@ -9,16 +9,23 @@
 
 #include "speckv_runtime.hpp"
 
+using speckv::BlockPool;
 using speckv::ResidencyDirectory;
 
 namespace {
 std::mutex g_mu;
 std::unordered_map<uint64_t, ResidencyDirectory*> g_dirs;
+std::unordered_map<uint64_t, BlockPool*> g_pools;
 uint64_t g_next = 1;
 
 ResidencyDirectory* get(uint64_t h) {
   auto it = g_dirs.find(h);
   return it == g_dirs.end() ? nullptr : it->second;
+}
+
+BlockPool* pget(uint64_t h) {
+  auto it = g_pools.find(h);
+  return it == g_pools.end() ? nullptr : it->second;
 }
 }  // namespace
 
@@ -183,6 +190,127 @@ int32_t speckv_dir_state_counts(uint64_t h, int64_t* out5) {
   if (!d) return speckv::kErrUnknownBlock;
   d->StateCounts(out5);
   return speckv::kOk;
+}
+
+// ---------------------------------------------------------------------------
+// BlockPool C API — the reference SpeckvAllocator surface
+// (host/include/speckv_allocator.hpp), adapted to the canonical
+// (seq_slot, block_idx) identity
+// ---------------------------------------------------------------------------
+
+uint64_t speckv_pool_create(uint64_t dir_h, int32_t max_seqs,
+                            int32_t max_blocks_per_seq, int32_t block_size) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  ResidencyDirectory* d = get(dir_h);
+  if (!d) return 0;
+  uint64_t h = g_next++;
+  g_pools[h] = new BlockPool(d, max_seqs, max_blocks_per_seq, block_size);
+  return h;
+}
+
+void speckv_pool_destroy(uint64_t h) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  auto it = g_pools.find(h);
+  if (it != g_pools.end()) {
+    delete it->second;
+    g_pools.erase(it);
+  }
+}
+
+int32_t speckv_pool_add_seq(uint64_t h) {
+  BlockPool* p = pget(h);
+  return p ? p->AddSeq() : -1;
+}
+
+int32_t speckv_pool_free_seq(uint64_t h, int32_t slot) {
+  BlockPool* p = pget(h);
+  return p ? p->FreeSeq(slot) : speckv::kErrUnknownBlock;
+}
+
+int32_t speckv_pool_blocks_needed(uint64_t h, int32_t slot, int64_t total) {
+  BlockPool* p = pget(h);
+  return p ? p->BlocksNeeded(slot, total) : speckv::kErrUnknownBlock;
+}
+
+int32_t speckv_pool_extend(uint64_t h, int32_t slot, int64_t total) {
+  BlockPool* p = pget(h);
+  return p ? p->Extend(slot, total) : speckv::kErrUnknownBlock;
+}
+
+int32_t speckv_pool_retire_below(uint64_t h, int32_t slot, int32_t first,
+                                 int64_t* idx_out, int64_t* bid_out,
+                                 int32_t cap) {
+  BlockPool* p = pget(h);
+  return p ? p->RetireBelow(slot, first, idx_out, bid_out, cap)
+           : speckv::kErrUnknownBlock;
+}
+
+void speckv_pool_reap_deferred(uint64_t h) {
+  BlockPool* p = pget(h);
+  if (p) p->ReapDeferred();
+}
+
+int32_t speckv_pool_refresh_slot(uint64_t h, int32_t slot, int32_t idx) {
+  BlockPool* p = pget(h);
+  return p ? p->RefreshSlot(slot, idx) : speckv::kErrUnknownBlock;
+}
+
+int64_t speckv_pool_locate(uint64_t h, int64_t bid, int32_t* block_idx) {
+  BlockPool* p = pget(h);
+  return p ? p->Locate(bid, block_idx) : -1;
+}
+
+int32_t speckv_pool_sync_moved(uint64_t h) {
+  BlockPool* p = pget(h);
+  return p ? p->SyncMoved() : speckv::kErrUnknownBlock;
+}
+
+int32_t speckv_pool_live_seqs(uint64_t h, int32_t* out, int32_t cap) {
+  BlockPool* p = pget(h);
+  return p ? p->LiveSeqs(out, cap) : speckv::kErrUnknownBlock;
+}
+
+int64_t speckv_pool_seq_tokens(uint64_t h, int32_t slot) {
+  BlockPool* p = pget(h);
+  return p ? p->SeqTokens(slot) : -1;
+}
+
+int32_t speckv_pool_seq_blocks(uint64_t h, int32_t slot, int64_t* out,
+                               int32_t cap) {
+  BlockPool* p = pget(h);
+  return p ? p->SeqBlocks(slot, out, cap) : speckv::kErrUnknownBlock;
+}
+
+int64_t speckv_pool_last_block(uint64_t h, int32_t slot) {
+  BlockPool* p = pget(h);
+  return p ? p->LastBlock(slot) : -1;
+}
+
+int32_t speckv_pool_has_seq(uint64_t h, int32_t slot) {
+  BlockPool* p = pget(h);
+  return p ? (p->HasSeq(slot) ? 1 : 0) : 0;
+}
+
+int32_t* speckv_pool_table(uint64_t h) {
+  BlockPool* p = pget(h);
+  return p ? p->table_data() : nullptr;
+}
+
+// stats as a flat int64 array in PoolStats field order (6 counters)
+int32_t speckv_pool_stats(uint64_t h, int64_t* out6) {
+  BlockPool* p = pget(h);
+  if (!p) return speckv::kErrUnknownBlock;
+  const speckv::PoolStats& s = p->stats();
+  const int64_t vals[6] = {s.seqs_allocated,  s.seqs_freed,
+                           s.blocks_allocated, s.blocks_freed,
+                           s.peak_blocks,      s.alloc_failures};
+  for (int i = 0; i < 6; ++i) out6[i] = vals[i];
+  return speckv::kOk;
+}
+
+void speckv_pool_reset_stats(uint64_t h) {
+  BlockPool* p = pget(h);
+  if (p) p->ResetStats();
 }
 
 }  // extern "C"

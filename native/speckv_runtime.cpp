@@ -256,3 +256,200 @@ int32_t ResidencyDirectory::TakeMoved(int64_t* out, int32_t cap) {
 }
 
 }  // namespace speckv
+
+// ---------------------------------------------------------------------------
+// BlockPool (see speckv_runtime.hpp; mirrors core/block_pool.py exactly)
+// ---------------------------------------------------------------------------
+
+namespace speckv {
+
+int32_t BlockPool::AddSeq() {
+  if (free_slots_.empty()) return -1;
+  const int32_t slot = free_slots_.back();
+  free_slots_.pop_back();
+  seqs_.emplace(slot, SeqAlloc{});
+  ++stats_.seqs_allocated;
+  return slot;
+}
+
+void BlockPool::FreeBlockDeferred(int64_t bid) {
+  bid_loc_.erase(bid);
+  const Entry* e = dir_->Find(bid);
+  if (e != nullptr && (e->state == BlockState::kInFlightUp ||
+                       e->state == BlockState::kInFlightDown)) {
+    // mid-transfer: the transfer engine completes first; reaped later
+    deferred_free_.push_back(bid);
+  } else {
+    dir_->FreeBlock(bid);
+    ++stats_.blocks_freed;
+  }
+}
+
+int32_t BlockPool::FreeSeq(int32_t slot) {
+  auto it = seqs_.find(slot);
+  if (it == seqs_.end()) return kErrUnknownBlock;
+  for (int64_t bid : it->second.blocks) {
+    if (bid >= 0) FreeBlockDeferred(bid);
+  }
+  seqs_.erase(it);
+  for (int32_t i = 0; i < max_blocks_; ++i) Cell(slot, i) = -1;
+  free_slots_.push_back(slot);
+  ++stats_.seqs_freed;
+  return kOk;
+}
+
+int32_t BlockPool::BlocksNeeded(int32_t slot, int64_t new_total) const {
+  auto it = seqs_.find(slot);
+  if (it == seqs_.end()) return kErrUnknownBlock;
+  const int64_t want = (new_total + block_size_ - 1) / block_size_;
+  const int64_t have = static_cast<int64_t>(it->second.blocks.size());
+  return static_cast<int32_t>(want > have ? want - have : 0);
+}
+
+int64_t BlockPool::LiveBlockCount() const {
+  int64_t n = 0;
+  for (const auto& [slot, seq] : seqs_) {
+    for (int64_t bid : seq.blocks) n += (bid >= 0);
+  }
+  return n;
+}
+
+int32_t BlockPool::Extend(int32_t slot, int64_t new_total) {
+  auto it = seqs_.find(slot);
+  if (it == seqs_.end()) return kErrUnknownBlock;
+  SeqAlloc& seq = it->second;
+  const int32_t need = BlocksNeeded(slot, new_total);
+  for (int32_t i = 0; i < need; ++i) {
+    // born unpinned: only the active decode batch pins (pinned-at-birth
+    // would deadlock the pool once prefills exceed HBM)
+    const int64_t bid = dir_->Allocate(/*pinned=*/false);
+    if (bid < 0) {
+      ++stats_.alloc_failures;
+      return 0;  // OOM -> scheduler backpressure
+    }
+    const Entry* e = dir_->Find(bid);
+    const int32_t idx = static_cast<int32_t>(seq.blocks.size());
+    if (idx >= max_blocks_) {
+      // table-capacity overflow (Python raises IndexError; callers clamp
+      // at admission) — release the fresh block and report
+      dir_->FreeBlock(bid);
+      return kErrBadState;
+    }
+    Cell(slot, idx) = e->hbm_slot;
+    bid_loc_[bid] = {slot, idx};
+    seq.blocks.push_back(bid);
+    ++stats_.blocks_allocated;
+  }
+  seq.num_tokens = new_total;
+  const int64_t live = LiveBlockCount();
+  if (live > stats_.peak_blocks) stats_.peak_blocks = live;
+  return 1;
+}
+
+int32_t BlockPool::RetireBelow(int32_t slot, int32_t first_live,
+                               int64_t* idx_out, int64_t* bid_out,
+                               int32_t cap) {
+  auto it = seqs_.find(slot);
+  if (it == seqs_.end()) return kErrUnknownBlock;
+  SeqAlloc& seq = it->second;
+  const int32_t stop = std::min<int32_t>(
+      first_live, static_cast<int32_t>(seq.blocks.size()));
+  int32_t n = 0;
+  for (int32_t i = 0; i < stop; ++i) {
+    const int64_t bid = seq.blocks[i];
+    if (bid < 0) continue;
+    seq.blocks[i] = -1;
+    FreeBlockDeferred(bid);
+    if (n < cap) {
+      idx_out[n] = i;
+      bid_out[n] = bid;
+    }
+    ++n;
+  }
+  return n;
+}
+
+void BlockPool::ReapDeferred() {
+  std::vector<int64_t> still;
+  for (int64_t bid : deferred_free_) {
+    const Entry* e = dir_->Find(bid);
+    if (e != nullptr && (e->state == BlockState::kInFlightUp ||
+                         e->state == BlockState::kInFlightDown)) {
+      still.push_back(bid);
+    } else {
+      dir_->FreeBlock(bid);
+      ++stats_.blocks_freed;
+    }
+  }
+  deferred_free_ = std::move(still);
+}
+
+int32_t BlockPool::RefreshSlot(int32_t slot, int32_t block_idx) {
+  auto it = seqs_.find(slot);
+  if (it == seqs_.end()) return kErrUnknownBlock;
+  if (block_idx < 0 ||
+      block_idx >= static_cast<int32_t>(it->second.blocks.size()))
+    return kErrUnknownBlock;
+  const int64_t bid = it->second.blocks[block_idx];
+  if (bid < 0) return kErrUnknownBlock;
+  const Entry* e = dir_->Find(bid);
+  if (e == nullptr) return kErrUnknownBlock;
+  Cell(slot, block_idx) = e->hbm_slot;
+  return kOk;
+}
+
+int64_t BlockPool::Locate(int64_t bid, int32_t* block_idx) const {
+  auto it = bid_loc_.find(bid);
+  if (it == bid_loc_.end()) return -1;
+  *block_idx = it->second.second;
+  return it->second.first;
+}
+
+int32_t BlockPool::SyncMoved() {
+  int64_t buf[256];
+  int32_t n = 0;
+  for (;;) {
+    const int32_t m = dir_->TakeMoved(buf, 256);
+    for (int32_t i = 0; i < m; ++i) {
+      auto it = bid_loc_.find(buf[i]);
+      if (it == bid_loc_.end()) continue;
+      const Entry* e = dir_->Find(buf[i]);
+      if (e != nullptr && e->hbm_slot >= 0) {
+        Cell(it->second.first, it->second.second) = e->hbm_slot;
+        ++n;
+      }
+    }
+    if (m < 256) return n;
+  }
+}
+
+int32_t BlockPool::LiveSeqs(int32_t* out, int32_t cap) const {
+  int32_t n = 0;
+  for (const auto& [slot, seq] : seqs_) {
+    if (n < cap) out[n] = slot;
+    ++n;
+  }
+  return n;
+}
+
+int64_t BlockPool::SeqTokens(int32_t slot) const {
+  auto it = seqs_.find(slot);
+  return it == seqs_.end() ? -1 : it->second.num_tokens;
+}
+
+int32_t BlockPool::SeqBlocks(int32_t slot, int64_t* out, int32_t cap) const {
+  auto it = seqs_.find(slot);
+  if (it == seqs_.end()) return kErrUnknownBlock;
+  const auto& blocks = it->second.blocks;
+  const int32_t n = static_cast<int32_t>(blocks.size());
+  for (int32_t i = 0; i < n && i < cap; ++i) out[i] = blocks[i];
+  return n;
+}
+
+int64_t BlockPool::LastBlock(int32_t slot) const {
+  auto it = seqs_.find(slot);
+  if (it == seqs_.end() || it->second.blocks.empty()) return -1;
+  return it->second.blocks.back();
+}
+
+}  // namespace speckv

@@ -11,9 +11,11 @@
 
 #pragma once
 
+#include <cstddef>
 #include <cstdint>
 #include <set>
 #include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace speckv {
@@ -149,6 +151,91 @@ class ResidencyDirectory {
   int64_t clock_ = 0;
   std::set<int64_t> moved_;
   DirStats stats_;
+};
+
+// ---------------------------------------------------------------------------
+// BlockPool — per-sequence KV block allocator over the directory, the native
+// counterpart of cxl_speckv_tpu/core/block_pool.py (reference analog:
+// host/src/speckv_allocator.cpp SpeckvAllocator). Owns the dense
+// [max_seqs, max_blocks_per_seq] logical->physical block table; Python maps
+// it zero-copy as a numpy view (table_data()), so the engine's packed-H2D
+// row reads need no marshalling.
+// ---------------------------------------------------------------------------
+
+struct PoolStats {
+  int64_t seqs_allocated = 0;
+  int64_t seqs_freed = 0;
+  int64_t blocks_allocated = 0;
+  int64_t blocks_freed = 0;
+  int64_t peak_blocks = 0;
+  int64_t alloc_failures = 0;
+};
+
+struct SeqAlloc {
+  int64_t num_tokens = 0;
+  // logical bids, position-indexed (block_idx == pos // block_size);
+  // -1 marks entries retired by a sliding window (position stays valid)
+  std::vector<int64_t> blocks;
+};
+
+class BlockPool {
+ public:
+  BlockPool(ResidencyDirectory* dir, int32_t max_seqs,
+            int32_t max_blocks_per_seq, int32_t block_size)
+      : dir_(dir),
+        max_seqs_(max_seqs),
+        max_blocks_(max_blocks_per_seq),
+        block_size_(block_size),
+        table_(static_cast<size_t>(max_seqs) * max_blocks_per_seq, -1) {
+    free_slots_.reserve(max_seqs);
+    for (int32_t i = max_seqs - 1; i >= 0; --i) free_slots_.push_back(i);
+  }
+
+  int32_t AddSeq();                       // slot, or -1 when all busy
+  int32_t FreeSeq(int32_t slot);
+  int32_t BlocksNeeded(int32_t slot, int64_t new_total_tokens) const;
+  // 1 = ok, 0 = OOM (no HBM slot; scheduler backpressure), < 0 = error
+  int32_t Extend(int32_t slot, int64_t new_total_tokens);
+  // frees leading out-of-window blocks; writes (block_idx, bid) pairs
+  int32_t RetireBelow(int32_t slot, int32_t first_live, int64_t* idx_out,
+                      int64_t* bid_out, int32_t cap);
+  void ReapDeferred();
+  int32_t RefreshSlot(int32_t slot, int32_t block_idx);
+  // seq_slot holding bid (block_idx via out), or -1
+  int64_t Locate(int64_t bid, int32_t* block_idx) const;
+  int32_t SyncMoved();
+
+  int32_t LiveSeqs(int32_t* out, int32_t cap) const;
+  int64_t SeqTokens(int32_t slot) const;
+  int32_t SeqBlocks(int32_t slot, int64_t* out, int32_t cap) const;
+  int64_t LastBlock(int32_t slot) const;
+  bool HasSeq(int32_t slot) const {
+    return seqs_.find(slot) != seqs_.end();
+  }
+
+  int32_t* table_data() { return table_.data(); }
+  int32_t max_seqs() const { return max_seqs_; }
+  int32_t max_blocks() const { return max_blocks_; }
+  const PoolStats& stats() const { return stats_; }
+  void ResetStats() { stats_ = PoolStats{}; }
+
+ private:
+  void FreeBlockDeferred(int64_t bid);
+  int32_t& Cell(int32_t slot, int32_t idx) {
+    return table_[static_cast<size_t>(slot) * max_blocks_ + idx];
+  }
+  int64_t LiveBlockCount() const;
+
+  ResidencyDirectory* dir_;
+  int32_t max_seqs_;
+  int32_t max_blocks_;
+  int32_t block_size_;
+  std::vector<int32_t> table_;
+  std::vector<int32_t> free_slots_;
+  std::vector<int64_t> deferred_free_;
+  std::unordered_map<int32_t, SeqAlloc> seqs_;
+  std::unordered_map<int64_t, std::pair<int32_t, int32_t>> bid_loc_;
+  PoolStats stats_;
 };
 
 }  // namespace speckv

@@ -1,8 +1,10 @@
-"""On-hardware check of sliding-window attention kernels (Mistral family).
+"""On-hardware check of sliding-window + softcap attention kernels
+(Mistral / Gemma families).
 
-Interpreter-mode tests pin window semantics on CPU; this validates the
+Interpreter-mode tests pin the semantics on CPU; this validates the
 Mosaic lowering on the real chip: Pallas decode / chunk kernels with a
-BINDING window vs the jnp references, random data, int8/int4/bf16.
+BINDING window and/or a tanh score softcap vs the jnp references,
+random data, int8/int4/bf16.
 Run on TPU: python scripts/tpu_window_check.py
 """
 
@@ -60,27 +62,34 @@ def main():
                 jnp.asarray(table), jnp.asarray(lens))
 
         q = jnp.asarray(rng.randn(B, Hq, D).astype(np.float32))
-        want = np.asarray(paged_attention_ref(q, *args, kv_dtype,
-                                              window=window))
-        got = np.asarray(paged_attention(q, *args, kv_dtype, window=window,
-                                         compute_dtype=jnp.bfloat16))
-        err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
-        print(f"decode {kv_dtype.value}: rel_err={err:.2e}", flush=True)
-        assert err < 2e-2, f"decode window mismatch ({kv_dtype})"
-
         qc = jnp.asarray(rng.randn(B, T, Hq, D).astype(np.float32))
         kn = jnp.asarray(rng.randn(B, T, Hkv, D).astype(np.float32))
         vn = jnp.asarray(rng.randn(B, T, Hkv, D).astype(np.float32))
         start = jnp.asarray(lens)
-        want = np.asarray(paged_chunk_attention(
-            qc, kn, vn, *args[:5], start, kv_dtype, window=window))
-        got = np.asarray(paged_chunk_attention_pallas(
-            qc, kn, vn, *args[:5], start, kv_dtype, window=window,
-            compute_dtype=jnp.bfloat16))
-        err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
-        print(f"chunk  {kv_dtype.value}: rel_err={err:.2e}", flush=True)
-        assert err < 2e-2, f"chunk window mismatch ({kv_dtype})"
-    print("window kernels OK on hardware", flush=True)
+
+        for win, cap in ((window, None), (window, 30.0), (None, 30.0)):
+            tag = f"win={win} cap={cap}"
+            want = np.asarray(paged_attention_ref(
+                q, *args, kv_dtype, window=win, softcap=cap))
+            got = np.asarray(paged_attention(
+                q, *args, kv_dtype, window=win, softcap=cap,
+                compute_dtype=jnp.bfloat16))
+            err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+            print(f"decode {kv_dtype.value} {tag}: rel_err={err:.2e}",
+                  flush=True)
+            assert err < 2e-2, f"decode mismatch ({kv_dtype}, {tag})"
+
+            want = np.asarray(paged_chunk_attention(
+                qc, kn, vn, *args[:5], start, kv_dtype, window=win,
+                softcap=cap))
+            got = np.asarray(paged_chunk_attention_pallas(
+                qc, kn, vn, *args[:5], start, kv_dtype, window=win,
+                softcap=cap, compute_dtype=jnp.bfloat16))
+            err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+            print(f"chunk  {kv_dtype.value} {tag}: rel_err={err:.2e}",
+                  flush=True)
+            assert err < 2e-2, f"chunk mismatch ({kv_dtype}, {tag})"
+    print("window/softcap kernels OK on hardware", flush=True)
 
 
 if __name__ == "__main__":
