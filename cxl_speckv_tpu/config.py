@@ -76,6 +76,13 @@ class CacheConfig:
     # hardware datapath width). None = uniform `kv_dtype` everywhere.
     # Mutually exclusive with the runtime scheme knob (Engine.set_kv_dtype).
     layer_kv_dtypes: tuple = None
+    # Prefix caching: content-addressed reuse of full prompt-prefix blocks
+    # across concurrently-live requests (shared system prompts). Matched
+    # blocks are refcount-shared (read-only by construction: full prompt
+    # blocks are never written again); generation is bit-identical to the
+    # uncached path because the reused quantized KV bytes ARE what a fresh
+    # prefill would write.
+    enable_prefix_cache: bool = True
     # Host-tier backend: "device" keeps the pool in pinned-host device
     # memory (memory_kind="pinned_host" on TPU) and migrates blocks with
     # in-graph DMA (`runtime/hoststore.py` — the CXL-pool-as-deployed

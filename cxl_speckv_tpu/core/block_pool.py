@@ -49,10 +49,18 @@ class PoolStatistics(Statistics):
     blocks_freed: int = 0
     peak_blocks: int = 0
     alloc_failures: int = 0
+    blocks_shared: int = 0       # prefix-cache share events (extra refs)
 
 
 class BlockPool:
-    """Maps sequence slots to ordered logical blocks; owns the block table."""
+    """Maps sequence slots to ordered logical blocks; owns the block table.
+
+    Blocks may be SHARED between sequences (prefix caching): `share_block`
+    adds an existing block to another sequence under a reference count; the
+    underlying directory block is freed only when the last reference drops.
+    Shared blocks are always FULL prompt blocks, which no sequence ever
+    writes again (generated tokens land in blocks past the prompt), so
+    sharing is read-only by construction."""
 
     def __init__(self, config: CacheConfig, directory: ResidencyDirectory,
                  max_seqs: int, max_blocks_per_seq: int):
@@ -62,7 +70,9 @@ class BlockPool:
         self._seqs: dict[int, SeqAlloc] = {}
         self._free_slots = list(range(max_seqs - 1, -1, -1))
         self._deferred_free: list[int] = []
-        self._bid_loc: dict[int, tuple[int, int]] = {}  # bid -> (seq_slot, block_idx)
+        # bid -> set of (seq_slot, block_idx) holding it (>1 when shared)
+        self._bid_loc: dict[int, set[tuple[int, int]]] = {}
+        self._refs: dict[int, int] = {}
         self.stats = PoolStatistics()
 
     # -- sequence lifecycle -------------------------------------------------
@@ -78,13 +88,22 @@ class BlockPool:
 
     def free_seq(self, seq_slot: int) -> None:
         seq = self._seqs.pop(seq_slot)
-        for bid in seq.live_blocks:
-            self._free_block(bid)
+        for idx, bid in enumerate(seq.blocks):
+            if bid is not None:
+                self._free_block(bid, loc=(seq_slot, idx))
         self.table.clear_row(seq_slot)
         self._free_slots.append(seq_slot)
         self.stats.seqs_freed += 1
 
-    def _free_block(self, bid: int) -> None:
+    def _free_block(self, bid: int, loc: tuple[int, int] | None = None) -> None:
+        if loc is not None and bid in self._bid_loc:
+            self._bid_loc[bid].discard(loc)
+        refs = self._refs.get(bid, 1) - 1
+        if refs > 0:
+            # still referenced by another sequence (shared prefix block)
+            self._refs[bid] = refs
+            return
+        self._refs.pop(bid, None)
         self._bid_loc.pop(bid, None)
         e = self.directory.entry(bid)
         # A block mid-transfer cannot be freed yet; the transfer engine
@@ -110,7 +129,7 @@ class BlockPool:
             if bid is None:
                 continue
             seq.blocks[i] = None
-            self._free_block(bid)
+            self._free_block(bid, loc=(seq_slot, i))
             freed.append((i, bid))
         return freed
 
@@ -149,13 +168,38 @@ class BlockPool:
                 return False
             e = self.directory.entry(bid)
             self.table.set(seq_slot, len(seq.blocks), e.hbm_slot)
-            self._bid_loc[bid] = (seq_slot, len(seq.blocks))
+            self._bid_loc[bid] = {(seq_slot, len(seq.blocks))}
+            self._refs[bid] = 1
             seq.blocks.append(bid)
             self.stats.blocks_allocated += 1
         seq.num_tokens = new_total_tokens
         live = sum(len(s.live_blocks) for s in self._seqs.values())
         self.stats.peak_blocks = max(self.stats.peak_blocks, live)
         return True
+
+    # -- prefix sharing -----------------------------------------------------
+
+    def is_live(self, bid: int) -> bool:
+        """True while at least one sequence references bid (bids are never
+        reused, so this also validates prefix-cache entries)."""
+        return self._refs.get(bid, 0) > 0
+
+    def share_block(self, seq_slot: int, bid: int) -> None:
+        """Append an existing (live, full) block to seq_slot as its next
+        logical block under an additional reference — the prefix-cache hit
+        path. The block's KV is reused verbatim; the claiming sequence must
+        be at exactly the matching position (block_idx == current length)."""
+        if not self.is_live(bid):
+            raise KeyError(f"block {bid} is not live")
+        seq = self._seqs[seq_slot]
+        idx = len(seq.blocks)
+        e = self.directory.entry(bid)
+        self._refs[bid] += 1
+        self._bid_loc[bid].add((seq_slot, idx))
+        self.table.set(seq_slot, idx, e.hbm_slot)
+        seq.blocks.append(bid)
+        seq.num_tokens = idx * self.config.block_size + self.config.block_size
+        self.stats.blocks_shared += 1
 
     # -- accessors ----------------------------------------------------------
 
@@ -175,20 +219,23 @@ class BlockPool:
         self.table.set(seq_slot, block_idx, e.hbm_slot)
 
     def locate(self, bid: int) -> tuple[int, int] | None:
-        return self._bid_loc.get(bid)
+        locs = self._bid_loc.get(bid)
+        return next(iter(locs)) if locs else None
 
     def sync_moved(self) -> int:
         """Refresh table rows for blocks whose physical slot changed
-        (promotions) since the last call. Returns rows touched."""
+        (promotions) since the last call — every holder's row for shared
+        blocks. Returns rows touched."""
         n = 0
         for bid in self.directory.take_moved():
-            loc = self._bid_loc.get(bid)
-            if loc is None:
+            locs = self._bid_loc.get(bid)
+            if not locs:
                 continue
             e = self.directory.entry(bid)
             if e.hbm_slot >= 0:
-                self.table.set(loc[0], loc[1], e.hbm_slot)
-                n += 1
+                for slot, idx in locs:
+                    self.table.set(slot, idx, e.hbm_slot)
+                    n += 1
         return n
 
     def get_statistics(self) -> PoolStatistics:

@@ -28,6 +28,7 @@ class Request:
     prompt: list[int]
     max_new_tokens: int = 64
     temperature: float = 0.0     # 0 = greedy
+    top_p: float = 1.0           # nucleus sampling mass; >= 1 or <= 0 = off
     eos_token_id: int | None = None  # overrides engine default if set
     # session requests keep their KV allocated after finishing (demotable to
     # the host tier) so follow-up turns restore context instead of

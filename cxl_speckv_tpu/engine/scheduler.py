@@ -207,10 +207,12 @@ class Scheduler:
         if not victims:
             return None
         victim = max(victims, key=lambda r: r.arrival_time)
-        if self.free_seq_hook:
-            self.free_seq_hook(victim.seq_slot,
-                               self.kvc.pool.seq(victim.seq_slot).live_blocks)
+        # hook runs AFTER the pool free so pool.is_live(bid) tells the spec
+        # decoder whether a prefix-shared block survives in another sequence
+        bids = self.kvc.pool.seq(victim.seq_slot).live_blocks
         self.kvc.free_seq(victim.seq_slot)
+        if self.free_seq_hook:
+            self.free_seq_hook(victim.seq_slot, bids)
         del self.running[victim.req_id]
         victim.seq_slot = -1
         victim.prefill_pos = 0
@@ -229,10 +231,10 @@ class Scheduler:
         req.state = RequestState.FINISHED
         req.finish_reason = reason
         if free and req.seq_slot >= 0:
-            if self.free_seq_hook:
-                self.free_seq_hook(req.seq_slot,
-                                   self.kvc.pool.seq(req.seq_slot).live_blocks)
+            bids = self.kvc.pool.seq(req.seq_slot).live_blocks
             self.kvc.free_seq(req.seq_slot)
+            if self.free_seq_hook:
+                self.free_seq_hook(req.seq_slot, bids)
         elif not free:
             # session request: KV stays allocated (and demotable) for the
             # next turn; only the scheduling entry retires

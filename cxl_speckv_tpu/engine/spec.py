@@ -48,20 +48,27 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("gamma",))
-def _accept_program(target_logits, draft_logits, drafts, temps, key, *,
-                    gamma: int):
+def _accept_program(target_logits, draft_logits, drafts, temps, top_ps, key,
+                    *, gamma: int):
     """Per-lane acceptance on device. target_logits [B, gamma+1, V] (row j
     scores drafts[:, j]; last row is the bonus position), draft_logits
     [B, gamma, V] (the proposal distributions the drafts were sampled
     from), drafts [B, gamma] int32, temps [B] f32 (<= 0 greedy).
     Returns (n_acc [B] int32, final_token [B] int32) — emitted tokens are
     drafts[:n_acc] + [final_token]."""
+    from cxl_speckv_tpu.engine.sampling import nucleus_filter
+
     eps = 1e-20
     preds = jnp.argmax(target_logits, axis=-1)            # [B, g+1]
     greedy_acc = preds[:, :gamma] == drafts               # [B, g]
     t = jnp.maximum(temps, 1e-6)[:, None, None]
     p = jax.nn.softmax(target_logits[:, :gamma] / t, axis=-1)  # [B, g, V]
     q = jax.nn.softmax(draft_logits / t, axis=-1)
+    # top-p lanes: the speculative-sampling rule runs on the NUCLEUS-FILTERED
+    # p and q (the draft was sampled from filtered q in-graph), preserving
+    # the exactness guarantee w.r.t. plain top-p target sampling
+    p = nucleus_filter(p, top_ps[:, None])
+    q = nucleus_filter(q, top_ps[:, None])
     pt = jnp.take_along_axis(p, drafts[..., None], axis=-1)[..., 0]  # [B, g]
     qt = jnp.take_along_axis(q, drafts[..., None], axis=-1)[..., 0]
     k_u, k_r = jax.random.split(key)
@@ -80,6 +87,7 @@ def _accept_program(target_logits, draft_logits, drafts, temps, key, *,
     resid = jnp.where(rs > eps, resid / jnp.maximum(rs, eps), p_at)
     bonus = jax.nn.softmax(
         target_logits[:, gamma] / jnp.maximum(temps, 1e-6)[:, None], axis=-1)
+    bonus = nucleus_filter(bonus, top_ps)
     dist = jnp.where(all_acc[:, None], bonus, resid)
     sampled_final = jax.random.categorical(k_r, jnp.log(dist + eps), axis=-1)
     greedy_final = jnp.take_along_axis(
@@ -142,17 +150,26 @@ class SpecDecoder:
     # -- bookkeeping ---------------------------------------------------------
 
     def sync_seq(self, seq_slot: int) -> None:
-        """Assign draft slots for any newly-allocated logical blocks."""
+        """Assign draft slots for any newly-allocated logical blocks. A
+        prefix-shared bid already has a slot (holding draft KV written by
+        the original prefill — bit-valid for the claimer too: same tokens,
+        same absolute positions); the claimer's table row maps to it."""
         for i, bid in enumerate(self.kvc.pool.seq(seq_slot).blocks):
             if bid is None:
                 continue
-            if bid not in self._slot_of_bid:
+            slot = self._slot_of_bid.get(bid)
+            if slot is None:
                 slot = self._free.pop()
                 self._slot_of_bid[bid] = slot
-                self.table[seq_slot, i] = slot
+            self.table[seq_slot, i] = slot
 
     def on_free_seq(self, seq_slot: int, bids: list[int]) -> None:
+        """Called AFTER the target pool freed the sequence, so
+        `pool.is_live(bid)` is true exactly when a prefix-shared block
+        survives in another holder — its draft slot must stay."""
         for bid in bids:
+            if self.kvc.pool.is_live(bid):
+                continue
             slot = self._slot_of_bid.pop(bid, None)
             if slot is not None:
                 self._free.append(slot)
@@ -163,9 +180,10 @@ class SpecDecoder:
         retired (partial `on_free_seq`: only the named table entries reset,
         the sequence stays live)."""
         for i, bid in freed:
-            slot = self._slot_of_bid.pop(bid, None)
-            if slot is not None:
-                self._free.append(slot)
+            if not self.kvc.pool.is_live(bid):
+                slot = self._slot_of_bid.pop(bid, None)
+                if slot is not None:
+                    self._free.append(slot)
             self.table[seq_slot, i] = self.guard_slot
 
     # -- model steps ---------------------------------------------------------
@@ -205,6 +223,7 @@ class SpecDecoder:
     def propose(self, last_tokens: np.ndarray, positions: np.ndarray,
                 tables: np.ndarray, active: np.ndarray,
                 temps: np.ndarray | None = None,
+                top_ps: np.ndarray | None = None,
                 rng_counter: int = 0) -> np.ndarray:
         """Draft gamma tokens per lane in ONE fused device dispatch.
 
@@ -226,7 +245,10 @@ class SpecDecoder:
         packed[:, 0] = last_tokens
         packed[:, 1] = positions
         if temps is not None:
-            packed[:, 2] = (np.asarray(temps) * 1000).astype(np.int32)
+            from cxl_speckv_tpu.engine.sampling import encode_sampling
+            tp = np.ones_like(temps) if top_ps is None else np.asarray(top_ps)
+            packed[:, 2] = [encode_sampling(float(t), float(pp))
+                            for t, pp in zip(temps, tp)]
         packed[:, 3] = rng_counter
         packed[:, 4:] = tables
         toks, *rest = decode_multi_packed(
@@ -240,7 +262,8 @@ class SpecDecoder:
 
     def accept(self, drafts: np.ndarray, target_logits,
                active: np.ndarray, temps: np.ndarray,
-               key: np.ndarray) -> tuple[list[list[int]], np.ndarray]:
+               key: np.ndarray,
+               top_ps: np.ndarray | None = None) -> tuple[list[list[int]], np.ndarray]:
         """Acceptance, in-graph: greedy token-match for temperature-0 lanes,
         the speculative-sampling rule (accept draft t_j with probability
         min(1, p(t_j)/q(t_j)); on rejection resample from the normalized
@@ -251,9 +274,12 @@ class SpecDecoder:
         host costs ~10MB per round at 128k vocab — the acceptance fetch is
         two [B] int vectors). Returns (emitted tokens per lane, accepted
         counts [B])."""
+        if top_ps is None:
+            top_ps = np.zeros_like(np.asarray(temps, np.float32))
         n_acc_d, final_d = _accept_program(
             target_logits, self._draft_logits, jnp.asarray(drafts),
-            jnp.asarray(np.asarray(temps, np.float32)), jnp.asarray(key),
+            jnp.asarray(np.asarray(temps, np.float32)),
+            jnp.asarray(np.asarray(top_ps, np.float32)), jnp.asarray(key),
             gamma=self.gamma)
         n_acc = np.asarray(n_acc_d)
         final = np.asarray(final_d)

@@ -424,6 +424,7 @@ def decode_multi(
     block_table: jax.Array,    # [B, max_blocks], must cover horizon new tokens
     key: jax.Array,            # PRNG key for in-graph sampling
     temperatures: jax.Array,   # [B] f32; <= 0 means greedy
+    top_ps: jax.Array | None = None,  # [B] f32 nucleus p; 0 / >= 1 = off
     *,
     horizon: int = 8,
     use_pallas: bool = False,
@@ -455,7 +456,8 @@ def decode_multi(
             params, config, kv_dtype, toks, positions, kp, vp, ks, vs,
             block_table, positions + 1, use_pallas)
         key, sub = jax.random.split(key)
-        nxt = sample_tokens(logits, temperatures, sub, top_k).astype(jnp.int32)
+        nxt = sample_tokens(logits, temperatures, sub, top_k,
+                            top_ps=top_ps).astype(jnp.int32)
         ys = (nxt, logits) if return_logits else nxt
         return (nxt, kp, vp, ks, vs, key), ys
 
@@ -481,7 +483,7 @@ def decode_multi_packed(
     kv_dtype: KVDtype,
     packed: jax.Array,  # [B, max_blocks + 4] int32:
                         # col 0 = first token, 1 = start position,
-                        # 2 = temperature * 1000, 3 = rng counter,
+                        # 2 = sampling metadata (encode_sampling), 3 = rng counter,
                         # 4: = block-table row (guard-clamped)
     k_pools: jax.Array,
     v_pools: jax.Array,
@@ -498,16 +500,18 @@ def decode_multi_packed(
     a single host->device transfer per engine round. On remote-dispatch
     runtimes each argument transfer costs a round trip; this is the decode
     hot path, so everything rides one int32 matrix."""
+    from cxl_speckv_tpu.engine.sampling import decode_sampling
+
     first_tokens = packed[:, 0]
     start_positions = packed[:, 1]
-    temperatures = packed[:, 2].astype(jnp.float32) * 1e-3
+    temperatures, top_ps = decode_sampling(packed[:, 2])
     key = jnp.array([rng_seed, 0], jnp.uint32) + jnp.array(
         [0, 1], jnp.uint32) * packed[0, 3].astype(jnp.uint32)
     block_table = packed[:, 4:]
     return decode_multi(
         params, config, kv_dtype, first_tokens, start_positions,
         k_pools, v_pools, k_scales, v_scales, block_table, key, temperatures,
-        horizon=horizon, use_pallas=use_pallas, top_k=top_k,
+        top_ps, horizon=horizon, use_pallas=use_pallas, top_k=top_k,
         return_logits=return_logits)
 
 
@@ -523,7 +527,7 @@ def prefill_batch_packed(
     kv_dtype: KVDtype,
     packed: jax.Array,  # [B, 4 + max_blocks + T] int32 per lane:
                         # 0 = start_pos, 1 = valid_len (0 = inactive lane),
-                        # 2 = temp*1000, 3 = rng counter,
+                        # 2 = sampling metadata word, 3 = rng counter,
                         # 4:4+mb = table row (guard-clamped), rest = tokens
     k_pools: jax.Array,
     v_pools: jax.Array,
@@ -559,9 +563,11 @@ def prefill_batch_packed(
     guard_slot = k_pools.shape[1] - 1
     inv_freq = rope_frequencies(c)
 
+    from cxl_speckv_tpu.engine.sampling import decode_sampling
+
     start = packed[:, 0]                                  # [B]
     valid = packed[:, 1]
-    temps = packed[:, 2].astype(jnp.float32) * 1e-3
+    temps, top_ps = decode_sampling(packed[:, 2])
     key = jnp.array([rng_seed, 0], jnp.uint32) + jnp.array(
         [0, 1], jnp.uint32) * packed[0, 3].astype(jnp.uint32)
     tables = packed[:, 4:4 + max_blocks]
@@ -631,7 +637,7 @@ def prefill_batch_packed(
                                  .repeat(x.shape[-1], axis=2), axis=1)[:, 0]
     x_last = _norm(x_last, params["final_norm"], c)
     logits = _final_logits(x_last, params, c)             # [B, V]
-    toks = sample_tokens(logits, temps, key).astype(jnp.int32)
+    toks = sample_tokens(logits, temps, key, top_ps=top_ps).astype(jnp.int32)
     return toks, k_pools, v_pools, k_scales, v_scales
 
 
@@ -662,8 +668,10 @@ def prefill_chunk_packed(
     otherwise costs ~5 host->device round trips)."""
     from cxl_speckv_tpu.engine.sampling import sample_tokens
 
+    from cxl_speckv_tpu.engine.sampling import decode_sampling
+
     start, valid_len = packed[0], packed[1]
-    temps = (packed[2].astype(jnp.float32) * 1e-3)[None]
+    temps, top_ps = decode_sampling(packed[2][None])
     key = jnp.array([rng_seed, 0], jnp.uint32) + jnp.array(
         [0, 1], jnp.uint32) * packed[3].astype(jnp.uint32)
     table_row = packed[4:4 + max_blocks]
@@ -672,7 +680,8 @@ def prefill_chunk_packed(
         params, config, kv_dtype, token_ids, start,
         k_pools, v_pools, k_scales, v_scales, table_row, valid_len,
         use_pallas=use_pallas)
-    tok = sample_tokens(logits[None], temps, key)[0].astype(jnp.int32)
+    tok = sample_tokens(logits[None], temps, key,
+                        top_ps=top_ps)[0].astype(jnp.int32)
     return tok, k_pools, v_pools, k_scales, v_scales
 
 
@@ -826,9 +835,11 @@ def stream_step(
     n_waves = -(-max_blocks // wave)
     table_width_ctx = n_waves * wave
 
+    from cxl_speckv_tpu.engine.sampling import decode_sampling
+
     start = packed[0]
     valid = packed[1]
-    temps = (packed[2].astype(jnp.float32) * 1e-3)[None]
+    temps, top_ps = decode_sampling(packed[2][None])
     key = jnp.array([rng_seed, 0], jnp.uint32) + jnp.array(
         [0, 1], jnp.uint32) * packed[3].astype(jnp.uint32)
     # caller packs [4 + tw + T] with tw = table_width_ctx + nblk and
@@ -909,7 +920,7 @@ def stream_step(
     x_last = jax.lax.dynamic_slice_in_dim(x, last, 1, axis=0)
     x_last = _norm(x_last, params["final_norm"], c)
     logits = _final_logits(x_last, params, c)
-    tok = sample_tokens(logits, temps, key)[0].astype(jnp.int32)
+    tok = sample_tokens(logits, temps, key, top_ps=top_ps)[0].astype(jnp.int32)
     return (tok, *stores)
 
 

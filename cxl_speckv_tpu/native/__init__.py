@@ -92,6 +92,8 @@ def load_library():
         "speckv_pool_seq_blocks": ([u64, i32, p64, i32], i32),
         "speckv_pool_last_block": ([u64, i32], i64),
         "speckv_pool_has_seq": ([u64, i32], i32),
+        "speckv_pool_is_live": ([u64, i64], i32),
+        "speckv_pool_share_block": ([u64, i32, i64], i32),
         "speckv_pool_table": ([u64], ctypes.POINTER(i32)),
         "speckv_pool_stats": ([u64, p64], i32),
         "speckv_pool_reset_stats": ([u64], None),
@@ -335,7 +337,7 @@ from cxl_speckv_tpu.core.block_table import BlockTable
 
 _POOL_STATS_FIELDS = (
     "seqs_allocated", "seqs_freed", "blocks_allocated", "blocks_freed",
-    "peak_blocks", "alloc_failures",
+    "peak_blocks", "alloc_failures", "blocks_shared",
 )
 
 
@@ -479,8 +481,16 @@ class NativeBlockPool:
     def sync_moved(self) -> int:
         return self._lib.speckv_pool_sync_moved(self._h)
 
+    def is_live(self, bid: int) -> bool:
+        return bool(self._lib.speckv_pool_is_live(self._h, bid))
+
+    def share_block(self, seq_slot: int, bid: int) -> None:
+        rc = self._lib.speckv_pool_share_block(self._h, seq_slot, bid)
+        if rc < 0:
+            raise KeyError(f"share_block({seq_slot}, {bid}): {rc}")
+
     def get_statistics(self) -> PoolStatistics:
-        out = (ctypes.c_int64 * 6)()
+        out = (ctypes.c_int64 * 7)()
         rc = self._lib.speckv_pool_stats(self._h, out)
         if rc < 0:
             raise RuntimeError("pool stats failed")

@@ -65,6 +65,8 @@ class CacheRuntimeStatistics(Statistics):
     maintain_demotes: int = 0
     migrate_dispatches: int = 0      # device-backend migrate programs issued
     window_retired_blocks: int = 0   # blocks freed by sliding-window retirement
+    prefix_hit_blocks: int = 0       # prompt blocks reused via prefix cache
+    prefix_tokens_reused: int = 0    # prompt tokens NOT re-prefilled
 
 
 class TieredKVCache:
@@ -106,6 +108,7 @@ class TieredKVCache:
         self.k_scales = put(jnp.ones(sc_shape, jnp.float32))
         self.v_scales = put(jnp.ones(sc_shape, jnp.float32))
 
+        self._prefix_map: dict[bytes, int] = {}
         self._device_mode = cache_config.host_store_backend == "device"
         if self._device_mode:
             self.store_ops = store_ops or single_device_store_ops()
@@ -195,6 +198,77 @@ class TieredKVCache:
 
     def free_seq(self, seq_slot: int) -> None:
         self.pool.free_seq(seq_slot)
+
+    # -- prefix caching ------------------------------------------------------
+    #
+    # Content-addressed reuse of FULL prompt-prefix blocks (the
+    # shared-system-prompt serving win): block i's key is a chained
+    # blake2b over (scheme, tokens of blocks 0..i), so only true prefixes
+    # (aligned at position 0 — RoPE bakes absolute positions into K) can
+    # match. Matched blocks are claimed via BlockPool.share_block
+    # (refcounted); entries whose block died validate lazily via
+    # `pool.is_live` (bids are never reused) and are pruned on lookup.
+
+    def _prefix_keys(self, prompt, scheme, upto_blocks: int) -> list[bytes]:
+        import hashlib
+        bs = self.config.block_size
+        keys = []
+        digest = hashlib.blake2b(repr(scheme).encode(), digest_size=16).digest()
+        for i in range(upto_blocks):
+            h = hashlib.blake2b(digest, digest_size=16)
+            h.update(np.asarray(prompt[i * bs:(i + 1) * bs],
+                                np.int32).tobytes())
+            digest = h.digest()
+            keys.append(digest)
+        return keys
+
+    def match_prefix(self, prompt: list[int], scheme) -> tuple[int, list[int]]:
+        """Longest cached full-block prefix of `prompt` under `scheme`.
+        Returns (matched_tokens, bids); at least the prompt's last token is
+        always left to recompute (its logits seed generation)."""
+        if not getattr(self.config, "enable_prefix_cache", True):
+            return 0, []
+        bs = self.config.block_size
+        nb = (len(prompt) - 1) // bs
+        bids: list[int] = []
+        for key in self._prefix_keys(prompt, scheme, nb):
+            bid = self._prefix_map.get(key)
+            if bid is None or not self.pool.is_live(bid):
+                if bid is not None:
+                    self._prefix_map.pop(key, None)
+                break
+            bids.append(bid)
+        return len(bids) * bs, bids
+
+    def claim_prefix(self, seq_slot: int, bids: list[int]) -> None:
+        for bid in bids:
+            self.pool.share_block(seq_slot, bid)
+        self.stats.prefix_hit_blocks += len(bids)
+        self.stats.prefix_tokens_reused += len(bids) * self.config.block_size
+
+    def register_prefix(self, seq_slot: int, prompt: list[int],
+                        prefilled_tokens: int, scheme) -> None:
+        """Publish a sequence's completed full prompt blocks for reuse.
+        First live writer wins (claimants then share that block)."""
+        if not getattr(self.config, "enable_prefix_cache", True):
+            return
+        bs = self.config.block_size
+        nb = min(prefilled_tokens // bs, (len(prompt) - 1) // bs)
+        if nb <= 0:
+            return
+        blocks = self.pool.seq(seq_slot).blocks
+        for i, key in enumerate(self._prefix_keys(prompt, scheme, nb)):
+            bid = blocks[i] if i < len(blocks) else None
+            if bid is None:
+                continue
+            cur = self._prefix_map.get(key)
+            if cur is None or not self.pool.is_live(cur):
+                self._prefix_map[key] = bid
+        # lazy prune: stale entries (dead blocks) accumulate only until the
+        # map outgrows the pool several times over
+        if len(self._prefix_map) > 8 * self.config.total_blocks:
+            self._prefix_map = {k: b for k, b in self._prefix_map.items()
+                                if self.pool.is_live(b)}
 
     def retire_out_of_window(self, seq_slot: int,
                              first_live_block: int) -> list[tuple[int, int]]:

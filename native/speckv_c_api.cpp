@@ -296,15 +296,26 @@ int32_t* speckv_pool_table(uint64_t h) {
   return p ? p->table_data() : nullptr;
 }
 
-// stats as a flat int64 array in PoolStats field order (6 counters)
-int32_t speckv_pool_stats(uint64_t h, int64_t* out6) {
+int32_t speckv_pool_is_live(uint64_t h, int64_t bid) {
+  BlockPool* p = pget(h);
+  return p ? (p->IsLive(bid) ? 1 : 0) : 0;
+}
+
+int32_t speckv_pool_share_block(uint64_t h, int32_t slot, int64_t bid) {
+  BlockPool* p = pget(h);
+  return p ? p->ShareBlock(slot, bid) : speckv::kErrUnknownBlock;
+}
+
+// stats as a flat int64 array in PoolStats field order (7 counters)
+int32_t speckv_pool_stats(uint64_t h, int64_t* out7) {
   BlockPool* p = pget(h);
   if (!p) return speckv::kErrUnknownBlock;
   const speckv::PoolStats& s = p->stats();
-  const int64_t vals[6] = {s.seqs_allocated,  s.seqs_freed,
+  const int64_t vals[7] = {s.seqs_allocated,  s.seqs_freed,
                            s.blocks_allocated, s.blocks_freed,
-                           s.peak_blocks,      s.alloc_failures};
-  for (int i = 0; i < 6; ++i) out6[i] = vals[i];
+                           s.peak_blocks,      s.alloc_failures,
+                           s.blocks_shared};
+  for (int i = 0; i < 7; ++i) out7[i] = vals[i];
   return speckv::kOk;
 }
 

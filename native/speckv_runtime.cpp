@@ -272,7 +272,24 @@ int32_t BlockPool::AddSeq() {
   return slot;
 }
 
-void BlockPool::FreeBlockDeferred(int64_t bid) {
+void BlockPool::FreeBlockDeferred(int64_t bid, int32_t slot, int32_t idx) {
+  auto lit = bid_loc_.find(bid);
+  if (lit != bid_loc_.end()) {
+    auto& locs = lit->second;
+    for (size_t i = 0; i < locs.size(); ++i) {
+      if (locs[i].first == slot && locs[i].second == idx) {
+        locs.erase(locs.begin() + i);
+        break;
+      }
+    }
+  }
+  auto rit = refs_.find(bid);
+  const int32_t refs = (rit == refs_.end() ? 1 : rit->second) - 1;
+  if (refs > 0) {
+    rit->second = refs;  // still shared by another sequence
+    return;
+  }
+  refs_.erase(bid);
   bid_loc_.erase(bid);
   const Entry* e = dir_->Find(bid);
   if (e != nullptr && (e->state == BlockState::kInFlightUp ||
@@ -288,8 +305,9 @@ void BlockPool::FreeBlockDeferred(int64_t bid) {
 int32_t BlockPool::FreeSeq(int32_t slot) {
   auto it = seqs_.find(slot);
   if (it == seqs_.end()) return kErrUnknownBlock;
-  for (int64_t bid : it->second.blocks) {
-    if (bid >= 0) FreeBlockDeferred(bid);
+  const auto& blocks = it->second.blocks;
+  for (int32_t i = 0; i < static_cast<int32_t>(blocks.size()); ++i) {
+    if (blocks[i] >= 0) FreeBlockDeferred(blocks[i], slot, i);
   }
   seqs_.erase(it);
   for (int32_t i = 0; i < max_blocks_; ++i) Cell(slot, i) = -1;
@@ -336,7 +354,8 @@ int32_t BlockPool::Extend(int32_t slot, int64_t new_total) {
       return kErrBadState;
     }
     Cell(slot, idx) = e->hbm_slot;
-    bid_loc_[bid] = {slot, idx};
+    bid_loc_[bid] = {{slot, idx}};
+    refs_[bid] = 1;
     seq.blocks.push_back(bid);
     ++stats_.blocks_allocated;
   }
@@ -359,7 +378,7 @@ int32_t BlockPool::RetireBelow(int32_t slot, int32_t first_live,
     const int64_t bid = seq.blocks[i];
     if (bid < 0) continue;
     seq.blocks[i] = -1;
-    FreeBlockDeferred(bid);
+    FreeBlockDeferred(bid, slot, i);
     if (n < cap) {
       idx_out[n] = i;
       bid_out[n] = bid;
@@ -400,9 +419,27 @@ int32_t BlockPool::RefreshSlot(int32_t slot, int32_t block_idx) {
 
 int64_t BlockPool::Locate(int64_t bid, int32_t* block_idx) const {
   auto it = bid_loc_.find(bid);
-  if (it == bid_loc_.end()) return -1;
-  *block_idx = it->second.second;
-  return it->second.first;
+  if (it == bid_loc_.end() || it->second.empty()) return -1;
+  *block_idx = it->second.front().second;
+  return it->second.front().first;
+}
+
+int32_t BlockPool::ShareBlock(int32_t slot, int64_t bid) {
+  if (!IsLive(bid)) return kErrUnknownBlock;
+  auto sit = seqs_.find(slot);
+  if (sit == seqs_.end()) return kErrUnknownBlock;
+  SeqAlloc& seq = sit->second;
+  const Entry* e = dir_->Find(bid);
+  if (e == nullptr) return kErrUnknownBlock;
+  const int32_t idx = static_cast<int32_t>(seq.blocks.size());
+  if (idx >= max_blocks_) return kErrBadState;
+  ++refs_[bid];
+  bid_loc_[bid].push_back({slot, idx});
+  Cell(slot, idx) = e->hbm_slot;
+  seq.blocks.push_back(bid);
+  seq.num_tokens = static_cast<int64_t>(idx + 1) * block_size_;
+  ++stats_.blocks_shared;
+  return kOk;
 }
 
 int32_t BlockPool::SyncMoved() {
@@ -415,8 +452,10 @@ int32_t BlockPool::SyncMoved() {
       if (it == bid_loc_.end()) continue;
       const Entry* e = dir_->Find(buf[i]);
       if (e != nullptr && e->hbm_slot >= 0) {
-        Cell(it->second.first, it->second.second) = e->hbm_slot;
-        ++n;
+        for (const auto& loc : it->second) {
+          Cell(loc.first, loc.second) = e->hbm_slot;
+          ++n;
+        }
       }
     }
     if (m < 256) return n;

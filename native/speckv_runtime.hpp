@@ -169,6 +169,7 @@ struct PoolStats {
   int64_t blocks_freed = 0;
   int64_t peak_blocks = 0;
   int64_t alloc_failures = 0;
+  int64_t blocks_shared = 0;  // prefix-cache share events (extra refs)
 };
 
 struct SeqAlloc {
@@ -204,6 +205,12 @@ class BlockPool {
   // seq_slot holding bid (block_idx via out), or -1
   int64_t Locate(int64_t bid, int32_t* block_idx) const;
   int32_t SyncMoved();
+  // prefix caching: refcounted read-only sharing of full prompt blocks
+  bool IsLive(int64_t bid) const {
+    auto it = refs_.find(bid);
+    return it != refs_.end() && it->second > 0;
+  }
+  int32_t ShareBlock(int32_t slot, int64_t bid);
 
   int32_t LiveSeqs(int32_t* out, int32_t cap) const;
   int64_t SeqTokens(int32_t slot) const;
@@ -220,7 +227,7 @@ class BlockPool {
   void ResetStats() { stats_ = PoolStats{}; }
 
  private:
-  void FreeBlockDeferred(int64_t bid);
+  void FreeBlockDeferred(int64_t bid, int32_t slot, int32_t idx);
   int32_t& Cell(int32_t slot, int32_t idx) {
     return table_[static_cast<size_t>(slot) * max_blocks_ + idx];
   }
@@ -234,7 +241,9 @@ class BlockPool {
   std::vector<int32_t> free_slots_;
   std::vector<int64_t> deferred_free_;
   std::unordered_map<int32_t, SeqAlloc> seqs_;
-  std::unordered_map<int64_t, std::pair<int32_t, int32_t>> bid_loc_;
+  std::unordered_map<int64_t, std::vector<std::pair<int32_t, int32_t>>>
+      bid_loc_;
+  std::unordered_map<int64_t, int32_t> refs_;
   PoolStats stats_;
 };
 

@@ -175,6 +175,15 @@ def test_pool_lockstep_fuzz():
             s = live[rng.randint(len(live))]
             both(lambda p, d: (p.seq(s).blocks, p.seq(s).num_tokens,
                                p.blocks_needed(s, tokens[s] + 5)))
+        if rng.rand() < 0.15 and len(live) >= 2:  # share a prefix block
+            src_s, dst_s = rng.choice(live, 2, replace=False)
+            src_blocks = pools[0][0].seq(int(src_s)).blocks
+            dst_len = len(pools[0][0].seq(int(dst_s)).blocks)
+            if (dst_len < len(src_blocks)
+                    and src_blocks[dst_len] is not None and dst_len < 5):
+                bid = src_blocks[dst_len]
+                both(lambda p, d: p.share_block(int(dst_s), bid))
+                tokens[int(dst_s)] = (dst_len + 1) * 8
 
         both(lambda p, d: sorted(p.live_seqs()))
         assert np.array_equal(pools[0][0].table.host_array,

@@ -181,7 +181,7 @@ def test_accept_program_sampled_distribution():
     drafts = jax.random.categorical(
         k_s, jnp.broadcast_to(d_log, (B, gamma, V)), axis=-1).astype(jnp.int32)
     n_acc, final = _accept_program(target_logits, draft_logits, drafts,
-                                   temps, k_a, gamma=gamma)
+                                   temps, jnp.zeros(B), k_a, gamma=gamma)
     n_acc, final, drafts = map(np.asarray, (n_acc, final, drafts))
     first = np.where(n_acc > 0, drafts[:, 0], final)
     emp = np.bincount(first, minlength=V) / B
@@ -203,7 +203,7 @@ def test_accept_program_greedy_matches_host_rule():
     temps = np.zeros(B, np.float32)
     n_acc, final = _accept_program(
         jnp.asarray(target_logits), jnp.asarray(draft_logits),
-        jnp.asarray(drafts), jnp.asarray(temps),
+        jnp.asarray(drafts), jnp.asarray(temps), jnp.zeros(B),
         jnp.asarray(np.array([1, 2], np.uint32)), gamma=gamma)
     n_acc, final = np.asarray(n_acc), np.asarray(final)
     preds = target_logits.argmax(-1)
