@@ -1,0 +1,239 @@
+"""HTTP serving frontend: an OpenAI-style completions API over the Engine.
+
+The reference's top layer is a vLLM backend integration
+(`/root/reference/host/python/vllm_speckv_backend.py`) — it hands its KV
+machinery to an external serving stack. Here the serving stack itself
+ships in-repo: a continuous-batching loop thread drives `Engine.step()`
+while HTTP handler threads submit requests and wait on per-request events,
+so concurrent clients batch together in the engine exactly like
+`add_request` callers do. Stdlib-only (`http.server`) — no external
+dependencies to gate on.
+
+Endpoints:
+
+- `POST /v1/completions` — body `{"prompt": [token ids] | "text",
+  "max_tokens": N, "temperature": t, "top_p": p, "stream": bool}`.
+  String prompts require the server to be constructed with a tokenizer
+  (`encode`/`decode` callables, e.g. a HF tokenizer). With
+  `"stream": true` the response is SSE: one `data: {"tokens": [...]}`
+  chunk per new-token group, then `data: [DONE]`.
+- `GET /v1/stats` — the full `Engine.get_statistics()` JSON (hit rates,
+  migrations, compression, prefetch accuracy, TPOT percentiles).
+- `GET /health` — liveness.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from cxl_speckv_tpu.engine.engine import Engine, EngineOutput
+
+
+class ServingLoop:
+    """Background thread that steps the engine while work exists.
+
+    The engine is single-threaded by design; every engine call happens
+    under one lock (submissions from handler threads included), so HTTP
+    concurrency becomes engine-level continuous batching."""
+
+    def __init__(self, engine: Engine, idle_poll_s: float = 0.02):
+        self.engine = engine
+        self._cv = threading.Condition()
+        self._done: dict[int, EngineOutput] = {}
+        self._events: dict[int, threading.Event] = {}
+        self._stop = False
+        self._idle_poll_s = idle_poll_s
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="speckv-serving-loop")
+        self._thread.start()
+
+    def submit(self, prompt, max_new_tokens: int, temperature: float,
+               top_p: float) -> tuple[int, threading.Event]:
+        with self._cv:
+            rid = self.engine.add_request(
+                prompt, max_new_tokens=max_new_tokens,
+                temperature=temperature, top_p=top_p)
+            ev = threading.Event()
+            self._events[rid] = ev
+            self._cv.notify()
+        return rid, ev
+
+    def tokens_so_far(self, rid: int) -> list[int]:
+        with self._cv:
+            req = self.engine._requests.get(rid)
+            return list(req.output) if req is not None else []
+
+    def result(self, rid: int, ev: threading.Event,
+               timeout: float | None = None) -> EngineOutput | None:
+        if not ev.wait(timeout):
+            return None
+        with self._cv:
+            return self._done.pop(rid)
+
+    def stats(self) -> dict:
+        with self._cv:
+            return self.engine.get_statistics()
+
+    def stop(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=10)
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                if self._stop:
+                    return
+                if not self.engine.has_work:
+                    self._cv.wait(self._idle_poll_s)
+                    continue
+                outs = self.engine.step()
+                for o in outs:
+                    self._done[o.req_id] = o
+                    ev = self._events.pop(o.req_id, None)
+                    if ev is not None:
+                        ev.set()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by make_server(); class-level so ThreadingHTTPServer handler
+    # instances (one per connection) share them
+    loop: ServingLoop = None
+    tokenizer = None            # object with .encode(str) / .decode(list)
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *a):  # quiet by default; stats carry the signal
+        pass
+
+    # -- helpers -------------------------------------------------------------
+
+    def _json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, code: int, msg: str) -> None:
+        self._json(code, {"error": {"message": msg, "code": code}})
+
+    # -- routes --------------------------------------------------------------
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._json(200, {"status": "ok"})
+        elif self.path == "/v1/stats":
+            self._json(200, self.loop.stats())
+        else:
+            self._error(404, f"unknown path {self.path}")
+
+    def do_POST(self):
+        if self.path not in ("/v1/completions", "/generate"):
+            self._error(404, f"unknown path {self.path}")
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            prompt = body.get("prompt")
+            if isinstance(prompt, str):
+                if self.tokenizer is None:
+                    raise ValueError("string prompts need a tokenizer; "
+                                     "send token ids")
+                prompt = list(self.tokenizer.encode(prompt))
+            if not isinstance(prompt, list) or not prompt:
+                raise ValueError("prompt must be a non-empty token-id list")
+            max_tokens = int(body.get("max_tokens", 64))
+            temperature = float(body.get("temperature", 0.0))
+            top_p = float(body.get("top_p", 1.0))
+            stream = bool(body.get("stream", False))
+        except (ValueError, TypeError, json.JSONDecodeError) as e:
+            self._error(400, str(e))
+            return
+
+        try:
+            rid, ev = self.loop.submit(prompt, max_tokens, temperature, top_p)
+        except ValueError as e:   # over-capacity etc. — the engine's probes
+            self._error(400, str(e))
+            return
+        if stream:
+            self._stream(rid, ev)
+        else:
+            out = self.loop.result(rid, ev, timeout=600)
+            if out is None:
+                self._error(504, "generation timed out")
+                return
+            self._json(200, self._payload(out))
+
+    def _payload(self, out: EngineOutput) -> dict:
+        d = {"id": f"cmpl-{out.req_id}", "object": "completion",
+             "tokens": out.tokens, "finish_reason": out.finish_reason,
+             "usage": {"completion_tokens": len(out.tokens)},
+             "ttft_ms": out.ttft_ms, "tpot_ms": out.tpot_ms}
+        if self.tokenizer is not None:
+            d["text"] = self.tokenizer.decode(out.tokens)
+        return d
+
+    def _stream(self, rid: int, ev: threading.Event) -> None:
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        # SSE has no fixed length; close delimits the body
+        self.send_header("Connection", "close")
+        self.end_headers()
+        sent = 0
+        deadline = time.monotonic() + 600
+        while time.monotonic() < deadline:
+            done = ev.wait(0.02)
+            toks = self.loop.tokens_so_far(rid)
+            if done:
+                # the finished request may already be retired from the
+                # engine's table; the authoritative output is the result
+                out = self.loop.result(rid, ev)
+                toks = out.tokens
+            if len(toks) > sent:
+                chunk = {"tokens": toks[sent:]}
+                if self.tokenizer is not None:
+                    chunk["text"] = self.tokenizer.decode(toks[sent:])
+                self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                self.wfile.flush()
+                sent = len(toks)
+            if done:
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+                return
+        self.wfile.write(b"data: [TIMEOUT]\n\n")
+
+
+class SpeckvServer:
+    """Owns the HTTP server + serving loop. `port=0` picks a free port
+    (read it back from `.port`)."""
+
+    def __init__(self, engine: Engine, host: str = "127.0.0.1",
+                 port: int = 8000, tokenizer=None):
+        self.loop = ServingLoop(engine)
+        handler = type("BoundHandler", (_Handler,),
+                       {"loop": self.loop, "tokenizer": tokenizer})
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True, name="speckv-http")
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.loop.stop()
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()

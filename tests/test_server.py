@@ -1,0 +1,159 @@
+"""HTTP serving frontend: OpenAI-style completions over the Engine.
+
+Greedy determinism makes the API testable end-to-end: a completion served
+over HTTP must be token-identical to the same prompt through the plain
+Engine API, including when concurrent clients batch together and when the
+response is streamed (SSE chunks concatenate to the non-streamed result).
+"""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from cxl_speckv_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    KVDtype,
+    PrefetchConfig,
+    SystemConfig,
+)
+from cxl_speckv_tpu.engine.engine import Engine
+from cxl_speckv_tpu.models.configs import tiny_test_config
+from cxl_speckv_tpu.models.llama import init_params
+from cxl_speckv_tpu.server import SpeckvServer
+
+CFG = tiny_test_config()
+PARAMS = init_params(CFG, jax.random.PRNGKey(42))
+
+
+def make_engine():
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=64, num_host_blocks=64,
+                          kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(depth=2),
+        engine=EngineConfig(max_batch_size=4, max_seq_len=128,
+                            prefill_chunk=32, decode_horizon=2),
+    )
+    return Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False,
+                  seed=0)
+
+
+def post(port, path, body, timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}",
+                                timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def prompts(n=3, seed=11):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(1, CFG.vocab_size, rng.randint(6, 18)).tolist()
+            for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def server():
+    with SpeckvServer(make_engine(), port=0) as srv:
+        yield srv
+
+
+def test_health_and_stats(server):
+    assert get(server.port, "/health") == (200, {"status": "ok"})
+    code, stats = get(server.port, "/v1/stats")
+    assert code == 200 and "directory" in stats and "engine" in stats
+
+
+def test_completion_matches_engine_api(server):
+    ps = prompts()
+    want = make_engine().generate(ps, max_new_tokens=8)
+    # concurrent clients -> continuous batching in the engine
+    results = [None] * len(ps)
+
+    def go(i):
+        results[i] = post(server.port, "/v1/completions",
+                          {"prompt": ps[i], "max_tokens": 8})
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(len(ps))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for i, (code, body) in enumerate(results):
+        assert code == 200, body
+        assert body["tokens"] == want[i]
+        assert body["finish_reason"] == "length"
+        assert body["usage"]["completion_tokens"] == 8
+
+
+def test_streaming_concatenates_to_full_result(server):
+    p = prompts(1, seed=23)[0]
+    _, full = post(server.port, "/v1/completions",
+                   {"prompt": p, "max_tokens": 8})
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/completions",
+        data=json.dumps({"prompt": p, "max_tokens": 8,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    toks, done = [], False
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        for line in r:
+            line = line.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                done = True
+                break
+            toks.extend(json.loads(payload)["tokens"])
+    assert done
+    assert toks == full["tokens"]
+
+
+def test_sampled_completion(server):
+    p = prompts(1, seed=31)[0]
+    code, body = post(server.port, "/v1/completions",
+                      {"prompt": p, "max_tokens": 8, "temperature": 0.8,
+                       "top_p": 0.9})
+    assert code == 200 and len(body["tokens"]) == 8
+
+
+def test_bad_requests(server):
+    code, body = post(server.port, "/v1/completions", {"prompt": []})
+    assert code == 400 and "error" in body
+    code, body = post(server.port, "/v1/completions", {"prompt": "text"})
+    assert code == 400  # no tokenizer configured
+    code, body = post(server.port, "/v1/completions",
+                      {"prompt": [1, 2, 3], "max_tokens": 100000})
+    assert code == 400  # beyond max_seq_len and streaming capacity
+    code, body = post(server.port, "/nope", {})
+    assert code == 404
+
+
+def test_tokenizer_round_trip():
+    """String prompts work when a tokenizer is provided."""
+    class Tok:
+        def encode(self, s):
+            return [ord(c) % 250 + 1 for c in s]
+
+        def decode(self, ids):
+            return "".join(chr(i) for i in ids)
+
+    with SpeckvServer(make_engine(), port=0, tokenizer=Tok()) as srv:
+        code, body = post(srv.port, "/v1/completions",
+                          {"prompt": "hello speckv", "max_tokens": 4})
+        assert code == 200 and len(body["tokens"]) == 4
+        assert isinstance(body["text"], str)
