@@ -61,8 +61,17 @@ def sample_tokens(
         kth = jax.lax.top_k(scaled, top_k)[0][:, -1:]
         scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
     if top_ps is not None:
-        probs = jax.nn.softmax(scaled, axis=-1)
-        kept = nucleus_filter(probs, top_ps)
-        scaled = jnp.where(kept > 0.0, scaled, -jnp.inf)
+        # the nucleus filter costs a full-vocab sort — a real fraction of a
+        # decode step at 128k vocab. lax.cond keeps it out of the executed
+        # path unless some lane actually samples with 0 < top_p < 1 (greedy
+        # and plain-temperature serving pay nothing).
+        def _filtered(s):
+            probs = jax.nn.softmax(s, axis=-1)
+            kept = nucleus_filter(probs, top_ps)
+            return jnp.where(kept > 0.0, s, -jnp.inf)
+
+        active = jnp.any((top_ps > 0.0) & (top_ps < 1.0)
+                         & (temperatures > 0.0))
+        scaled = jax.lax.cond(active, _filtered, lambda s: s, scaled)
     sampled = jax.random.categorical(key, scaled, axis=-1)
     return jnp.where(temperatures <= 0.0, greedy, sampled)

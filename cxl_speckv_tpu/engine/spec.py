@@ -66,9 +66,16 @@ def _accept_program(target_logits, draft_logits, drafts, temps, top_ps, key,
     q = jax.nn.softmax(draft_logits / t, axis=-1)
     # top-p lanes: the speculative-sampling rule runs on the NUCLEUS-FILTERED
     # p and q (the draft was sampled from filtered q in-graph), preserving
-    # the exactness guarantee w.r.t. plain top-p target sampling
-    p = nucleus_filter(p, top_ps[:, None])
-    q = nucleus_filter(q, top_ps[:, None])
+    # the exactness guarantee w.r.t. plain top-p target sampling. The filter
+    # costs full-vocab sorts — lax.cond keeps them out of the executed path
+    # unless some lane actually uses top-p.
+    nucleus_active = jnp.any((top_ps > 0.0) & (top_ps < 1.0)
+                             & (temps > 0.0))
+    p, q = jax.lax.cond(
+        nucleus_active,
+        lambda pq: (nucleus_filter(pq[0], top_ps[:, None]),
+                    nucleus_filter(pq[1], top_ps[:, None])),
+        lambda pq: pq, (p, q))
     pt = jnp.take_along_axis(p, drafts[..., None], axis=-1)[..., 0]  # [B, g]
     qt = jnp.take_along_axis(q, drafts[..., None], axis=-1)[..., 0]
     k_u, k_r = jax.random.split(key)
@@ -87,7 +94,9 @@ def _accept_program(target_logits, draft_logits, drafts, temps, top_ps, key,
     resid = jnp.where(rs > eps, resid / jnp.maximum(rs, eps), p_at)
     bonus = jax.nn.softmax(
         target_logits[:, gamma] / jnp.maximum(temps, 1e-6)[:, None], axis=-1)
-    bonus = nucleus_filter(bonus, top_ps)
+    bonus = jax.lax.cond(nucleus_active,
+                         lambda b: nucleus_filter(b, top_ps),
+                         lambda b: b, bonus)
     dist = jnp.where(all_acc[:, None], bonus, resid)
     sampled_final = jax.random.categorical(k_r, jnp.log(dist + eps), axis=-1)
     greedy_final = jnp.take_along_axis(

@@ -50,6 +50,9 @@ class LlamaConfig:
     # Qwen2-family bias on the q/k/v projections (o/mlp stay bias-free,
     # matching HF Qwen2).
     attn_bias: bool = False
+    # Qwen3-family per-head RMSNorm on q and k (weight [head_dim], applied
+    # after projection, before RoPE — HF Qwen3Attention q_norm/k_norm).
+    qk_norm: bool = False
     # Pallas attention matmul operand precision ("bfloat16" = native MXU
     # rate; "float32" for bit-conservative runs). Softmax statistics and
     # accumulators stay f32 either way; XLA reference paths ignore this.
@@ -150,6 +153,29 @@ def qwen2_7b() -> LlamaConfig:
     )
 
 
+def qwen3_8b() -> LlamaConfig:
+    """Qwen3-8B geometry (HF `Qwen/Qwen3-8B`): per-head QK-RMSNorm,
+    bias-free, GQA 32/8."""
+    return LlamaConfig(
+        vocab_size=151936, hidden_size=4096, intermediate_size=12288,
+        num_layers=36, num_q_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=1000000.0, rope_scaling=None, max_seq_len=40960,
+        eos_token_id=151645, qk_norm=True, rms_eps=1e-6,
+    )
+
+
+def phi3_mini() -> LlamaConfig:
+    """Phi-3-mini-4k geometry (HF `microsoft/Phi-3-mini-4k-instruct`):
+    fused qkv/gate_up projections in the checkpoint (split at conversion,
+    `models/hf_convert.py`), MHA (kv == q heads)."""
+    return LlamaConfig(
+        vocab_size=32064, hidden_size=3072, intermediate_size=8192,
+        num_layers=32, num_q_heads=32, num_kv_heads=32, head_dim=96,
+        rope_theta=10000.0, rope_scaling=None, max_seq_len=4096,
+        eos_token_id=32000, rms_eps=1e-5,
+    )
+
+
 def mixtral_8x7b() -> LlamaConfig:
     """Mixtral-8x7B geometry (HF `mistralai/Mixtral-8x7B-v0.1`): Mistral
     attention shape + 8-expert top-2 sparse MoE MLP (47B params, ~13B
@@ -193,6 +219,8 @@ PRESETS = {
     "llama-3-70b": llama_3_70b,
     "mistral-7b": mistral_7b,
     "qwen2-7b": qwen2_7b,
+    "qwen3-8b": qwen3_8b,
+    "phi3-mini": phi3_mini,
     "mixtral-8x7b": mixtral_8x7b,
     "gemma2-9b": gemma2_9b,
     "tiny": tiny_test_config,

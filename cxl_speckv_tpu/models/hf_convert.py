@@ -1,4 +1,4 @@
-"""HuggingFace checkpoint conversion (Llama / Mistral / Qwen2 families).
+"""HuggingFace checkpoint conversion (Llama / Mistral / Qwen2 / Qwen3 / Phi-3 families).
 
 Maps a `transformers.{Llama,Mistral,Qwen2}ForCausalLM` state dict onto our
 stacked-layer pytree (`models/llama.py:init_params` layout) — the three
@@ -38,6 +38,11 @@ def config_from_hf(hf_config) -> LlamaConfig:
     # Qwen2: q/k/v projection biases (attention_bias covers Llama variants)
     attn_bias = bool(getattr(hf_config, "attention_bias", False)) or (
         getattr(hf_config, "model_type", "") == "qwen2")
+    # Qwen3: per-head q/k RMSNorm (and no projection bias)
+    qk_norm = getattr(hf_config, "model_type", "") == "qwen3"
+    if getattr(hf_config, "model_type", "") == "phi3" and raw:
+        raise NotImplementedError("phi3 longrope scaling not supported; "
+                                  "use a config with rope_scaling=None")
     # Gemma-2: alternating local/global attention, tanh softcaps, GeGLU,
     # sandwich norms, scaled embeddings, query_pre_attn_scalar
     gemma_kw = {}
@@ -62,6 +67,7 @@ def config_from_hf(hf_config) -> LlamaConfig:
         **gemma_kw,
         sliding_window=window,
         attn_bias=attn_bias,
+        qk_norm=qk_norm,
         # Mixtral: sparse-MoE MLP
         num_experts=getattr(hf_config, "num_local_experts", 0) or 0,
         num_experts_per_tok=getattr(hf_config, "num_experts_per_tok", 2) or 2,
@@ -95,19 +101,32 @@ def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None):
         return np.asarray(t, dtype=np.float32)
 
     L = config.num_layers
+    qd = config.num_q_heads * config.head_dim
+    kvd = config.num_kv_heads * config.head_dim
 
     def stack(fmt, transpose=True):
         ws = [get(fmt.format(i)) for i in range(L)]
         ws = [w.T if transpose else w for w in ws]
         return jnp.asarray(np.stack(ws), dtype=dtype)
 
+    fused = f"model.layers.0.self_attn.qkv_proj.weight" in state_dict
+    if fused:
+        # Phi-3 family: qkv_proj fuses [q; k; v] rows and gate_up_proj
+        # fuses [gate; up] — split into our separate [in, out] weights
+        qkv = stack("model.layers.{}.self_attn.qkv_proj.weight")  # [L, H, qd+2kvd]
+        q_w, k_w, v_w = (qkv[:, :, :qd], qkv[:, :, qd:qd + kvd],
+                         qkv[:, :, qd + kvd:])
+    else:
+        q_w = stack("model.layers.{}.self_attn.q_proj.weight")
+        k_w = stack("model.layers.{}.self_attn.k_proj.weight")
+        v_w = stack("model.layers.{}.self_attn.v_proj.weight")
     p = {
         "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype=dtype),
         "layers": {
             "attn_norm": stack("model.layers.{}.input_layernorm.weight", transpose=False),
-            "q": stack("model.layers.{}.self_attn.q_proj.weight"),
-            "k": stack("model.layers.{}.self_attn.k_proj.weight"),
-            "v": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "q": q_w,
+            "k": k_w,
+            "v": v_w,
             "o": stack("model.layers.{}.self_attn.o_proj.weight"),
             "mlp_norm": stack("model.layers.{}.post_attention_layernorm.weight", transpose=False),
         },
@@ -141,6 +160,12 @@ def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None):
         p["layers"]["gate"] = stack_experts("w1")
         p["layers"]["up"] = stack_experts("w3")
         p["layers"]["down"] = stack_experts("w2")
+    elif fused:
+        gu = stack("model.layers.{}.mlp.gate_up_proj.weight")  # [L, H, 2I]
+        I = config.intermediate_size
+        p["layers"]["gate"] = gu[:, :, :I]
+        p["layers"]["up"] = gu[:, :, I:]
+        p["layers"]["down"] = stack("model.layers.{}.mlp.down_proj.weight")
     else:
         p["layers"]["gate"] = stack("model.layers.{}.mlp.gate_proj.weight")
         p["layers"]["up"] = stack("model.layers.{}.mlp.up_proj.weight")
@@ -150,6 +175,12 @@ def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None):
                          ("v_bias", "v_proj")):
             p["layers"][ours] = stack(
                 f"model.layers.{{}}.self_attn.{hf}.bias", transpose=False)
+    if config.qk_norm:
+        # Qwen3 per-head q/k RMSNorm weights [head_dim]
+        p["layers"]["q_norm"] = stack(
+            "model.layers.{}.self_attn.q_norm.weight", transpose=False)
+        p["layers"]["k_norm"] = stack(
+            "model.layers.{}.self_attn.k_norm.weight", transpose=False)
     if not config.tie_embeddings:
         p["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype=dtype)
     return p

@@ -94,6 +94,14 @@ def init_params(config: LlamaConfig, key: jax.Array, dtype=None) -> Params:
             params["layers"][name] = (
                 jax.random.normal(next(keys), (L, width), jnp.float32) * 0.02
             ).astype(dtype)
+    if c.qk_norm:
+        # Qwen3-family per-head q/k RMSNorm (weight [head_dim]). Random
+        # init (not ones) so tests exercise the path.
+        for name in ("q_norm", "k_norm"):
+            params["layers"][name] = (
+                1.0 + jax.random.normal(next(keys), (L, c.head_dim),
+                                        jnp.float32) * 0.1
+            ).astype(dtype)
     if c.post_norms:
         # Gemma-2 sandwich norms (HF post_attention_layernorm /
         # post_feedforward_layernorm; attn_norm/mlp_norm are the pre-norms).
@@ -259,14 +267,26 @@ def _ffn(x, lp, config):
     return out.reshape(x.shape)
 
 
-def _qkv(h, lp):
-    """QKV projections, with the Qwen2-family bias when present (the key
-    existence check is static — resolved at trace time from the pytree)."""
+def _qkv(h, lp, config: LlamaConfig = None):
+    """QKV projections, with the Qwen2-family bias and the Qwen3-family
+    per-head q/k RMSNorm when present (key existence checks are static —
+    resolved at trace time from the pytree). The qk-norm runs BEFORE RoPE,
+    matching HF Qwen3Attention."""
     q, k, v = h @ lp["q"], h @ lp["k"], h @ lp["v"]
     if "q_bias" in lp:
         q = q + lp["q_bias"]
         k = k + lp["k_bias"]
         v = v + lp["v_bias"]
+    if "q_norm" in lp:
+        eps = config.rms_eps if config is not None else 1e-6
+
+        def headwise(x, w):
+            hd = w.shape[-1]
+            xh = x.reshape(*x.shape[:-1], -1, hd)
+            return rms_norm(xh, w, eps).reshape(x.shape)
+
+        q = headwise(q, lp["q_norm"])
+        k = headwise(k, lp["k_norm"])
     return q, k, v
 
 
@@ -328,7 +348,7 @@ def _decode_core(
         x, k_pools, v_pools, k_scales, v_scales = carry
         sid = sids[li] if sids is not None else None
         h = _norm(x, lp["attn_norm"], c)
-        q, k, v = _qkv(h, lp)
+        q, k, v = _qkv(h, lp, config)
         q = q.reshape(B, c.num_q_heads, c.head_dim)
         k = k.reshape(B, c.num_kv_heads, c.head_dim)
         v = v.reshape(B, c.num_kv_heads, c.head_dim)
@@ -587,7 +607,7 @@ def prefill_batch_packed(
         x, k_pools, v_pools, k_scales, v_scales = carry
         sid = sids[li] if sids is not None else None
         h = _norm(x, lp["attn_norm"], c)
-        q, k, v = _qkv(h, lp)
+        q, k, v = _qkv(h, lp, config)
         q = q.reshape(B, T, c.num_q_heads, c.head_dim)
         k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
         v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
@@ -858,7 +878,7 @@ def stream_step(
 
     def layer(x, lp, li, window):
         h = _norm(x, lp["attn_norm"], c)
-        q, k, v = _qkv(h, lp)
+        q, k, v = _qkv(h, lp, config)
         q = q.reshape(T, c.num_q_heads, c.head_dim)
         k = k.reshape(T, c.num_kv_heads, c.head_dim)
         v = v.reshape(T, c.num_kv_heads, c.head_dim)
@@ -995,7 +1015,7 @@ def verify_step(
         x, k_pools, v_pools, k_scales, v_scales = carry
         sid = sids[li] if sids is not None else None
         h = _norm(x, lp["attn_norm"], c)
-        q, k, v = _qkv(h, lp)
+        q, k, v = _qkv(h, lp, config)
         q = q.reshape(B, T, c.num_q_heads, c.head_dim)
         k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
         v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
@@ -1115,7 +1135,7 @@ def prefill_chunk(
         x, k_pools, v_pools, k_scales, v_scales = carry
         sid = sids[li] if sids is not None else None
         h = _norm(x, lp["attn_norm"], c)
-        q, k, v = _qkv(h, lp)
+        q, k, v = _qkv(h, lp, config)
         q = q.reshape(T, c.num_q_heads, c.head_dim)
         k = k.reshape(T, c.num_kv_heads, c.head_dim)
         v = v.reshape(T, c.num_kv_heads, c.head_dim)
@@ -1197,7 +1217,7 @@ def forward_dense(params: Params, config: LlamaConfig, token_ids: jax.Array) -> 
             causal = causal & (
                 positions[:, None] - positions[None, :] < window)
         h = _norm(x, lp["attn_norm"], c)
-        q, k, v = _qkv(h, lp)
+        q, k, v = _qkv(h, lp, config)
         q = q.reshape(B, T, c.num_q_heads, c.head_dim)
         k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
         v = v.reshape(B, T, c.num_kv_heads, c.head_dim)

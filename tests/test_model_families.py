@@ -174,6 +174,75 @@ def test_hf_parity_qwen2_bias():
     assert cfg.attn_bias and cfg.sliding_window is None
 
 
+def test_hf_parity_qwen3_qk_norm():
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    hf_cfg = Qwen3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, rope_theta=10000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, max_position_embeddings=64,
+        use_sliding_window=False, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf_model = Qwen3ForCausalLM(hf_cfg).eval()
+    cfg = _hf_parity(hf_model, hf_cfg)
+    assert cfg.qk_norm and not cfg.attn_bias
+
+
+def test_hf_parity_phi3_fused_projections():
+    """Phi-3: fused qkv_proj / gate_up_proj split into our separate weights
+    (the math is llama-shaped; sliding_window rides the same field)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    hf_cfg = Phi3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, max_position_embeddings=64,
+        sliding_window=None, attn_implementation="eager",
+        pad_token_id=0,  # Phi3Config defaults to 32000, beyond the tiny vocab
+    )
+    torch.manual_seed(0)
+    hf_model = Phi3ForCausalLM(hf_cfg).eval()
+    _hf_parity(hf_model, hf_cfg)
+
+
+def test_qwen3_engine_matches_dense_greedy():
+    """The per-head qk-norm flows through every serving path: paged tiered
+    generation continues exactly what dense greedy decoding produces."""
+    import dataclasses
+
+    from cxl_speckv_tpu.config import (
+        CacheConfig, EngineConfig, KVDtype, PrefetchConfig, SystemConfig)
+    from cxl_speckv_tpu.engine.engine import Engine
+    from cxl_speckv_tpu.models.configs import tiny_test_config
+    from cxl_speckv_tpu.models.llama import init_params
+
+    cfg = dataclasses.replace(tiny_test_config(), qk_norm=True)
+    params = init_params(cfg, jax.random.PRNGKey(5))
+    prompt = list(np.random.RandomState(2).randint(1, 256, 12))
+    # dense greedy continuation
+    toks = list(prompt)
+    for _ in range(8):
+        logits = forward_dense(params, cfg, jnp.asarray(toks)[None])
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    want = toks[len(prompt):]
+
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=8, num_host_blocks=32,
+                          kv_dtype=KVDtype.BF16),
+        prefetch=PrefetchConfig(depth=2),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=64,
+                            prefill_chunk=16, decode_horizon=2))
+    eng = Engine(cfg, sc, params=params, use_pallas=False, enable_lstm=False)
+    rid = eng.add_request([int(t) for t in prompt], max_new_tokens=8)
+    outs = {o.req_id: o.tokens for o in eng.run()}
+    assert outs[rid] == want
+
+
 # ---------------------------------------------------------------------------
 # paged-cache serving path under a binding window
 # ---------------------------------------------------------------------------
