@@ -50,9 +50,19 @@ class LlamaConfig:
     # Qwen2-family bias on the q/k/v projections (o/mlp stay bias-free,
     # matching HF Qwen2).
     attn_bias: bool = False
-    # Qwen3-family per-head RMSNorm on q and k (weight [head_dim], applied
-    # after projection, before RoPE — HF Qwen3Attention q_norm/k_norm).
+    # Qwen3/Gemma-3-family per-head RMSNorm on q and k (weight [head_dim],
+    # applied after projection, before RoPE — HF q_norm/k_norm). Follows
+    # the family's norm convention: plain (Qwen3) or 1+w (Gemma, via
+    # `norm_offset`).
     qk_norm: bool = False
+    # Gemma-3: sliding-window layers use their own RoPE base frequency
+    # (HF rope_local_base_freq); global layers use `rope_theta` (+ any
+    # scaling). None = every layer uses rope_theta.
+    rope_local_theta: float | None = None
+    # Linear (position-interpolation) RoPE scaling on the global theta
+    # (HF rope_scaling type "linear", Gemma-3 factor 8). Mutually
+    # exclusive with the Llama-3 banded `rope_scaling`.
+    rope_linear_factor: float | None = None
     # Pallas attention matmul operand precision ("bfloat16" = native MXU
     # rate; "float32" for bit-conservative runs). Softmax statistics and
     # accumulators stay f32 either way; XLA reference paths ignore this.
@@ -203,6 +213,24 @@ def gemma2_9b() -> LlamaConfig:
     )
 
 
+def gemma3_12b() -> LlamaConfig:
+    """Gemma-3-12B text geometry (HF `google/gemma-3-12b-pt` text config):
+    5 sliding : 1 global pattern with per-type RoPE base frequencies,
+    per-head qk-norm in the Gemma 1+w convention, no softcaps. (48 layers
+    = 8 full periods; the 34-layer 4B truncates its final period, which
+    the converter handles by treating the whole stack as one period.)"""
+    return LlamaConfig(
+        vocab_size=262208, hidden_size=3840, intermediate_size=15360,
+        num_layers=48, num_q_heads=16, num_kv_heads=8, head_dim=256,
+        rope_theta=1_000_000.0, rope_local_theta=10_000.0,
+        rope_linear_factor=8.0, rms_eps=1e-6, tie_embeddings=True,
+        max_seq_len=131072, eos_token_id=1, sliding_window=1024,
+        attn_pattern=(True, True, True, True, True, False),
+        qk_norm=True, norm_offset=True, post_norms=True,
+        act_fn="gelu_tanh", embed_scale=True, query_scale=256.0**-0.5,
+    )
+
+
 def tiny_test_config(vocab: int = 256) -> LlamaConfig:
     """Small config for CPU tests; dims chosen to exercise GQA + TP sharding."""
     return LlamaConfig(
@@ -223,5 +251,6 @@ PRESETS = {
     "phi3-mini": phi3_mini,
     "mixtral-8x7b": mixtral_8x7b,
     "gemma2-9b": gemma2_9b,
+    "gemma3-12b": gemma3_12b,
     "tiny": tiny_test_config,
 }

@@ -1,4 +1,4 @@
-"""HuggingFace checkpoint conversion (Llama / Mistral / Qwen2 / Qwen3 / Phi-3 families).
+"""HuggingFace checkpoint conversion (Llama / Mistral / Qwen2 / Qwen3 / Phi-3 / Gemma-2 / Gemma-3 families).
 
 Maps a `transformers.{Llama,Mistral,Qwen2}ForCausalLM` state dict onto our
 stacked-layer pytree (`models/llama.py:init_params` layout) — the three
@@ -14,10 +14,25 @@ import numpy as np
 from cxl_speckv_tpu.models.configs import LlamaConfig, RopeScaling
 
 
+def _pattern_from_layer_types(hf_config) -> tuple:
+    """Reduce HF layer_types to the smallest repeating (is_sliding, ...)
+    period (HF stores the full per-layer list)."""
+    types = list(hf_config.layer_types)
+    pattern = tuple(t == "sliding_attention" for t in types)
+    for p in range(1, len(pattern) + 1):
+        if len(pattern) % p == 0 and all(
+                pattern[i] == pattern[i % p] for i in range(len(pattern))):
+            return pattern[:p]
+    return pattern
+
+
 def config_from_hf(hf_config) -> LlamaConfig:
     rs = None
+    linear_factor = None
     raw = getattr(hf_config, "rope_scaling", None)
-    if raw and raw.get("rope_type", raw.get("type")) == "llama3":
+    if raw and raw.get("rope_type", raw.get("type")) == "linear":
+        linear_factor = float(raw["factor"])
+    elif raw and raw.get("rope_type", raw.get("type")) == "llama3":
         rs = RopeScaling(
             factor=raw["factor"],
             low_freq_factor=raw["low_freq_factor"],
@@ -38,36 +53,40 @@ def config_from_hf(hf_config) -> LlamaConfig:
     # Qwen2: q/k/v projection biases (attention_bias covers Llama variants)
     attn_bias = bool(getattr(hf_config, "attention_bias", False)) or (
         getattr(hf_config, "model_type", "") == "qwen2")
-    # Qwen3: per-head q/k RMSNorm (and no projection bias)
-    qk_norm = getattr(hf_config, "model_type", "") == "qwen3"
-    if getattr(hf_config, "model_type", "") == "phi3" and raw:
+    model_type = getattr(hf_config, "model_type", "")
+    # Qwen3 / Gemma-3: per-head q/k RMSNorm (and no projection bias)
+    qk_norm = model_type in ("qwen3", "gemma3_text", "gemma3")
+    if model_type == "phi3" and raw:
         raise NotImplementedError("phi3 longrope scaling not supported; "
                                   "use a config with rope_scaling=None")
     # Gemma-2: alternating local/global attention, tanh softcaps, GeGLU,
     # sandwich norms, scaled embeddings, query_pre_attn_scalar
     gemma_kw = {}
-    if getattr(hf_config, "model_type", "") == "gemma2":
-        types = list(hf_config.layer_types)
-        pattern = tuple(t == "sliding_attention" for t in types)
-        # reduce to the smallest repeating period (HF stores the full list)
-        for p in range(1, len(pattern) + 1):
-            if len(pattern) % p == 0 and all(
-                    pattern[i] == pattern[i % p] for i in range(len(pattern))):
-                pattern = pattern[:p]
-                break
+    if model_type == "gemma2":
         gemma_kw = dict(
-            attn_pattern=pattern,
+            attn_pattern=_pattern_from_layer_types(hf_config),
             attn_softcap=hf_config.attn_logit_softcapping,
             final_softcap=hf_config.final_logit_softcapping,
             norm_offset=True, post_norms=True, act_fn="gelu_tanh",
             embed_scale=True,
             query_scale=float(hf_config.query_pre_attn_scalar) ** -0.5,
         )
+    elif model_type in ("gemma3_text", "gemma3"):
+        # Gemma-3: the softcaps are gone (qk-norm replaces them); sliding
+        # layers get their own RoPE base frequency
+        gemma_kw = dict(
+            attn_pattern=_pattern_from_layer_types(hf_config),
+            norm_offset=True, post_norms=True, act_fn="gelu_tanh",
+            embed_scale=True,
+            query_scale=float(hf_config.query_pre_attn_scalar) ** -0.5,
+            rope_local_theta=float(hf_config.rope_local_base_freq),
+        )
     return LlamaConfig(
         **gemma_kw,
         sliding_window=window,
         attn_bias=attn_bias,
         qk_norm=qk_norm,
+        rope_linear_factor=linear_factor,
         # Mixtral: sparse-MoE MLP
         num_experts=getattr(hf_config, "num_local_experts", 0) or 0,
         num_experts_per_tok=getattr(hf_config, "num_experts_per_tok", 2) or 2,

@@ -205,10 +205,18 @@ def _scan_layers(step, carry, layers, config: LlamaConfig,
     return c2, ys
 
 
-def rope_frequencies(config: LlamaConfig) -> jax.Array:
-    """Inverse frequencies [D/2], with Llama-3 banded scaling (HF-compatible)."""
+def rope_frequencies(config: LlamaConfig, theta: float | None = None) -> jax.Array:
+    """Inverse frequencies [D/2], with Llama-3 banded scaling or linear
+    (position-interpolation) scaling (HF-compatible). `theta` overrides
+    `rope_theta` WITHOUT scaling — the Gemma-3 local-layer convention
+    (rope_local_base_freq applies unscaled to sliding layers)."""
     c = config
+    if theta is not None:
+        return 1.0 / (theta ** (jnp.arange(0, c.head_dim, 2,
+                                           dtype=jnp.float32) / c.head_dim))
     inv = 1.0 / (c.rope_theta ** (jnp.arange(0, c.head_dim, 2, dtype=jnp.float32) / c.head_dim))
+    if c.rope_linear_factor is not None:
+        inv = inv / c.rope_linear_factor
     if c.rope_scaling is not None:
         s = c.rope_scaling
         wavelen = 2.0 * jnp.pi / inv
@@ -228,6 +236,25 @@ def rope_frequencies(config: LlamaConfig) -> jax.Array:
         )
         inv = scaled
     return inv
+
+
+def rope_frequency_pair(config: LlamaConfig):
+    """(global_inv_freq, local_inv_freq) — local is None unless the model
+    uses per-layer-type RoPE bases (Gemma-3 `rope_local_theta`). Select
+    per sub-layer with `pick_rope` using the static window the layer scan
+    already passes."""
+    glob = rope_frequencies(config)
+    loc = (rope_frequencies(config, theta=config.rope_local_theta)
+           if config.rope_local_theta is not None else None)
+    return glob, loc
+
+
+def pick_rope(freqs, window):
+    """freqs = (global, local|None); sliding sub-layers (window not None)
+    use the local base when the model defines one. Static selection — the
+    scan body is unrolled per pattern period."""
+    glob, loc = freqs
+    return loc if (window is not None and loc is not None) else glob
 
 
 def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array) -> jax.Array:
@@ -278,12 +305,15 @@ def _qkv(h, lp, config: LlamaConfig = None):
         k = k + lp["k_bias"]
         v = v + lp["v_bias"]
     if "q_norm" in lp:
+        # follow the family's norm convention: plain RMSNorm (Qwen3) or
+        # the Gemma 1+w form (Gemma-3, norm_offset)
         eps = config.rms_eps if config is not None else 1e-6
+        off = 1.0 if (config is not None and config.norm_offset) else 0.0
 
         def headwise(x, w):
             hd = w.shape[-1]
             xh = x.reshape(*x.shape[:-1], -1, hd)
-            return rms_norm(xh, w, eps).reshape(x.shape)
+            return rms_norm(xh, w, eps, off).reshape(x.shape)
 
         q = headwise(q, lp["q_norm"])
         k = headwise(k, lp["k_norm"])
@@ -326,7 +356,7 @@ def _decode_core(
     c = config
     B = token_ids.shape[0]
     bs = k_pools.shape[3]  # pools [L, S, Hkv, bs, D/pack]
-    inv_freq = rope_frequencies(c)
+    rope_fs = rope_frequency_pair(c)
     x = _embed(params, c, token_ids)  # [B, H]
 
     # physical scatter coordinates of this token (clamped: overshoot steps of
@@ -353,6 +383,7 @@ def _decode_core(
         k = k.reshape(B, c.num_kv_heads, c.head_dim)
         v = v.reshape(B, c.num_kv_heads, c.head_dim)
         # rope expects a T axis: treat B as T with per-token positions
+        inv_freq = pick_rope(rope_fs, window)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -581,7 +612,7 @@ def prefill_batch_packed(
     T = packed.shape[1] - 4 - max_blocks
     bs = k_pools.shape[3]
     guard_slot = k_pools.shape[1] - 1
-    inv_freq = rope_frequencies(c)
+    rope_fs = rope_frequency_pair(c)
 
     from cxl_speckv_tpu.engine.sampling import decode_sampling
 
@@ -611,6 +642,7 @@ def prefill_batch_packed(
         q = q.reshape(B, T, c.num_q_heads, c.head_dim)
         k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
         v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
+        inv_freq = pick_rope(rope_fs, window)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -872,7 +904,7 @@ def stream_step(
     token_ids = packed[4 + table_width:]
 
     positions = start + jnp.arange(T)
-    inv_freq = rope_frequencies(c)
+    rope_fs = rope_frequency_pair(c)
     x = _embed(params, c, token_ids)  # [T, H]
     stores = (k_store, v_store, ks_store, vs_store)
 
@@ -882,6 +914,7 @@ def stream_step(
         q = q.reshape(T, c.num_q_heads, c.head_dim)
         k = k.reshape(T, c.num_kv_heads, c.head_dim)
         v = v.reshape(T, c.num_kv_heads, c.head_dim)
+        inv_freq = pick_rope(rope_fs, window)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -1000,7 +1033,7 @@ def verify_step(
     bs = k_pools.shape[3]
     max_blocks = block_tables.shape[1]
     guard_slot = k_pools.shape[1] - 1
-    inv_freq = rope_frequencies(c)
+    rope_fs = rope_frequency_pair(c)
     positions = start_pos[:, None] + jnp.arange(T)[None, :]   # [B, T]
     x = _embed(params, c, token_ids)                          # [B, T, H]
 
@@ -1019,6 +1052,7 @@ def verify_step(
         q = q.reshape(B, T, c.num_q_heads, c.head_dim)
         k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
         v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
+        inv_freq = pick_rope(rope_fs, window)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -1118,7 +1152,7 @@ def prefill_chunk(
     bs = k_pools.shape[3]  # pools [L, S, Hkv, bs, D/pack]
     max_blocks = table_row.shape[0]
     guard_slot = k_pools.shape[1] - 1
-    inv_freq = rope_frequencies(c)
+    rope_fs = rope_frequency_pair(c)
     if valid_len is None:
         valid_len = jnp.int32(T)
     positions = start_pos + jnp.arange(T)
@@ -1139,6 +1173,7 @@ def prefill_chunk(
         q = q.reshape(T, c.num_q_heads, c.head_dim)
         k = k.reshape(T, c.num_kv_heads, c.head_dim)
         v = v.reshape(T, c.num_kv_heads, c.head_dim)
+        inv_freq = pick_rope(rope_fs, window)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -1205,7 +1240,7 @@ def forward_dense(params: Params, config: LlamaConfig, token_ids: jax.Array) -> 
     """Full causal forward, no KV cache. token_ids [B, T] -> logits [B, T, V]."""
     c = config
     B, T = token_ids.shape
-    inv_freq = rope_frequencies(c)
+    rope_fs = rope_frequency_pair(c)
     positions = jnp.arange(T)
     x = _embed(params, c, token_ids)  # [B, T, H]
     base_causal = positions[:, None] >= positions[None, :]
@@ -1221,6 +1256,7 @@ def forward_dense(params: Params, config: LlamaConfig, token_ids: jax.Array) -> 
         q = q.reshape(B, T, c.num_q_heads, c.head_dim)
         k = k.reshape(B, T, c.num_kv_heads, c.head_dim)
         v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
+        inv_freq = pick_rope(rope_fs, window)
         q = apply_rope(q, positions[None], inv_freq)
         k = apply_rope(k, positions[None], inv_freq)
         qg = q.reshape(B, T, c.num_kv_heads, c.q_group, c.head_dim).astype(jnp.float32)

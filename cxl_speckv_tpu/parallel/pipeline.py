@@ -35,19 +35,22 @@ from cxl_speckv_tpu.models.llama import (
     _qkv,
     _soft_cap,
     apply_rope,
-    rope_frequencies,
+    pick_rope,
+    rope_frequency_pair,
 )
 
 
-def _dense_layer(x, lp, config, positions, causal):
+def _dense_layer(x, lp, config, positions, causal, window=None):
     """One dense transformer layer (no cache). x [mb, T, H]. `causal` is
     the layer's (possibly windowed) mask; softcap/norm-offset/sandwich-norm
-    conventions follow the config (shared llama.py building blocks)."""
+    /qk-norm/per-layer-rope conventions follow the config (shared llama.py
+    building blocks). `window` only selects the RoPE base for models with
+    per-layer-type frequencies — the mask already encodes it."""
     c = config
     B, T = x.shape[:2]
-    inv_freq = rope_frequencies(c)
+    inv_freq = pick_rope(rope_frequency_pair(c), window)
     h = _norm(x, lp["attn_norm"], c)
-    q, k, v = _qkv(h, lp)
+    q, k, v = _qkv(h, lp, config)
     q = apply_rope(q.reshape(B, T, c.num_q_heads, c.head_dim), positions, inv_freq)
     k = apply_rope(k.reshape(B, T, c.num_kv_heads, c.head_dim), positions, inv_freq)
     v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
@@ -128,7 +131,8 @@ def pipeline_forward(
             if period == 1:
                 def body(x, lp):
                     return _dense_layer(x, lp, c, positions[None],
-                                        mask_for(wins[0])), None
+                                        mask_for(wins[0]),
+                                        window=wins[0]), None
                 return jax.lax.scan(body, x, my_layers)[0]
             # alternating local/global (Gemma-2): one pattern-period per
             # scan iteration, windows static per sub-layer (stage start
@@ -141,7 +145,7 @@ def pipeline_forward(
                 for j in range(period):
                     lp = jax.tree.map(lambda a, j=j: a[j], lps)
                     x = _dense_layer(x, lp, c, positions[None],
-                                     mask_for(wins[j]))
+                                     mask_for(wins[j]), window=wins[j])
                 return x, None
             return jax.lax.scan(body, x, grouped)[0]
 

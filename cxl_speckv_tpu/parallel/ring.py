@@ -31,7 +31,8 @@ from cxl_speckv_tpu.models.llama import (
     _qkv,
     _soft_cap,
     apply_rope,
-    rope_frequencies,
+    pick_rope,
+    rope_frequency_pair,
 )
 
 _NEG = -1e30
@@ -102,7 +103,7 @@ def sp_forward_dense(
     if T % S:
         raise ValueError(f"seq len {T} not divisible by sp={S}")
     Tl = T // S
-    inv_freq = rope_frequencies(c)
+    rope_fs = rope_frequency_pair(c)
     head = (params["embed"].T if c.tie_embeddings else params["lm_head"])
 
     wins = c.layer_windows()
@@ -121,8 +122,9 @@ def sp_forward_dense(
             x = x * jnp.asarray(c.hidden_size**0.5, x.dtype)
 
         def one_layer(x, lp, window):
+            inv_freq = pick_rope(rope_fs, window)
             h = _norm(x, lp["attn_norm"], c)
-            q, k, v = _qkv(h, lp)
+            q, k, v = _qkv(h, lp, c)
             q = apply_rope(q.reshape(B, Tl, c.num_q_heads, c.head_dim),
                            q_pos[None], inv_freq)
             k = apply_rope(k.reshape(B, Tl, c.num_kv_heads, c.head_dim),

@@ -142,6 +142,47 @@ def test_hf_parity_gemma2():
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
 
 
+def test_hf_parity_gemma3():
+    """Gemma-3: per-head qk-norm in the 1+w convention replaces the Gemma-2
+    softcaps, and sliding layers use their OWN RoPE base frequency
+    (rope_local_base_freq) while global layers use rope_theta with linear
+    scaling. The test geometry makes every convention bind: window 6 < seq
+    16, local theta != global theta, linear factor 2."""
+    torch = pytest.importorskip("torch")
+    from transformers import Gemma3TextConfig, Gemma3ForCausalLM
+
+    from cxl_speckv_tpu.models.hf_convert import (
+        config_from_hf,
+        params_from_hf_state_dict,
+    )
+
+    hf_cfg = Gemma3TextConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, rope_theta=50000.0, rope_local_base_freq=10000.0,
+        rope_scaling={"rope_type": "linear", "factor": 2.0},
+        rms_norm_eps=1e-5, tie_word_embeddings=True,
+        max_position_embeddings=64, sliding_window=6,
+        sliding_window_pattern=2, query_pre_attn_scalar=16.0,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf_model = Gemma3ForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.qk_norm and cfg.rope_local_theta == 10000.0
+    assert cfg.rope_linear_factor == 2.0 and cfg.attn_softcap is None
+    assert cfg.norm_offset and cfg.post_norms and cfg.embed_scale
+    assert True in cfg.attn_pattern and False in cfg.attn_pattern
+    params = params_from_hf_state_dict(hf_model.state_dict(), cfg,
+                                       dtype=jnp.float32)
+    tokens = np.array([3, 17, 9, 25, 1, 4, 4, 7, 19, 2, 11, 30, 5, 8, 21, 13],
+                      dtype=np.int64)   # seq 16 > window 6: sliding binds
+    with torch.no_grad():
+        want = hf_model(torch.tensor(tokens[None])).logits[0].float().numpy()
+    got = np.asarray(forward_dense(params, cfg, jnp.asarray(tokens)[None])[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
 # ---------------------------------------------------------------------------
 # engine level: Gemma-2 serving over the paged tiered cache
 # ---------------------------------------------------------------------------
@@ -176,6 +217,31 @@ def test_gemma_engine_matches_dense_greedy():
 
     eng = _engine(cfg, params)
     assert eng.scheduler.window_tokens is None   # global layers: no retire
+    eng.add_request(prompt, max_new_tokens=gen)
+    outs = eng.run()
+    assert outs[0].tokens == want
+
+
+def test_gemma3_engine_matches_dense_greedy():
+    """Gemma-3 conventions through the full serving path: per-head 1+w
+    qk-norm, per-layer-type RoPE bases (local theta on sliding layers,
+    linearly-scaled global theta on full layers), no softcaps."""
+    cfg = tiny_gemma_config(
+        attn_softcap=None, final_softcap=None, qk_norm=True,
+        rope_local_theta=10000.0, rope_theta=50000.0,
+        rope_linear_factor=2.0)
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.RandomState(6)
+    prompt = rng.randint(1, cfg.vocab_size, 14).tolist()
+    gen = 12
+
+    toks = list(prompt)
+    for _ in range(gen):
+        logits = forward_dense(params, cfg, jnp.asarray([toks]))
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    want = toks[len(prompt):]
+
+    eng = _engine(cfg, params)
     eng.add_request(prompt, max_new_tokens=gen)
     outs = eng.run()
     assert outs[0].tokens == want

@@ -79,6 +79,28 @@ def test_pipeline_and_sp_gemma_pattern():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_pipeline_and_sp_gemma3_dual_rope():
+    """Gemma-3 conventions through pp and sp: per-head 1+w qk-norm and
+    per-layer-type RoPE bases (local theta on sliding sub-layers, linearly
+    scaled global theta on full ones) — pick_rope must select by the
+    static window inside both parallel forwards."""
+    cfg = dataclasses.replace(
+        CFG, sliding_window=5, attn_pattern=(True, False), qk_norm=True,
+        rope_local_theta=10000.0, rope_theta=50000.0, rope_linear_factor=2.0,
+        norm_offset=True, post_norms=True, act_fn="gelu_tanh",
+        embed_scale=True, query_scale=10.0**-0.5)
+    params = init_params(cfg, jax.random.PRNGKey(11))
+    toks = _tokens(2, 16, seed=12)
+    want = forward_dense(params, cfg, toks)
+    got_pp = pipeline_forward(params, cfg, toks, mesh=_mesh("pp", 2),
+                              num_microbatches=2)
+    np.testing.assert_allclose(np.asarray(got_pp), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    got_sp = sp_forward_dense(params, cfg, toks, mesh=_mesh("sp", 4))
+    np.testing.assert_allclose(np.asarray(got_sp), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pipeline_rejects_bad_split():
     mesh = _mesh("pp", 3)
     with pytest.raises(ValueError, match="not divisible"):
