@@ -26,6 +26,27 @@ class RopeScaling:
 
 
 @dataclass(frozen=True)
+class YarnRope:
+    """YaRN rope scaling (HF rope_type "yarn" — GPT-OSS). The cos/sin
+    attention factor is folded into `LlamaConfig.sm_scale` as factor**2
+    (cos/sin scale both q and k, so scores scale quadratically; learned
+    attention sinks stay unscaled, exactly matching HF)."""
+    factor: float
+    original_max_position: int
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+    attention_factor: float | None = None  # None = 0.1*ln(factor) + 1
+    truncate: bool = True
+
+    @property
+    def attn_factor(self) -> float:
+        import math
+        if self.attention_factor is not None:
+            return self.attention_factor
+        return 0.1 * math.log(self.factor) + 1.0 if self.factor > 1 else 1.0
+
+
+@dataclass(frozen=True)
 class LlamaConfig:
     vocab_size: int = 128256
     hidden_size: int = 4096
@@ -92,6 +113,26 @@ class LlamaConfig:
     act_fn: str = "silu"                 # "silu" | "gelu_tanh"
     embed_scale: bool = False            # scale embeddings by sqrt(H)
     query_scale: float | None = None     # softmax scale; None = D^-0.5
+    # GPT-OSS-family learned attention sinks: one scalar logit per q head
+    # joins every softmax denominator (an always-available "null" token
+    # with no value vector) — params["layers"]["sinks"] [L, Hq].
+    attn_sinks: bool = False
+    # bias on the attention output projection (GPT-OSS attention_bias
+    # covers o_proj too; q/k/v ride `attn_bias`)
+    o_bias: bool = False
+    # MoE family conventions: "mixtral" (softmax->topk->renorm, SwiGLU) or
+    # "gpt_oss" (topk->softmax, biased projections, clamped activation)
+    moe_style: str = "mixtral"
+    # renormalize the selected top-k weights (Mixtral/Qwen3-MoE True,
+    # Qwen2-MoE False — HF norm_topk_prob); ignored by "gpt_oss"
+    moe_norm_topk: bool = True
+    # Qwen2-MoE shared expert: a dense SwiGLU MLP of this intermediate
+    # size runs on EVERY token, scaled by sigmoid(x @ shared_expert_gate)
+    # and added to the routed output. 0 = no shared expert.
+    moe_shared_expert: int = 0
+    # YaRN rope scaling (GPT-OSS); mutually exclusive with rope_scaling /
+    # rope_linear_factor
+    rope_yarn: YarnRope | None = None
 
     @property
     def q_group(self) -> int:
@@ -99,8 +140,12 @@ class LlamaConfig:
 
     @property
     def sm_scale(self) -> float:
-        return (self.query_scale if self.query_scale is not None
+        base = (self.query_scale if self.query_scale is not None
                 else self.head_dim**-0.5)
+        if self.rope_yarn is not None:
+            # YaRN attention factor scales cos/sin -> q AND k -> scores x f^2
+            base = base * self.rope_yarn.attn_factor ** 2
+        return base
 
     def layer_windows(self) -> tuple:
         """Per-layer static sliding windows (None = global)."""
@@ -231,6 +276,50 @@ def gemma3_12b() -> LlamaConfig:
     )
 
 
+def qwen2_moe_57b() -> LlamaConfig:
+    """Qwen2-57B-A14B geometry (HF `Qwen/Qwen2-57B-A14B`): 64-expert top-8
+    MoE without top-k renorm + a sigmoid-gated shared expert, QKV bias."""
+    return LlamaConfig(
+        vocab_size=151936, hidden_size=3584, intermediate_size=2560,
+        num_layers=28, num_q_heads=28, num_kv_heads=4, head_dim=128,
+        rope_theta=1000000.0, rms_eps=1e-6, tie_embeddings=False,
+        max_seq_len=32768, eos_token_id=151643, attn_bias=True,
+        num_experts=64, num_experts_per_tok=8, moe_norm_topk=False,
+        moe_shared_expert=20480,
+    )
+
+
+def qwen3_moe_30b() -> LlamaConfig:
+    """Qwen3-30B-A3B geometry (HF `Qwen/Qwen3-30B-A3B`): 128-expert top-8
+    MoE with top-k renorm, per-head qk-norm, no shared expert."""
+    return LlamaConfig(
+        vocab_size=151936, hidden_size=2048, intermediate_size=768,
+        num_layers=48, num_q_heads=32, num_kv_heads=4, head_dim=128,
+        rope_theta=1000000.0, rms_eps=1e-6, tie_embeddings=False,
+        max_seq_len=40960, eos_token_id=151645, qk_norm=True,
+        num_experts=128, num_experts_per_tok=8, moe_norm_topk=True,
+    )
+
+
+def gpt_oss_20b() -> LlamaConfig:
+    """GPT-OSS-20B geometry (HF `openai/gpt-oss-20b`): 32-expert top-4 MoE
+    with biased projections + clamped gated activation, learned attention
+    sinks, alternating sliding(128)/full attention, fully-biased attention
+    projections, YaRN rope (factor 32)."""
+    return LlamaConfig(
+        vocab_size=201088, hidden_size=2880, intermediate_size=2880,
+        num_layers=24, num_q_heads=64, num_kv_heads=8, head_dim=64,
+        rope_theta=150000.0,
+        rope_yarn=YarnRope(factor=32.0, original_max_position=4096,
+                           beta_fast=32.0, beta_slow=1.0),
+        rms_eps=1e-5, tie_embeddings=False, max_seq_len=131072,
+        eos_token_id=200002, sliding_window=128,
+        attn_pattern=(True, False), attn_bias=True, o_bias=True,
+        attn_sinks=True, num_experts=32, num_experts_per_tok=4,
+        moe_style="gpt_oss",
+    )
+
+
 def tiny_test_config(vocab: int = 256) -> LlamaConfig:
     """Small config for CPU tests; dims chosen to exercise GQA + TP sharding."""
     return LlamaConfig(
@@ -252,5 +341,8 @@ PRESETS = {
     "mixtral-8x7b": mixtral_8x7b,
     "gemma2-9b": gemma2_9b,
     "gemma3-12b": gemma3_12b,
+    "gpt-oss-20b": gpt_oss_20b,
+    "qwen2-moe-57b": qwen2_moe_57b,
+    "qwen3-moe-30b": qwen3_moe_30b,
     "tiny": tiny_test_config,
 }

@@ -1,4 +1,4 @@
-"""HuggingFace checkpoint conversion (Llama / Mistral / Qwen2 / Qwen3 / Phi-3 / Gemma-2 / Gemma-3 families).
+"""HuggingFace checkpoint conversion (Llama / Mistral / Qwen2 / Qwen3 / Phi-3 / Gemma-2 / Gemma-3 / Mixtral / GPT-OSS families).
 
 Maps a `transformers.{Llama,Mistral,Qwen2}ForCausalLM` state dict onto our
 stacked-layer pytree (`models/llama.py:init_params` layout) — the three
@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from cxl_speckv_tpu.models.configs import LlamaConfig, RopeScaling
+from cxl_speckv_tpu.models.configs import LlamaConfig, RopeScaling, YarnRope
 
 
 def _pattern_from_layer_types(hf_config) -> tuple:
@@ -29,9 +29,21 @@ def _pattern_from_layer_types(hf_config) -> tuple:
 def config_from_hf(hf_config) -> LlamaConfig:
     rs = None
     linear_factor = None
+    yarn = None
     raw = getattr(hf_config, "rope_scaling", None)
     if raw and raw.get("rope_type", raw.get("type")) == "linear":
         linear_factor = float(raw["factor"])
+    elif raw and raw.get("rope_type", raw.get("type")) == "yarn":
+        yarn = YarnRope(
+            factor=float(raw["factor"]),
+            original_max_position=int(
+                raw.get("original_max_position_embeddings")
+                or hf_config.max_position_embeddings),
+            beta_fast=float(raw.get("beta_fast") or 32),
+            beta_slow=float(raw.get("beta_slow") or 1),
+            attention_factor=raw.get("attention_factor"),
+            truncate=bool(raw.get("truncate", True)),
+        )
     elif raw and raw.get("rope_type", raw.get("type")) == "llama3":
         rs = RopeScaling(
             factor=raw["factor"],
@@ -52,10 +64,10 @@ def config_from_hf(hf_config) -> LlamaConfig:
         window = None
     # Qwen2: q/k/v projection biases (attention_bias covers Llama variants)
     attn_bias = bool(getattr(hf_config, "attention_bias", False)) or (
-        getattr(hf_config, "model_type", "") == "qwen2")
+        getattr(hf_config, "model_type", "") in ("qwen2", "qwen2_moe"))
     model_type = getattr(hf_config, "model_type", "")
     # Qwen3 / Gemma-3: per-head q/k RMSNorm (and no projection bias)
-    qk_norm = model_type in ("qwen3", "gemma3_text", "gemma3")
+    qk_norm = model_type in ("qwen3", "qwen3_moe", "gemma3_text", "gemma3")
     if model_type == "phi3" and raw:
         raise NotImplementedError("phi3 longrope scaling not supported; "
                                   "use a config with rope_scaling=None")
@@ -71,6 +83,13 @@ def config_from_hf(hf_config) -> LlamaConfig:
             embed_scale=True,
             query_scale=float(hf_config.query_pre_attn_scalar) ** -0.5,
         )
+    elif model_type == "gpt_oss":
+        # GPT-OSS: learned attention sinks, fully-biased attention
+        # projections, clamped-activation MoE with biased experts
+        gemma_kw = dict(
+            attn_pattern=_pattern_from_layer_types(hf_config),
+            attn_sinks=True, o_bias=True, moe_style="gpt_oss",
+        )
     elif model_type in ("gemma3_text", "gemma3"):
         # Gemma-3: the softcaps are gone (qk-norm replaces them); sliding
         # layers get their own RoPE base frequency
@@ -81,12 +100,30 @@ def config_from_hf(hf_config) -> LlamaConfig:
             query_scale=float(hf_config.query_pre_attn_scalar) ** -0.5,
             rope_local_theta=float(hf_config.rope_local_base_freq),
         )
-    return LlamaConfig(
+    # Qwen2/Qwen3-MoE: per-expert intermediate size is moe_intermediate_size
+    # (config.intermediate_size is the dense-MLP width, unused with MoE);
+    # Qwen2-MoE adds the sigmoid-gated shared expert and keeps raw top-k
+    # probabilities (norm_topk_prob=False)
+    moe_kw = {}
+    if model_type in ("qwen2_moe", "qwen3_moe"):
+        if (getattr(hf_config, "decoder_sparse_step", 1) != 1
+                or getattr(hf_config, "mlp_only_layers", [])):
+            raise NotImplementedError(
+                "mixed dense/sparse Qwen-MoE layer layouts not supported")
+        moe_kw = dict(
+            num_experts=hf_config.num_experts,
+            intermediate_size=hf_config.moe_intermediate_size,
+            moe_norm_topk=bool(hf_config.norm_topk_prob),
+            moe_shared_expert=getattr(
+                hf_config, "shared_expert_intermediate_size", 0) or 0,
+        )
+    kw = dict(
         **gemma_kw,
         sliding_window=window,
-        attn_bias=attn_bias,
+        attn_bias=attn_bias or model_type == "gpt_oss",
         qk_norm=qk_norm,
         rope_linear_factor=linear_factor,
+        rope_yarn=yarn,
         # Mixtral: sparse-MoE MLP
         num_experts=getattr(hf_config, "num_local_experts", 0) or 0,
         num_experts_per_tok=getattr(hf_config, "num_experts_per_tok", 2) or 2,
@@ -104,6 +141,8 @@ def config_from_hf(hf_config) -> LlamaConfig:
         max_seq_len=hf_config.max_position_embeddings,
         eos_token_id=eos if eos is not None else -1,
     )
+    kw.update(moe_kw)
+    return LlamaConfig(**kw)
 
 
 def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None):
@@ -159,7 +198,57 @@ def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None):
             "model.layers.{}.pre_feedforward_layernorm.weight", transpose=False)
         p["layers"]["post_mlp_norm"] = stack(
             "model.layers.{}.post_feedforward_layernorm.weight", transpose=False)
-    if config.num_experts > 0:
+    if config.num_experts > 0 and config.moe_style == "gpt_oss":
+        # GPT-OSS MoE: mlp.router (biased) + fused mlp.experts.gate_up_proj
+        # [E, H, 2I] stored input-major (bmm layout) with INTERLEAVED
+        # gate/up columns ([..., ::2] / [..., 1::2]), all biased
+        p["layers"]["router"] = stack("model.layers.{}.mlp.router.weight")
+        p["layers"]["router_bias"] = stack(
+            "model.layers.{}.mlp.router.bias", transpose=False)
+        gu = stack("model.layers.{}.mlp.experts.gate_up_proj",
+                   transpose=False)                     # [L, E, H, 2I]
+        gub = stack("model.layers.{}.mlp.experts.gate_up_proj_bias",
+                    transpose=False)                    # [L, E, 2I]
+        p["layers"]["gate"] = gu[..., ::2]
+        p["layers"]["up"] = gu[..., 1::2]
+        p["layers"]["gate_bias"] = gub[..., ::2]
+        p["layers"]["up_bias"] = gub[..., 1::2]
+        p["layers"]["down"] = stack("model.layers.{}.mlp.experts.down_proj",
+                                    transpose=False)    # [L, E, I, H]
+        p["layers"]["down_bias"] = stack(
+            "model.layers.{}.mlp.experts.down_proj_bias", transpose=False)
+    elif (config.num_experts > 0
+          and "model.layers.0.mlp.gate.weight" in state_dict):
+        # Qwen2/Qwen3-MoE: mlp.gate is the router; experts use llama-style
+        # gate_proj/up_proj/down_proj names with a leading E axis
+        E = config.num_experts
+
+        def stack_experts_q(wname):
+            ws = [
+                np.stack([
+                    get(f"model.layers.{i}.mlp.experts.{e}.{wname}.weight").T
+                    for e in range(E)
+                ])
+                for i in range(L)
+            ]
+            return jnp.asarray(np.stack(ws), dtype=dtype)
+
+        p["layers"]["router"] = stack("model.layers.{}.mlp.gate.weight")
+        p["layers"]["gate"] = stack_experts_q("gate_proj")
+        p["layers"]["up"] = stack_experts_q("up_proj")
+        p["layers"]["down"] = stack_experts_q("down_proj")
+        if config.moe_shared_expert > 0:
+            p["layers"]["shared_gate"] = stack(
+                "model.layers.{}.mlp.shared_expert.gate_proj.weight")
+            p["layers"]["shared_up"] = stack(
+                "model.layers.{}.mlp.shared_expert.up_proj.weight")
+            p["layers"]["shared_down"] = stack(
+                "model.layers.{}.mlp.shared_expert.down_proj.weight")
+            # HF stores [1, H]; ours is [H]
+            seg = stack("model.layers.{}.mlp.shared_expert_gate.weight",
+                        transpose=False)
+            p["layers"]["shared_expert_gate"] = seg[:, 0, :]
+    elif config.num_experts > 0:
         # Mixtral MoE: block_sparse_moe.gate is the router [E, H] (-> [H, E]);
         # experts[e].w1/w3/w2 map to gate/up/down with a leading E axis
         E = config.num_experts
@@ -194,6 +283,12 @@ def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None):
                          ("v_bias", "v_proj")):
             p["layers"][ours] = stack(
                 f"model.layers.{{}}.self_attn.{hf}.bias", transpose=False)
+    if config.attn_sinks:
+        p["layers"]["sinks"] = stack("model.layers.{}.self_attn.sinks",
+                                     transpose=False)
+    if config.o_bias:
+        p["layers"]["o_bias"] = stack(
+            "model.layers.{}.self_attn.o_proj.bias", transpose=False)
     if config.qk_norm:
         # Qwen3 per-head q/k RMSNorm weights [head_dim]
         p["layers"]["q_norm"] = stack(

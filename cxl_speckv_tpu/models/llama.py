@@ -87,6 +87,24 @@ def init_params(config: LlamaConfig, key: jax.Array, dtype=None) -> Params:
         params["layers"]["gate"] = w(next(keys), (L, E, H, I), H)
         params["layers"]["up"] = w(next(keys), (L, E, H, I), H)
         params["layers"]["down"] = w(next(keys), (L, E, I, H), I)
+        if c.moe_shared_expert > 0:
+            # Qwen2-MoE sigmoid-gated shared expert (dense SwiGLU on every
+            # token, its own intermediate size)
+            Is = c.moe_shared_expert
+            params["layers"]["shared_gate"] = w(next(keys), (L, H, Is), H)
+            params["layers"]["shared_up"] = w(next(keys), (L, H, Is), H)
+            params["layers"]["shared_down"] = w(next(keys), (L, Is, H), Is)
+            params["layers"]["shared_expert_gate"] = w(next(keys), (L, H), H)
+        if c.moe_style == "gpt_oss":
+            # GPT-OSS: biased router + biased expert projections. Random
+            # init so tests exercise every bias path.
+            def b(shape, scale=0.05):
+                return (jax.random.normal(next(keys), shape, jnp.float32)
+                        * scale).astype(dtype)
+            params["layers"]["router_bias"] = b((L, E))
+            params["layers"]["gate_bias"] = b((L, E, I))
+            params["layers"]["up_bias"] = b((L, E, I))
+            params["layers"]["down_bias"] = b((L, E, H))
     if c.attn_bias:
         # Qwen2-family bias on q/k/v only (o/mlp bias-free, matching HF).
         # Random init is non-zero so tests exercise the bias path.
@@ -94,6 +112,15 @@ def init_params(config: LlamaConfig, key: jax.Array, dtype=None) -> Params:
             params["layers"][name] = (
                 jax.random.normal(next(keys), (L, width), jnp.float32) * 0.02
             ).astype(dtype)
+    if c.attn_sinks:
+        # GPT-OSS learned per-head sink logits (softmax denominator term)
+        params["layers"]["sinks"] = (
+            jax.random.normal(next(keys), (L, c.num_q_heads), jnp.float32)
+            * 0.5).astype(dtype)
+    if c.o_bias:
+        params["layers"]["o_bias"] = (
+            jax.random.normal(next(keys), (L, H), jnp.float32) * 0.02
+        ).astype(dtype)
     if c.qk_norm:
         # Qwen3-family per-head q/k RMSNorm (weight [head_dim]). Random
         # init (not ones) so tests exercise the path.
@@ -215,6 +242,29 @@ def rope_frequencies(config: LlamaConfig, theta: float | None = None) -> jax.Arr
         return 1.0 / (theta ** (jnp.arange(0, c.head_dim, 2,
                                            dtype=jnp.float32) / c.head_dim))
     inv = 1.0 / (c.rope_theta ** (jnp.arange(0, c.head_dim, 2, dtype=jnp.float32) / c.head_dim))
+    if c.rope_yarn is not None:
+        # YaRN (HF _compute_yarn_parameters): interpolate between the
+        # factor-scaled and unscaled frequencies with a per-dim linear ramp
+        # between the beta_fast/beta_slow correction dims. The cos/sin
+        # attention factor is folded into config.sm_scale (factor**2).
+        import math
+        y = c.rope_yarn
+        D = c.head_dim
+
+        def corr_dim(rot):
+            return (D * math.log(y.original_max_position
+                                 / (rot * 2 * math.pi))) / (2 * math.log(c.rope_theta))
+        low, high = corr_dim(y.beta_fast), corr_dim(y.beta_slow)
+        if y.truncate:
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0), min(high, D - 1)
+        if low == high:
+            high += 0.001
+        ramp = jnp.clip((jnp.arange(D // 2, dtype=jnp.float32) - low)
+                        / (high - low), 0, 1)
+        extrap = 1.0 - ramp   # 1 near low dims (high freq): keep unscaled
+        inv = (inv / y.factor) * (1 - extrap) + inv * extrap
+        return inv
     if c.rope_linear_factor is not None:
         inv = inv / c.rope_linear_factor
     if c.rope_scaling is not None:
@@ -290,7 +340,7 @@ def _ffn(x, lp, config):
     from cxl_speckv_tpu.models.moe import moe_ffn
 
     flat = x.reshape(-1, x.shape[-1])
-    out = moe_ffn(flat, lp["router"], lp["gate"], lp["up"], lp["down"], config)
+    out = moe_ffn(flat, lp, config)
     return out.reshape(x.shape)
 
 
@@ -324,6 +374,8 @@ def _block_residuals(x, o_flat, lp, config):
     """Shared residual structure after attention: o-projection (+ Gemma-2
     post-attention norm), then the MLP block (+ post-MLP norm)."""
     att = o_flat.astype(x.dtype) @ lp["o"]
+    if "o_bias" in lp:
+        att = att + lp["o_bias"]
     if "post_attn_norm" in lp:
         att = _norm(att, lp["post_attn_norm"], config)
     x = x + att
@@ -407,7 +459,7 @@ def _decode_core(
 
         o = attend(q, kp, vp, ksc, vsc, block_table, seq_lens, eff_dtype,
                    scheme_id=sid, window=window, sm_scale=c.sm_scale,
-                   softcap=c.attn_softcap)
+                   softcap=c.attn_softcap, sinks=lp.get("sinks"))
         x = _block_residuals(x, o.reshape(B, -1), lp, c)
 
         k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)
@@ -667,7 +719,7 @@ def prefill_batch_packed(
         o = attend_chunk(q, k_use, v_use, kp, vp, ksc, vsc,
                          tables, start, eff_dtype, scheme_id=sid,
                          window=window, sm_scale=c.sm_scale,
-                         softcap=c.attn_softcap)
+                         softcap=c.attn_softcap, sinks=lp.get("sinks"))
         x = _block_residuals(x, o.reshape(B, T, -1), lp, c)
 
         kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
@@ -931,7 +983,8 @@ def stream_step(
             softcap=c.attn_softcap)
         o = merge_chunk_causal(q, k_use, v_use, carry,
                                window=window, sm_scale=c.sm_scale,
-                               softcap=c.attn_softcap)
+                               softcap=c.attn_softcap,
+                               sinks=lp.get("sinks"))
         x = _block_residuals(x, o.reshape(T, -1), lp, c)
         return x, (kq, ksc[..., 0], vq, vsc[..., 0])
 
@@ -1083,7 +1136,7 @@ def verify_step(
         o = attend_chunk(q, k_use, v_use, kp, vp, ksc, vsc,
                          block_tables, start_pos, eff_dtype, scheme_id=sid,
                          window=window, sm_scale=c.sm_scale,
-                         softcap=c.attn_softcap)
+                         softcap=c.attn_softcap, sinks=lp.get("sinks"))
         x = _block_residuals(x, o.reshape(B, T, -1), lp, c)
         kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
         vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
@@ -1206,7 +1259,7 @@ def prefill_chunk(
         o = attend_chunk(q[None], k_use[None], v_use[None], kp, vp, ksc, vsc,
                          table_row[None], start1, eff_dtype, scheme_id=sid,
                          window=window, sm_scale=c.sm_scale,
-                         softcap=c.attn_softcap)
+                         softcap=c.attn_softcap, sinks=lp.get("sinks"))
         o = o[0].reshape(T, c.num_q_heads * c.head_dim)
 
         x = _block_residuals(x, o, lp, c)
@@ -1263,7 +1316,13 @@ def forward_dense(params: Params, config: LlamaConfig, token_ids: jax.Array) -> 
         s = jnp.einsum("bthgd,bshd->bhgts", qg, k.astype(jnp.float32)) * sm
         s = _soft_cap(s, c.attn_softcap)
         s = jnp.where(causal[None, None, None], s, -1e30)
-        w = jax.nn.softmax(s, axis=-1)
+        if "sinks" in lp:
+            from cxl_speckv_tpu.ops.paged_attention_ref import sink_softmax
+            sk = (lp["sinks"].reshape(c.num_kv_heads, c.q_group)
+                  .astype(jnp.float32)[None, :, :, None, None])
+            w = sink_softmax(s, sk)
+        else:
+            w = jax.nn.softmax(s, axis=-1)
         o = jnp.einsum("bhgts,bshd->bthgd", w, v.astype(jnp.float32))
         return _block_residuals(x, o.reshape(B, T, -1), lp, c)
 

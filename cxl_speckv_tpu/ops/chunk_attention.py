@@ -37,6 +37,7 @@ def paged_chunk_attention(
     scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 per call
     window: int | None = None,            # sliding window (Mistral family)
     softcap: float | None = None,         # tanh score cap (Gemma family)
+    sinks: jax.Array | None = None,       # [Hq] learned sink logits (GPT-OSS)
 ) -> jax.Array:
     """Returns [B, T, Hq, D]."""
     B, T, num_q_heads, head_dim = q.shape
@@ -111,5 +112,15 @@ def paged_chunk_attention(
     o_acc = o_acc * alpha + jnp.einsum("bhgts,bshd->bhgtd", p, vf,
                                        precision=jax.lax.Precision.HIGHEST)
 
+    if sinks is not None:
+        # the sink is one extra logit per (head, query) with no value: it
+        # joins the running max and the denominator at finalize (m_new is
+        # the post-merge running max)
+        sk = (sinks.reshape(num_kv_heads, group)
+              .astype(jnp.float32)[None, :, :, None, None])
+        m_fin = jnp.maximum(m_new, sk)
+        a2 = jnp.exp(m_new - m_fin)
+        l_acc = l_acc * a2 + jnp.exp(sk - m_fin)
+        o_acc = o_acc * a2
     out = o_acc / l_acc                                # [B,Hkv,G,T,D]
     return out.transpose(0, 3, 1, 2, 4).reshape(B, T, num_q_heads, head_dim).astype(q.dtype)

@@ -64,12 +64,17 @@ def _chunk_kernel(
     sid_ref=None,   # [1] int32 SMEM — MIXED8 per-layer scheme id
     window=None,    # static sliding window (Mistral family)
     softcap=None,   # static tanh score cap (Gemma family)
+    has_sinks=False,  # GPT-OSS learned sink logits operand present
 ):
     k_refs = rest[0:ppb]
     v_refs = rest[ppb:2 * ppb]
     ks_refs = rest[2 * ppb:3 * ppb]
     vs_refs = rest[3 * ppb:4 * ppb]
-    o_ref, acc_ref, m_ref, l_ref = rest[4 * ppb:]
+    rest = rest[4 * ppb:]
+    sinks_ref = None
+    if has_sinks:
+        sinks_ref, rest = rest[0], rest[1:]
+    o_ref, acc_ref, m_ref, l_ref = rest
 
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -163,6 +168,14 @@ def _chunk_kernel(
         acc = acc_ref[:] * alpha + jax.lax.dot_general(
             p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if has_sinks:
+            # GPT-OSS sink: one extra per-head logit with no value —
+            # joins the global max and the denominator at finalize
+            sk = sinks_ref[0]                              # [TG, 1] f32
+            m_fin = jnp.maximum(m_new, sk)
+            a2 = jnp.exp(m_new - m_fin)
+            l = l * a2 + jnp.exp(sk - m_fin)
+            acc = acc * a2
         o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -189,6 +202,7 @@ def paged_chunk_attention_pallas(
     pages_per_step: int | None = None,
     window: int | None = None,  # static sliding window (Mistral family)
     softcap: float | None = None,  # static tanh score cap (Gemma family)
+    sinks: jax.Array | None = None,  # [Hq] learned sink logits (GPT-OSS)
 ) -> jax.Array:
     """Drop-in kernel variant of `chunk_attention.paged_chunk_attention`.
     Returns [B, T, Hq, D]."""
@@ -209,7 +223,8 @@ def paged_chunk_attention_pallas(
             qp, kp_, vp_, k_pool, v_pool, k_scale, v_scale, block_table,
             start_pos, kv_dtype, sm_scale=sm_scale, interpret=interpret,
             scheme_id=scheme_id, compute_dtype=compute_dtype,
-            pages_per_step=pages_per_step, window=window, softcap=softcap)
+            pages_per_step=pages_per_step, window=window, softcap=softcap,
+            sinks=sinks)
         return out[:, :T]
     if sm_scale is None:
         sm_scale = head_dim**-0.5
@@ -223,7 +238,8 @@ def paged_chunk_attention_pallas(
     base = functools.partial(
         _chunk_kernel, kv_dtype=kv_dtype, block_size=block_size,
         head_dim=head_dim, group=group, ppb=ppb, sm_scale=float(sm_scale),
-        compute_dtype=compute_dtype, window=window, softcap=softcap)
+        compute_dtype=compute_dtype, window=window, softcap=softcap,
+        has_sinks=sinks is not None)
     if mixed:
         def kernel(table_ref, start_ref, sid_ref, *rest):
             base(table_ref, start_ref, *rest, sid_ref=sid_ref)
@@ -253,6 +269,8 @@ def paged_chunk_attention_pallas(
 
     kv_spec = [pl.BlockSpec((1, 1, block_size, head_dim // pack),
                             ctx_index(j)) for j in range(ppb)]
+    sink_spec = ([pl.BlockSpec((1, tg, 1), lambda b, h, i, *_: (h, 0, 0))]
+                 if sinks is not None else [])
     sc_spec = [pl.BlockSpec((1, num_kv_heads, block_size),
                             ctx_index(j, rank4=False)) for j in range(ppb)]
 
@@ -263,7 +281,7 @@ def paged_chunk_attention_pallas(
             pl.BlockSpec((1, 1, tg, head_dim), lambda b, h, i, *_: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, T, head_dim), lambda b, h, i, *_: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, T, head_dim), lambda b, h, i, *_: (b, h, 0, 0)),
-            *kv_spec, *kv_spec, *sc_spec, *sc_spec,
+            *kv_spec, *kv_spec, *sc_spec, *sc_spec, *sink_spec,
         ],
         out_specs=pl.BlockSpec((1, 1, tg, head_dim),
                                lambda b, h, i, *_: (b, h, 0, 0)),
@@ -279,6 +297,11 @@ def paged_chunk_attention_pallas(
         scalars += (jnp.reshape(scheme_id, (1,)).astype(jnp.int32),)
     operands = (q4, kn, vn) + (k_pool,) * ppb + (v_pool,) * ppb \
         + (k_scale,) * ppb + (v_scale,) * ppb
+    if sinks is not None:
+        # per-ROW sink values: row r = t*G + g carries sinks[h, g]
+        operands += (jnp.broadcast_to(
+            sinks.reshape(num_kv_heads, 1, group).astype(jnp.float32),
+            (num_kv_heads, T, group)).reshape(num_kv_heads, tg, 1),)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

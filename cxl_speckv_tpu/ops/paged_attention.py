@@ -89,12 +89,17 @@ def _decode_kernel(
     sid_ref=None,   # [1] int32 SMEM — MIXED8 per-layer scheme id
     window=None,    # static sliding window (positions < seq_len - window masked)
     softcap=None,   # static tanh score cap (Gemma family)
+    has_sinks=False,  # GPT-OSS learned sink logits operand present
 ):
     k_refs = rest[0:ppb]
     v_refs = rest[ppb:2 * ppb]
     ks_refs = rest[2 * ppb:3 * ppb]
     vs_refs = rest[3 * ppb:4 * ppb]
-    o_ref, acc_ref, m_ref, l_ref = rest[4 * ppb:]
+    rest = rest[4 * ppb:]
+    sinks_ref = None
+    if has_sinks:
+        sinks_ref, rest = rest[0], rest[1:]
+    o_ref, acc_ref, m_ref, l_ref = rest
 
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -175,9 +180,19 @@ def _decode_kernel(
 
     @pl.when(i == n_steps - 1)
     def _finalize():
+        acc, l = acc_ref[:], l_ref[:]
+        if has_sinks:
+            # GPT-OSS sink: one extra logit per head with no value vector —
+            # joins the global max and the denominator at finalize
+            sk = sinks_ref[:]                              # [rows, 1] f32
+            m_prev = m_ref[:]
+            m_fin = jnp.maximum(m_prev, sk)
+            a2 = jnp.exp(m_prev - m_fin)
+            l = l * a2 + jnp.exp(sk - m_fin)
+            acc = acc * a2
         # max(l, tiny) so a lane with seq_len == 0 (no _compute ran) yields
         # zeros instead of NaN — flash-decoding convention for empty rows
-        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        out = acc / jnp.maximum(l, 1e-30)
         o_ref[0] = out.reshape(num_kv_heads, G, head_dim).astype(o_ref.dtype)
 
 
@@ -202,6 +217,7 @@ def paged_attention(
     compute_dtype=jnp.float32,  # matmul operand dtype; bf16 = native MXU
     window: int | None = None,  # static sliding window (Mistral family)
     softcap: float | None = None,  # static tanh score cap (Gemma family)
+    sinks: jax.Array | None = None,  # [Hq] learned sink logits (GPT-OSS)
 ) -> jax.Array:
     B, num_q_heads, head_dim = q.shape
     num_slots, num_kv_heads, block_size, _ = k_pool.shape
@@ -230,6 +246,7 @@ def paged_attention(
         compute_dtype=compute_dtype,
         window=window,
         softcap=softcap,
+        has_sinks=sinks is not None,
     )
     if mixed:
         # third scalar-prefetch operand carries the per-layer scheme id
@@ -259,6 +276,9 @@ def paged_attention(
 
     kv_spec = [pl.BlockSpec((1, num_kv_heads, block_size, head_dim // pack),
                             kv_index(j)) for j in range(ppb)]
+    sink_spec = ([pl.BlockSpec((num_kv_heads * group, 1),
+                               lambda b, i, *_: (0, 0))]
+                 if sinks is not None else [])
     # scales ride their NATIVE 3D layout [S, Hkv, bs] — (Hkv, bs) are the
     # tiling dims ((8,128)-rule: Hkv % 8 == 0 or full; bs == full dim). A
     # trailing unit dim added outside the kernel would pad 1 -> 128 lanes
@@ -272,7 +292,7 @@ def paged_attention(
         in_specs=[
             pl.BlockSpec((1, num_kv_heads, group, head_dim),
                          lambda b, i, *_: (b, 0, 0, 0)),
-            *kv_spec, *kv_spec, *sc_spec, *sc_spec,
+            *kv_spec, *kv_spec, *sc_spec, *sc_spec, *sink_spec,
         ],
         out_specs=pl.BlockSpec((1, num_kv_heads, group, head_dim),
                                lambda b, i, *_: (b, 0, 0, 0)),
@@ -288,6 +308,9 @@ def paged_attention(
         scalars += (jnp.reshape(scheme_id, (1,)).astype(jnp.int32),)
     operands = (q4,) + (k_pool,) * ppb + (v_pool,) * ppb \
         + (k_scale,) * ppb + (v_scale,) * ppb
+    if sinks is not None:
+        operands += (sinks.reshape(num_kv_heads * group, 1)
+                     .astype(jnp.float32),)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

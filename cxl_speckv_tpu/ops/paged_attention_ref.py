@@ -61,6 +61,19 @@ def _dequant_block(q: jax.Array, kv_dtype: KVDtype,
     return x
 
 
+def sink_softmax(scores: jax.Array, sink: jax.Array | None) -> jax.Array:
+    """Softmax with a learned per-head sink logit in the denominator
+    (GPT-OSS attention sinks): equivalent to softmax([scores, sink]) with
+    the sink column dropped — the sink is an always-available "null" token
+    with no value vector. `sink` must broadcast against scores[..., :1];
+    None = plain softmax."""
+    if sink is None:
+        return jax.nn.softmax(scores, axis=-1)
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), sink)
+    p = jnp.exp(scores - m)
+    return p / (jnp.sum(p, axis=-1, keepdims=True) + jnp.exp(sink - m))
+
+
 def paged_attention_ref(
     q: jax.Array,              # [B, num_q_heads, head_dim]
     k_pool: jax.Array,         # [num_slots, H_kv, block_size, D/pack]
@@ -74,6 +87,7 @@ def paged_attention_ref(
     scheme_id: jax.Array | None = None,   # MIXED8: 0=INT8 / 1=FP8 per call
     window: int | None = None,            # sliding window (Mistral family)
     softcap: float | None = None,         # tanh score cap (Gemma family)
+    sinks: jax.Array | None = None,       # [Hq] learned sink logits (GPT-OSS)
 ) -> jax.Array:
     """Decode-step attention: one query token per sequence.
 
@@ -107,12 +121,21 @@ def paged_attention_ref(
         if window is not None:
             valid = valid & (pos >= len_b - window)
         scores = jnp.where(valid[None, None, :], scores, NEG_INF)
-        w = jax.nn.softmax(scores, axis=-1)
+        sk = (sinks.reshape(num_kv_heads, group, 1).astype(jnp.float32)
+              if sinks is not None else None)
+        w = sink_softmax(scores, sk)
         # V dequant folded into the weights
         out = jnp.einsum("hgl,lhd->hgd", w * vs.T[:, None, :], v)
         return out.reshape(num_q_heads, head_dim)
 
     return jax.vmap(per_seq)(q, block_table, seq_lens).astype(q.dtype)
+
+
+def _sink4(sinks, hkv, group):
+    """[Hq] -> [Hkv, G, 1, 1] f32 (or None)."""
+    if sinks is None:
+        return None
+    return sinks.reshape(hkv, group, 1, 1).astype(jnp.float32)
 
 
 def prefill_attention_ref(
@@ -129,6 +152,7 @@ def prefill_attention_ref(
     sm_scale: float | None = None,
     window: int | None = None,
     softcap: float | None = None,
+    sinks: jax.Array | None = None,       # [Hq] learned sink logits (GPT-OSS)
 ) -> jax.Array:
     """Chunked-prefill attention for a single sequence.
 
@@ -173,11 +197,11 @@ def prefill_attention_ref(
             ctx_ok = ctx_ok & (pos[None, :] >= lower[:, None])  # [T, L]
         scores_ctx = jnp.where(ctx_ok[None, None], scores_ctx, NEG_INF)
         scores = jnp.concatenate([scores_ctx, scores_new], axis=-1)
-        w = jax.nn.softmax(scores, axis=-1)
+        w = sink_softmax(scores, _sink4(sinks, num_kv_heads, group))
         w_ctx, w_new = w[..., :L], w[..., L:]
         out = jnp.einsum("hgtl,lhd->thgd", w_ctx * vs.T[:, None, None, :], v_ctx)
         out = out + jnp.einsum("hgts,shd->thgd", w_new, vf)
     else:
-        w = jax.nn.softmax(scores_new, axis=-1)
+        w = sink_softmax(scores_new, _sink4(sinks, num_kv_heads, group))
         out = jnp.einsum("hgts,shd->thgd", w, vf)
     return out.reshape(T, num_q_heads, head_dim).astype(q.dtype)

@@ -118,6 +118,7 @@ def merge_chunk_causal(
     sm_scale: float | None = None,
     window: int | None = None,
     softcap: float | None = None,
+    sinks: jax.Array | None = None,       # [Hq] learned sink logits (GPT-OSS)
 ):
     """Merge in-chunk causal attention into the streamed accumulators and
     finalize. Returns [T, Hq, D]."""
@@ -143,5 +144,12 @@ def merge_chunk_causal(
     alpha = jnp.exp(m_acc - m_new)
     l_acc = l_acc * alpha + jnp.sum(p, axis=-1, keepdims=True)
     o_acc = o_acc * alpha + jnp.einsum("hgts,shd->hgtd", p, vf)
+    if sinks is not None:
+        sk = (sinks.reshape(num_kv_heads, group)
+              .astype(jnp.float32)[:, :, None, None])
+        m_fin = jnp.maximum(m_new, sk)
+        a2 = jnp.exp(m_new - m_fin)
+        l_acc = l_acc * a2 + jnp.exp(sk - m_fin)
+        o_acc = o_acc * a2
     out = o_acc / jnp.maximum(l_acc, 1e-30)       # [Hkv, G, T, D]
     return out.transpose(2, 0, 1, 3).reshape(T, num_q_heads, head_dim).astype(q.dtype)

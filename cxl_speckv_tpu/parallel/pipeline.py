@@ -58,7 +58,13 @@ def _dense_layer(x, lp, config, positions, causal, window=None):
     s = jnp.einsum("bthgd,bshd->bhgts", qg, k.astype(jnp.float32))
     s = _soft_cap(s * c.sm_scale, c.attn_softcap)
     s = jnp.where(causal[None, None, None], s, -1e30)
-    w = jax.nn.softmax(s, axis=-1)
+    if "sinks" in lp:
+        from cxl_speckv_tpu.ops.paged_attention_ref import sink_softmax
+        sk = (lp["sinks"].reshape(c.num_kv_heads, c.q_group)
+              .astype(jnp.float32)[None, :, :, None, None])
+        w = sink_softmax(s, sk)
+    else:
+        w = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgts,bshd->bthgd", w, v.astype(jnp.float32))
     return _block_residuals(x, o.reshape(B, T, -1), lp, c)
 

@@ -39,6 +39,7 @@ _NEG = -1e30
 
 
 def _ring_attention_local(q, k, v, q_pos, kv_pos0, t_local, config,
+                          sinks=None,
                           window=None):
     """Inside-shard_map body: online-softmax over rotating KV chunks.
 
@@ -82,6 +83,15 @@ def _ring_attention_local(q, k, v, q_pos, kv_pos0, t_local, config,
                      jnp.float32)
     (_, _, _, m, l, acc), _ = jax.lax.scan(
         step, (k, v, kv_pos0, m0, l0, acc0), jnp.arange(S))
+    if sinks is not None:
+        # GPT-OSS sink: one extra logit per head, no value — joins the
+        # final max/denominator after all ring rotations
+        sk = (sinks.reshape(c.num_kv_heads, c.q_group)
+              .astype(jnp.float32)[None, :, :, None])
+        m_fin = jnp.maximum(m, sk)
+        a2 = jnp.exp(m - m_fin)
+        l = l * a2 + jnp.exp(sk - m_fin)
+        acc = acc * a2[..., None]
     out = acc / jnp.maximum(l, 1e-30)[..., None]             # [B,Hkv,G,Tl,D]
     return out.transpose(0, 3, 1, 2, 4).reshape(B, Tl, -1)
 
@@ -131,7 +141,7 @@ def sp_forward_dense(
                            q_pos[None], inv_freq)
             v = v.reshape(B, Tl, c.num_kv_heads, c.head_dim)
             o = _ring_attention_local(q, k, v, q_pos, idx * Tl, Tl, c,
-                                      window=window)
+                                      sinks=lp.get("sinks"), window=window)
             return _block_residuals(x, o, lp, c)
 
         if period == 1:

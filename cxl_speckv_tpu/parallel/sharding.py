@@ -53,6 +53,37 @@ def param_specs(config: LlamaConfig) -> dict[str, Any]:
         specs["layers"]["gate"] = P(None, "ep", None, "tp")
         specs["layers"]["up"] = P(None, "ep", None, "tp")
         specs["layers"]["down"] = P(None, "ep", "tp", None)
+        if config.moe_shared_expert > 0:
+            # dense megatron split like the main MLP; the scalar gate is
+            # replicated
+            specs["layers"]["shared_gate"] = P(None, None, "tp")
+            specs["layers"]["shared_up"] = P(None, None, "tp")
+            specs["layers"]["shared_down"] = P(None, "tp", None)
+            specs["layers"]["shared_expert_gate"] = P(None, None)
+        if config.moe_style == "gpt_oss":
+            # biased router stays replicated; expert biases follow their
+            # projection's output axis (down_bias is added once per expert
+            # AFTER the tp psum, so it is tp-replicated)
+            specs["layers"]["router_bias"] = P(None, None)
+            specs["layers"]["gate_bias"] = P(None, "ep", "tp")
+            specs["layers"]["up_bias"] = P(None, "ep", "tp")
+            specs["layers"]["down_bias"] = P(None, "ep", None)
+    # optional per-family leaves mirror init_params' conditions
+    if config.attn_bias:
+        specs["layers"]["q_bias"] = P(None, "tp")
+        specs["layers"]["k_bias"] = P(None, "tp")
+        specs["layers"]["v_bias"] = P(None, "tp")
+    if config.qk_norm:
+        specs["layers"]["q_norm"] = P(None, None)
+        specs["layers"]["k_norm"] = P(None, None)
+    if config.attn_sinks:
+        specs["layers"]["sinks"] = P(None, "tp")   # per-q-head, like q cols
+    if config.o_bias:
+        # o is row-parallel (psum over tp); its bias is added once, after
+        specs["layers"]["o_bias"] = P(None, None)
+    if config.post_norms:
+        specs["layers"]["post_attn_norm"] = P(None, None)
+        specs["layers"]["post_mlp_norm"] = P(None, None)
     if not config.tie_embeddings:
         specs["lm_head"] = P(None, "tp")
     return specs

@@ -61,11 +61,9 @@ def test_moe_dense_vs_dispatch_identical(N):
     reproduce the dense mode bit-for-bit up to f32 summation order."""
     lp = jax.tree.map(lambda a: a[0], PARAMS["layers"])  # layer 0 slice
     x = jax.random.normal(jax.random.PRNGKey(2), (N, CFG.hidden_size))
-    dense = moe_ffn(x, lp["router"], lp["gate"], lp["up"], lp["down"],
-                    dataclasses.replace(CFG, moe_impl="dense"))
-    disp = moe_ffn(x, lp["router"], lp["gate"], lp["up"], lp["down"],
-                   dataclasses.replace(CFG, moe_impl="dispatch",
-                                       moe_capacity_factor=float(CFG.num_experts)))
+    dense = moe_ffn(x, lp, dataclasses.replace(CFG, moe_impl="dense"))
+    disp = moe_ffn(x, lp, dataclasses.replace(CFG, moe_impl="dispatch",
+                                              moe_capacity_factor=float(CFG.num_experts)))
     np.testing.assert_allclose(np.asarray(disp), np.asarray(dense),
                                rtol=2e-5, atol=2e-5)
 
@@ -78,10 +76,8 @@ def test_moe_dispatch_capacity_drop_semantics():
                  (4, 1))  # identical tokens -> identical routing
     cfg = dataclasses.replace(CFG, moe_impl="dispatch",
                               moe_capacity_factor=1e-9)  # capacity clamps to 1
-    out = np.asarray(moe_ffn(x, lp["router"], lp["gate"], lp["up"],
-                             lp["down"], cfg))
-    dense = np.asarray(moe_ffn(x, lp["router"], lp["gate"], lp["up"],
-                               lp["down"], dataclasses.replace(CFG)))
+    out = np.asarray(moe_ffn(x, lp, cfg))
+    dense = np.asarray(moe_ffn(x, lp, dataclasses.replace(CFG)))
     # token 0 got both its experts; tokens 1-3 were fully dropped (same
     # routing as token 0, buckets already full) -> exact zeros
     np.testing.assert_allclose(out[0], dense[0], rtol=2e-5, atol=2e-5)
@@ -124,6 +120,95 @@ def test_hf_parity_mixtral():
             moe_capacity_factor=float(cfg.num_experts))
         got = np.asarray(forward_dense(params, icfg, jnp.asarray(tokens)[None])[0])
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_hf_parity_qwen2_moe_shared_expert():
+    """Qwen2-MoE: raw (un-renormalized) top-k probabilities + the
+    sigmoid-gated shared expert + QKV bias, all binding."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    from cxl_speckv_tpu.models.hf_convert import (
+        config_from_hf,
+        params_from_hf_state_dict,
+    )
+
+    hf_cfg = Qwen2MoeConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=24, shared_expert_intermediate_size=40,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[], rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+        max_position_embeddings=64, use_sliding_window=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf_model = Qwen2MoeForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.num_experts == 4 and not cfg.moe_norm_topk
+    assert cfg.moe_shared_expert == 40 and cfg.attn_bias
+    assert cfg.intermediate_size == 24   # per-expert width
+    params = params_from_hf_state_dict(hf_model.state_dict(), cfg,
+                                       dtype=jnp.float32)
+    tokens = np.array([3, 17, 9, 25, 1, 4, 4, 7, 19, 2, 11, 30, 5, 8, 21, 13],
+                      dtype=np.int64)
+    with torch.no_grad():
+        want = hf_model(torch.tensor(tokens[None])).logits[0].float().numpy()
+    got = np.asarray(forward_dense(params, cfg, jnp.asarray(tokens)[None])[0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_hf_parity_qwen3_moe():
+    """Qwen3-MoE: renormalized top-k + per-head qk-norm, no shared expert."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    from cxl_speckv_tpu.models.hf_convert import (
+        config_from_hf,
+        params_from_hf_state_dict,
+    )
+
+    hf_cfg = Qwen3MoeConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=24, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        decoder_sparse_step=1, mlp_only_layers=[], rope_theta=10000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        max_position_embeddings=64, use_sliding_window=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf_model = Qwen3MoeForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.qk_norm and cfg.moe_norm_topk and cfg.moe_shared_expert == 0
+    params = params_from_hf_state_dict(hf_model.state_dict(), cfg,
+                                       dtype=jnp.float32)
+    tokens = np.array([3, 17, 9, 25, 1, 4, 4, 7, 19, 2, 11, 30, 5, 8, 21, 13],
+                      dtype=np.int64)
+    with torch.no_grad():
+        want = hf_model(torch.tensor(tokens[None])).logits[0].float().numpy()
+    got = np.asarray(forward_dense(params, cfg, jnp.asarray(tokens)[None])[0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_qwen2_moe_engine_matches_dense_greedy():
+    """Shared expert + raw top-k through the paged serving path."""
+    cfg = tiny_moe_config(moe_norm_topk=False, moe_shared_expert=48,
+                          attn_bias=True)
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    prompt = list(np.random.RandomState(8).randint(1, 256, 12))
+    gen = 8
+    toks = list(prompt)
+    for _ in range(gen):
+        logits = forward_dense(params, cfg, jnp.asarray(toks)[None])
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    want = toks[len(prompt):]
+    eng = _engine(cfg, params)
+    rid = eng.add_request([int(t) for t in prompt], max_new_tokens=gen)
+    outs = {o.req_id: o.tokens for o in eng.run()}
+    assert outs[rid] == want
 
 
 # ---------------------------------------------------------------------------
