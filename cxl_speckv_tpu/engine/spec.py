@@ -123,8 +123,84 @@ class SpecStatistics(Statistics):
         return d
 
 
-class SpecDecoder:
+class _AcceptanceMixin:
+    """Verify/accept machinery shared by every proposal source (draft
+    model or n-gram lookup). Subclasses provide `gamma`, `stats`, and set
+    `self._draft_logits` ([B, gamma, V] device array: the distributions the
+    drafts were proposed from) during `propose`."""
+
+    def accept(self, drafts: np.ndarray, target_logits,
+               active: np.ndarray, temps: np.ndarray,
+               key: np.ndarray,
+               top_ps: np.ndarray | None = None) -> tuple[list[list[int]], np.ndarray]:
+        """Acceptance, in-graph: greedy token-match for temperature-0 lanes,
+        the speculative-sampling rule (accept draft t_j with probability
+        min(1, p(t_j)/q(t_j)); on rejection resample from the normalized
+        residual max(p - q, 0); bonus from the target on full acceptance —
+        the output distribution equals plain target sampling) for the rest.
+
+        target_logits [B, gamma+1, V] stays ON DEVICE (fetching it to the
+        host costs ~10MB per round at 128k vocab — the acceptance fetch is
+        two [B] int vectors). Returns (emitted tokens per lane, accepted
+        counts [B])."""
+        if top_ps is None:
+            top_ps = np.zeros_like(np.asarray(temps, np.float32))
+        n_acc_d, final_d = _accept_program(
+            target_logits, self._draft_logits, jnp.asarray(drafts),
+            jnp.asarray(np.asarray(temps, np.float32)),
+            jnp.asarray(np.asarray(top_ps, np.float32)), jnp.asarray(key),
+            gamma=self.gamma)
+        n_acc = np.asarray(n_acc_d)
+        final = np.asarray(final_d)
+        emitted: list[list[int]] = []
+        for b in range(drafts.shape[0]):
+            if not active[b]:
+                emitted.append([])
+                continue
+            j = int(n_acc[b])
+            emitted.append([int(x) for x in drafts[b, :j]] + [int(final[b])])
+            self.stats.accepted += j
+            self.stats.bonus += 1
+        self.stats.rounds += 1
+        return emitted, n_acc
+
+    def accept_greedy(self, drafts: np.ndarray, target_logits: np.ndarray,
+                      active: np.ndarray) -> tuple[list[list[int]], np.ndarray]:
+        """Greedy acceptance on host logits (kept for tests/tools; the
+        engine path is `accept`)."""
+        B, T, _ = target_logits.shape
+        target_pred = target_logits.argmax(-1)  # [B, T]
+        emitted: list[list[int]] = []
+        n_acc = np.zeros(B, np.int32)
+        for b in range(B):
+            if not active[b]:
+                emitted.append([])
+                continue
+            out = []
+            j = 0
+            while j < self.gamma and target_pred[b, j] == drafts[b, j]:
+                out.append(int(drafts[b, j]))
+                j += 1
+            # correction (on mismatch) or bonus (all accepted) token
+            out.append(int(target_pred[b, j]))
+            n_acc[b] = j
+            self.stats.accepted += j
+            self.stats.bonus += 1
+            emitted.append(out)
+        self.stats.rounds += 1
+        return emitted, n_acc
+
+    def get_statistics(self) -> SpecStatistics:
+        return self.stats
+
+    def reset_statistics(self) -> None:
+        self.stats.reset()
+
+
+class SpecDecoder(_AcceptanceMixin):
     """Owns the draft model's cache and the propose/verify/accept cycle."""
+
+    has_draft_model = True
 
     def __init__(self, draft_config: LlamaConfig, draft_params,
                  target_kvc, gamma: int = 4,
@@ -269,69 +345,111 @@ class SpecDecoder:
         self.stats.drafted += int(active.sum()) * self.gamma
         return drafts
 
-    def accept(self, drafts: np.ndarray, target_logits,
-               active: np.ndarray, temps: np.ndarray,
-               key: np.ndarray,
-               top_ps: np.ndarray | None = None) -> tuple[list[list[int]], np.ndarray]:
-        """Acceptance, in-graph: greedy token-match for temperature-0 lanes,
-        the speculative-sampling rule (accept draft t_j with probability
-        min(1, p(t_j)/q(t_j)); on rejection resample from the normalized
-        residual max(p - q, 0); bonus from the target on full acceptance —
-        the output distribution equals plain target sampling) for the rest.
 
-        target_logits [B, gamma+1, V] stays ON DEVICE (fetching it to the
-        host costs ~10MB per round at 128k vocab — the acceptance fetch is
-        two [B] int vectors). Returns (emitted tokens per lane, accepted
-        counts [B])."""
-        if top_ps is None:
-            top_ps = np.zeros_like(np.asarray(temps, np.float32))
-        n_acc_d, final_d = _accept_program(
-            target_logits, self._draft_logits, jnp.asarray(drafts),
-            jnp.asarray(np.asarray(temps, np.float32)),
-            jnp.asarray(np.asarray(top_ps, np.float32)), jnp.asarray(key),
-            gamma=self.gamma)
-        n_acc = np.asarray(n_acc_d)
-        final = np.asarray(final_d)
-        emitted: list[list[int]] = []
-        for b in range(drafts.shape[0]):
-            if not active[b]:
-                emitted.append([])
+@functools.partial(jax.jit, static_argnames=("vocab",))
+def _one_hot_logits(drafts, *, vocab: int):
+    """Proposal 'logits' for deterministic (lookup) drafts: softmax of
+    one_hot * 1e4 at any serving temperature is exactly one-hot in f32,
+    so q(t_j) = 1 in the acceptance rule — accept with probability p(t_j),
+    and the rejection residual max(p - onehot, 0) renormalizes to p
+    excluding t_j. The emitted law is exactly the plain target-sampling
+    law (P[t_j] = p(t_j); P[s != t_j] = (1 - p(t_j)) * p(s)/(1 - p(t_j)))."""
+    return jax.nn.one_hot(drafts, vocab, dtype=jnp.float32) * 1e4
+
+
+class NgramProposer(_AcceptanceMixin):
+    """Draft-model-free speculation: prompt-lookup (n-gram) proposals.
+
+    Searches the lane's own token history (prompt + generated output) for
+    the most recent earlier occurrence of the current `max_match`-token
+    suffix (falling back to shorter suffixes down to `min_match`) and
+    proposes the `gamma` tokens that followed it — strong on extractive /
+    repetitive continuations (summarization, code edits, retrieval-heavy
+    prompts), and harmless when wrong: the target's verify pass costs the
+    same either way, greedy lanes stay token-identical to plain decoding,
+    and sampled lanes keep the exact target-sampling law (one-hot q in the
+    acceptance rule — see `_one_hot_logits`).
+
+    The engine-facing surface mirrors `SpecDecoder` (same propose/verify/
+    accept cycle against the target's `verify_step`) but there is NO draft
+    model and NO draft KV cache: bookkeeping hooks are vacuous and `table`
+    is an all-zeros placeholder the tick packs without reading. Analogous
+    in spirit to the reference's history-driven speculation
+    (`speculative_prefetcher.cpp:25-82`) — here the history IS the model.
+    """
+
+    has_draft_model = False
+
+    def __init__(self, target_kvc, vocab_size: int, gamma: int = 4,
+                 max_match: int = 3, min_match: int = 1):
+        if max_match < min_match or min_match < 1:
+            raise ValueError("need max_match >= min_match >= 1")
+        self.gamma = gamma
+        self.vocab = vocab_size
+        self.max_match = max_match
+        self.min_match = min_match
+        self.guard_slot = 0
+        tab = target_kvc.pool.table
+        self.table = np.zeros((tab.max_seqs, tab.max_blocks_per_seq),
+                              np.int32)
+        self.stats = SpecStatistics()
+        self._draft_logits = None
+
+    # no draft cache: bookkeeping hooks are vacuous
+    def sync_seq(self, seq_slot: int) -> None:
+        pass
+
+    def on_free_seq(self, seq_slot: int, bids: list[int]) -> None:
+        pass
+
+    def retire_blocks(self, seq_slot: int, freed: list[tuple[int, int]]) -> None:
+        pass
+
+    def prefill(self, *args, **kwargs) -> None:
+        pass
+
+    def prefill_batch(self, *args, **kwargs) -> None:
+        pass
+
+    def lookup(self, hist: list[int]) -> list[int]:
+        """Longest-suffix prompt lookup: the continuation (<= gamma tokens)
+        of the most recent earlier occurrence of the history's suffix, or
+        [] when no suffix of length in [min_match, max_match] recurs."""
+        n = len(hist)
+        if n < self.min_match + 1:
+            return []
+        arr = np.asarray(hist, np.int32)
+        for m in range(min(self.max_match, n - 1), self.min_match - 1, -1):
+            suffix = arr[n - m:]
+            num = n - m  # candidate windows [0, n-m); the suffix itself excluded
+            idx = np.arange(num)[:, None] + np.arange(m)[None, :]
+            starts = np.nonzero((arr[idx] == suffix).all(axis=1))[0]
+            if starts.size == 0:
                 continue
-            j = int(n_acc[b])
-            emitted.append([int(x) for x in drafts[b, :j]] + [int(final[b])])
-            self.stats.accepted += j
-            self.stats.bonus += 1
-        self.stats.rounds += 1
-        return emitted, n_acc
+            s = int(starts[-1])  # most recent occurrence wins
+            cont = arr[s + m: s + m + self.gamma]
+            return cont.tolist()
+        return []
 
-    def accept_greedy(self, drafts: np.ndarray, target_logits: np.ndarray,
-                      active: np.ndarray) -> tuple[list[list[int]], np.ndarray]:
-        """Greedy acceptance on host logits (kept for tests/tools; the
-        engine path is `accept`)."""
-        B, T, _ = target_logits.shape
-        target_pred = target_logits.argmax(-1)  # [B, T]
-        emitted: list[list[int]] = []
-        n_acc = np.zeros(B, np.int32)
-        for b in range(B):
-            if not active[b]:
-                emitted.append([])
+    def propose(self, last_tokens: np.ndarray, positions: np.ndarray,
+                tables: np.ndarray, active: np.ndarray,
+                temps: np.ndarray | None = None,
+                top_ps: np.ndarray | None = None,
+                rng_counter: int = 0,
+                histories: list[list[int]] | None = None) -> np.ndarray:
+        """Pure host-side proposal (no device dispatch). Lanes whose lookup
+        misses draft a repeat of their last token — the verify pass costs
+        the same and the mismatch correction still emits one true token."""
+        B = last_tokens.shape[0]
+        drafts = np.tile(np.asarray(last_tokens, np.int32)[:, None],
+                         (1, self.gamma))
+        for i in range(B):
+            if not active[i] or histories is None or i >= len(histories):
                 continue
-            out = []
-            j = 0
-            while j < self.gamma and target_pred[b, j] == drafts[b, j]:
-                out.append(int(drafts[b, j]))
-                j += 1
-            # correction (on mismatch) or bonus (all accepted) token
-            out.append(int(target_pred[b, j]))
-            n_acc[b] = j
-            self.stats.accepted += j
-            self.stats.bonus += 1
-            emitted.append(out)
-        self.stats.rounds += 1
-        return emitted, n_acc
-
-    def get_statistics(self) -> SpecStatistics:
-        return self.stats
-
-    def reset_statistics(self) -> None:
-        self.stats.reset()
+            got = self.lookup(histories[i])
+            if got:
+                drafts[i, : len(got)] = got
+        self._draft_logits = _one_hot_logits(jnp.asarray(drafts),
+                                             vocab=self.vocab)
+        self.stats.drafted += int(np.asarray(active).sum()) * self.gamma
+        return drafts

@@ -1,0 +1,205 @@
+"""Prompt-lookup (n-gram) speculative decoding tests.
+
+Same decisive invariant as draft-model speculation: the proposer only
+affects speed, never output. Greedy n-gram speculation is token-identical
+to plain greedy decoding; sampled lanes keep the exact target-sampling law
+because the deterministic proposal enters the acceptance rule as a one-hot
+q (accept w.p. p(t_j), residual = p excluding t_j).
+"""
+
+import jax
+import numpy as np
+
+from cxl_speckv_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    KVDtype,
+    PrefetchConfig,
+    SystemConfig,
+)
+from cxl_speckv_tpu.engine.engine import Engine
+from cxl_speckv_tpu.engine.spec import NgramProposer
+from cxl_speckv_tpu.models.configs import tiny_test_config
+from cxl_speckv_tpu.models.llama import init_params
+
+CFG = tiny_test_config()
+PARAMS = init_params(CFG, jax.random.PRNGKey(42))
+
+
+def make_engine(ngram=False, hbm_blocks=256, gamma=3, seed=0):
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=hbm_blocks,
+                          num_host_blocks=256, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(depth=2),
+        engine=EngineConfig(max_batch_size=4, max_seq_len=128, prefill_chunk=32),
+    )
+    return Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False,
+                  seed=seed, spec_ngram=ngram, spec_gamma=gamma)
+
+
+def prompts(n, rng_seed=0):
+    rng = np.random.RandomState(rng_seed)
+    return [rng.randint(1, CFG.vocab_size, rng.randint(5, 18)).tolist()
+            for _ in range(n)]
+
+
+def run_all(eng, reqs, temperature=0.0, top_p=1.0, mnt=24):
+    ids = [eng.add_request(p, max_new_tokens=mnt, temperature=temperature,
+                           top_p=top_p) for p in reqs]
+    outs = {o.req_id: o for o in eng.run()}
+    return [outs[i].tokens for i in ids]
+
+
+# -- proposer unit behavior ---------------------------------------------------
+
+def test_lookup_finds_most_recent_continuation():
+    eng = make_engine(ngram=True, gamma=3)
+    p = eng.spec
+    #         0  1  2  3  4  5  6  7  8  9 10 11
+    hist = [5, 6, 7, 1, 2, 3, 5, 6, 7, 9, 5, 6, 7]
+    # suffix (5,6,7) occurred at 0 (-> cont 1,2,3) and 6 (-> cont 9,5,6);
+    # the MOST RECENT earlier occurrence wins
+    assert p.lookup(hist) == [9, 5, 6]
+
+
+def test_lookup_falls_back_to_shorter_suffix():
+    eng = make_engine(ngram=True, gamma=3)
+    p = eng.spec
+    # trigram suffix (8, 2, 4) never recurs; bigram (2, 4) doesn't either;
+    # unigram 4 occurred at index 1 -> continuation (7, 2, 4)
+    hist = [3, 4, 7, 2, 4, 1, 8, 2, 4]
+    # wait: bigram (2, 4) occurs at index 3 -> cont from 5: (1, 8, 2)
+    assert p.lookup(hist) == [1, 8, 2]
+
+
+def test_lookup_no_match_returns_empty():
+    eng = make_engine(ngram=True, gamma=3)
+    assert eng.spec.lookup([1, 2, 3, 4, 5]) == []
+    assert eng.spec.lookup([7]) == []
+
+
+def test_lookup_continuation_clipped_to_gamma():
+    eng = make_engine(ngram=True, gamma=3)
+    hist = [1, 2, 9, 8, 7, 6, 1, 2]
+    assert eng.spec.lookup(hist) == [9, 8, 7]
+
+
+# -- acceptance math with one-hot q -------------------------------------------
+
+def test_one_hot_acceptance_greedy_prefix_rule():
+    """When the target's argmax agrees with the first k drafts, exactly k
+    are accepted and the correction token is the target argmax at k."""
+    eng = make_engine(ngram=True, gamma=3)
+    p = eng.spec
+    V = 32
+    drafts = np.array([[4, 5, 6]], np.int32)
+    tl = np.full((1, 4, V), -10.0, np.float32)
+    tl[0, 0, 4] = 10.0   # agrees with draft 0
+    tl[0, 1, 5] = 10.0   # agrees with draft 1
+    tl[0, 2, 9] = 10.0   # disagrees with draft 2 (6)
+    tl[0, 3, 7] = 10.0
+    p._draft_logits = jax.numpy.asarray(
+        jax.nn.one_hot(drafts, V) * 1e4)
+    emitted, n_acc = p.accept(drafts, jax.numpy.asarray(tl),
+                              np.array([True]), np.zeros(1, np.float32),
+                              np.array([1, 2], np.uint32))
+    assert int(n_acc[0]) == 2
+    assert emitted[0] == [4, 5, 9]
+
+
+def test_one_hot_acceptance_sampled_law():
+    """With temperature > 0 and a one-hot q: P[emit t_j first] must equal
+    p(t_j) and rejected mass must follow the residual p-without-t_j."""
+    eng = make_engine(ngram=True, gamma=1)
+    p = eng.spec
+    V = 8
+    B = 4000
+    drafts = np.zeros((B, 1), np.int32)  # always propose token 0
+    # target p at the drafted position: p(0)=0.3, p(1)=0.5, p(2)=0.2
+    probs = np.array([0.3, 0.5, 0.2] + [0.0] * (V - 3), np.float32)
+    tl = np.log(np.tile(probs[None, None, :], (B, 2, 1)) + 1e-9)
+    p._draft_logits = jax.numpy.asarray(jax.nn.one_hot(drafts, V) * 1e4)
+    p.gamma = 1
+    emitted, n_acc = p.accept(
+        drafts, jax.numpy.asarray(tl), np.ones(B, bool),
+        np.ones(B, np.float32), np.array([3, 4], np.uint32))
+    first = np.array([e[0] for e in emitted])
+    freq = np.bincount(first, minlength=V) / B
+    # emitted law == plain target sampling (TV distance small at B=4000)
+    assert abs(freq[0] - 0.3) < 0.04
+    assert abs(freq[1] - 0.5) < 0.04
+    assert abs(freq[2] - 0.2) < 0.04
+    # acceptance rate of the deterministic proposal == p(draft) = 0.3
+    assert abs(np.mean(n_acc) - 0.3) < 0.04
+
+
+# -- engine identity invariants -----------------------------------------------
+
+def test_ngram_spec_matches_plain_greedy():
+    plain = make_engine(ngram=False)
+    want = run_all(plain, prompts(6))
+    spec = make_engine(ngram=True, gamma=3)
+    got = run_all(spec, prompts(6))
+    assert got == want
+    st = spec.get_statistics()["spec"]
+    assert st["rounds"] > 0 and st["drafted"] > 0
+
+
+def test_ngram_spec_with_oversubscription():
+    """n-gram speculation + tiering together: still token-identical."""
+    plain = make_engine(ngram=False, hbm_blocks=256)
+    want = run_all(plain, prompts(6, rng_seed=3), mnt=8)
+    tight = make_engine(ngram=True, hbm_blocks=14, gamma=3)
+    got = run_all(tight, prompts(6, rng_seed=3), mnt=8)
+    assert got == want
+    stats = tight.get_statistics()
+    assert stats["transfer"]["up_transfers"] > 0
+
+
+def test_ngram_spec_repetitive_prompt_accepts():
+    """A strongly periodic prompt: generation falls into the cycle and the
+    lookup proposals get accepted (the speedup case)."""
+    eng = make_engine(ngram=True, gamma=3)
+    # force the model into repetition via a long exactly-periodic prompt
+    period = [11, 23, 37, 41]
+    p = (period * 8)[:30]
+    ids = [eng.add_request(p, max_new_tokens=16)]
+    outs = {o.req_id: o for o in eng.run()}
+    toks = outs[ids[0]].tokens
+    plain = make_engine(ngram=False)
+    pid = plain.add_request(p, max_new_tokens=16)
+    want = {o.req_id: o for o in plain.run()}[pid].tokens
+    assert toks == want  # identity holds regardless of acceptance
+    # acceptance statistic exists (may be 0 for a non-repeating model
+    # continuation; the law is pinned by the sampled test above)
+    st = eng.get_statistics()["spec"]
+    assert st["drafted"] >= 16
+
+
+def test_ngram_sampled_tiny_top_p_collapses_to_greedy():
+    """top_p -> 0 collapses nucleus p and one-hot q to the argmax, so
+    sampled n-gram serving degenerates to exactly greedy output."""
+    plain = make_engine(ngram=False)
+    want = run_all(plain, prompts(4, rng_seed=9))
+    spec = make_engine(ngram=True, gamma=3, seed=5)
+    got = run_all(spec, prompts(4, rng_seed=9), temperature=0.7, top_p=1e-3)
+    assert got == want
+
+
+def test_ngram_and_draft_config_mutually_exclusive():
+    from cxl_speckv_tpu.models.configs import LlamaConfig
+    import pytest
+
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=32,
+                          num_host_blocks=32, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(depth=2),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=64),
+    )
+    dc = LlamaConfig(vocab_size=CFG.vocab_size, hidden_size=32,
+                     intermediate_size=64, num_layers=1, num_q_heads=2,
+                     num_kv_heads=2, head_dim=16, tie_embeddings=False,
+                     max_seq_len=64, eos_token_id=0, dtype="float32")
+    with pytest.raises(ValueError):
+        Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False,
+               spec_ngram=True, draft_config=dc)
