@@ -30,6 +30,14 @@ class Request:
     temperature: float = 0.0     # 0 = greedy
     top_p: float = 1.0           # nucleus sampling mass; >= 1 or <= 0 = off
     eos_token_id: int | None = None  # overrides engine default if set
+    # extra finish conditions (finish_reason "stop"): single token ids that
+    # end generation like EOS (the token stays in the output), and
+    # multi-token sequences with OpenAI stop-string semantics (the matched
+    # suffix is excluded from the RETURNED tokens; it stays in `output` so
+    # session history keeps matching the KV the engine already wrote)
+    stop_token_ids: list[int] = field(default_factory=list)
+    stop_sequences: list[list[int]] = field(default_factory=list)
+    stop_trim: int = 0           # trailing tokens to drop from the result
     # session requests keep their KV allocated after finishing (demotable to
     # the host tier) so follow-up turns restore context instead of
     # re-prefilling — the reference's core serving pattern: per-request KV

@@ -12,9 +12,13 @@ dependencies to gate on.
 Endpoints:
 
 - `POST /v1/completions` — body `{"prompt": [token ids] | "text",
-  "max_tokens": N, "temperature": t, "top_p": p, "stream": bool}`.
-  String prompts require the server to be constructed with a tokenizer
-  (`encode`/`decode` callables, e.g. a HF tokenizer). With
+  "max_tokens": N, "temperature": t, "top_p": p, "stream": bool,
+  "stop": "str" | ["strs"], "stop_token_ids": [ids],
+  "stop_sequences": [[ids]]}`.
+  String prompts and string `stop` entries require the server to be
+  constructed with a tokenizer (`encode`/`decode` callables, e.g. a HF
+  tokenizer). Matched stop sequences are excluded from the returned
+  tokens (OpenAI semantics); stop token ids finish like EOS. With
   `"stream": true` the response is SSE: one `data: {"tokens": [...]}`
   chunk per new-token group, then `data: [DONE]`.
 - `GET /v1/stats` — the full `Engine.get_statistics()` JSON (hit rates,
@@ -51,11 +55,14 @@ class ServingLoop:
         self._thread.start()
 
     def submit(self, prompt, max_new_tokens: int, temperature: float,
-               top_p: float) -> tuple[int, threading.Event]:
+               top_p: float, stop_token_ids=None,
+               stop_sequences=None) -> tuple[int, threading.Event]:
         with self._cv:
             rid = self.engine.add_request(
                 prompt, max_new_tokens=max_new_tokens,
-                temperature=temperature, top_p=top_p)
+                temperature=temperature, top_p=top_p,
+                stop_token_ids=stop_token_ids,
+                stop_sequences=stop_sequences)
             ev = threading.Event()
             self._events[rid] = ev
             self._cv.notify()
@@ -151,17 +158,38 @@ class _Handler(BaseHTTPRequestHandler):
             temperature = float(body.get("temperature", 0.0))
             top_p = float(body.get("top_p", 1.0))
             stream = bool(body.get("stream", False))
+            stop_token_ids = body.get("stop_token_ids") or []
+            # OpenAI "stop": string or list of strings (<= 4), excluded
+            # from the returned text; needs the tokenizer to become token
+            # sequences. Token-id clients can send "stop_sequences" (lists
+            # of ids) directly.
+            stop_sequences = [list(s) for s in body.get("stop_sequences") or []]
+            stop = body.get("stop")
+            if stop is not None:
+                if isinstance(stop, str):
+                    stop = [stop]
+                if self.tokenizer is None:
+                    raise ValueError("string stop sequences need a "
+                                     "tokenizer; send stop_sequences ids")
+                stop_sequences += [list(self.tokenizer.encode(s))
+                                   for s in stop]
         except (ValueError, TypeError, json.JSONDecodeError) as e:
             self._error(400, str(e))
             return
 
         try:
-            rid, ev = self.loop.submit(prompt, max_tokens, temperature, top_p)
+            rid, ev = self.loop.submit(prompt, max_tokens, temperature, top_p,
+                                       stop_token_ids=stop_token_ids,
+                                       stop_sequences=stop_sequences)
         except ValueError as e:   # over-capacity etc. — the engine's probes
             self._error(400, str(e))
             return
         if stream:
-            self._stream(rid, ev)
+            # a matched stop sequence is trimmed from the final result, so
+            # interim SSE chunks hold back the longest-match-minus-one tail
+            # (never emitted tokens the finish could retract)
+            holdback = max((len(s) for s in stop_sequences), default=1) - 1
+            self._stream(rid, ev, holdback=holdback)
         else:
             out = self.loop.result(rid, ev, timeout=600)
             if out is None:
@@ -178,7 +206,8 @@ class _Handler(BaseHTTPRequestHandler):
             d["text"] = self.tokenizer.decode(out.tokens)
         return d
 
-    def _stream(self, rid: int, ev: threading.Event) -> None:
+    def _stream(self, rid: int, ev: threading.Event,
+                holdback: int = 0) -> None:
         self.send_response(200)
         self.send_header("Content-Type", "text/event-stream")
         self.send_header("Cache-Control", "no-cache")
@@ -190,6 +219,8 @@ class _Handler(BaseHTTPRequestHandler):
         while time.monotonic() < deadline:
             done = ev.wait(0.02)
             toks = self.loop.tokens_so_far(rid)
+            if holdback and not done:
+                toks = toks[: max(0, len(toks) - holdback)]
             if done:
                 # the finished request may already be retired from the
                 # engine's table; the authoritative output is the result
