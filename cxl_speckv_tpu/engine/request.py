@@ -38,6 +38,7 @@ class Request:
     stop_token_ids: list[int] = field(default_factory=list)
     stop_sequences: list[list[int]] = field(default_factory=list)
     stop_trim: int = 0           # trailing tokens to drop from the result
+    ignore_eos: bool = False     # benchmark knob: never finish on EOS
     # session requests keep their KV allocated after finishing (demotable to
     # the host tier) so follow-up turns restore context instead of
     # re-prefilling — the reference's core serving pattern: per-request KV

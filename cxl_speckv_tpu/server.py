@@ -14,7 +14,9 @@ Endpoints:
 - `POST /v1/completions` — body `{"prompt": [token ids] | "text",
   "max_tokens": N, "temperature": t, "top_p": p, "stream": bool,
   "stop": "str" | ["strs"], "stop_token_ids": [ids],
-  "stop_sequences": [[ids]]}`.
+  "stop_sequences": [[ids]], "ignore_eos": bool}`.
+  A client that disconnects mid-stream cancels its request (the engine
+  stops generating and frees the KV).
   String prompts and string `stop` entries require the server to be
   constructed with a tokenizer (`encode`/`decode` callables, e.g. a HF
   tokenizer). Matched stop sequences are excluded from the returned
@@ -29,6 +31,8 @@ Endpoints:
 from __future__ import annotations
 
 import json
+import select
+import socket
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -48,6 +52,7 @@ class ServingLoop:
         self._cv = threading.Condition()
         self._done: dict[int, EngineOutput] = {}
         self._events: dict[int, threading.Event] = {}
+        self._aborts: set[int] = set()
         self._stop = False
         self._idle_poll_s = idle_poll_s
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -56,22 +61,33 @@ class ServingLoop:
 
     def submit(self, prompt, max_new_tokens: int, temperature: float,
                top_p: float, stop_token_ids=None,
-               stop_sequences=None) -> tuple[int, threading.Event]:
+               stop_sequences=None,
+               ignore_eos: bool = False) -> tuple[int, threading.Event]:
         with self._cv:
             rid = self.engine.add_request(
                 prompt, max_new_tokens=max_new_tokens,
                 temperature=temperature, top_p=top_p,
                 stop_token_ids=stop_token_ids,
-                stop_sequences=stop_sequences)
+                stop_sequences=stop_sequences,
+                ignore_eos=ignore_eos)
             ev = threading.Event()
             self._events[rid] = ev
             self._cv.notify()
         return rid, ev
 
+    def cancel(self, rid: int) -> None:
+        """Abort a request (client went away). Lock-free: sets a flag the
+        loop thread drains before its next step — taking the loop lock here
+        could convoy behind a continuously-stepping loop."""
+        self._aborts.add(rid)
+
     def tokens_so_far(self, rid: int) -> list[int]:
-        with self._cv:
-            req = self.engine._requests.get(rid)
-            return list(req.output) if req is not None else []
+        # lock-free snapshot: the engine thread only ever APPENDS to
+        # req.output, and list() under the GIL yields a consistent prefix —
+        # taking the loop lock here would starve streaming handlers while
+        # the loop steps continuously
+        req = self.engine._requests.get(rid)
+        return list(req.output) if req is not None else []
 
     def result(self, rid: int, ev: threading.Event,
                timeout: float | None = None) -> EngineOutput | None:
@@ -95,6 +111,11 @@ class ServingLoop:
             with self._cv:
                 if self._stop:
                     return
+                while self._aborts:
+                    rid = self._aborts.pop()
+                    self.engine.cancel(rid)
+                    self._events.pop(rid, None)
+                    self._done.pop(rid, None)
                 if not self.engine.has_work:
                     self._cv.wait(self._idle_poll_s)
                     continue
@@ -158,6 +179,7 @@ class _Handler(BaseHTTPRequestHandler):
             temperature = float(body.get("temperature", 0.0))
             top_p = float(body.get("top_p", 1.0))
             stream = bool(body.get("stream", False))
+            ignore_eos = bool(body.get("ignore_eos", False))
             stop_token_ids = body.get("stop_token_ids") or []
             # OpenAI "stop": string or list of strings (<= 4), excluded
             # from the returned text; needs the tokenizer to become token
@@ -180,7 +202,8 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             rid, ev = self.loop.submit(prompt, max_tokens, temperature, top_p,
                                        stop_token_ids=stop_token_ids,
-                                       stop_sequences=stop_sequences)
+                                       stop_sequences=stop_sequences,
+                                       ignore_eos=ignore_eos)
         except ValueError as e:   # over-capacity etc. — the engine's probes
             self._error(400, str(e))
             return
@@ -216,28 +239,41 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         sent = 0
         deadline = time.monotonic() + 600
-        while time.monotonic() < deadline:
-            done = ev.wait(0.02)
-            toks = self.loop.tokens_so_far(rid)
-            if holdback and not done:
-                toks = toks[: max(0, len(toks) - holdback)]
-            if done:
-                # the finished request may already be retired from the
-                # engine's table; the authoritative output is the result
-                out = self.loop.result(rid, ev)
-                toks = out.tokens
-            if len(toks) > sent:
-                chunk = {"tokens": toks[sent:]}
-                if self.tokenizer is not None:
-                    chunk["text"] = self.tokenizer.decode(toks[sent:])
-                self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
-                self.wfile.flush()
-                sent = len(toks)
-            if done:
-                self.wfile.write(b"data: [DONE]\n\n")
-                self.wfile.flush()
-                return
-        self.wfile.write(b"data: [TIMEOUT]\n\n")
+        try:
+            while time.monotonic() < deadline:
+                done = ev.wait(0.02)
+                # active disconnect probe: an SSE client never sends more
+                # data on this connection (response is Connection: close),
+                # so a readable socket returning EOF means it went away —
+                # detect it NOW instead of waiting for a write to fail
+                r, _, _ = select.select([self.connection], [], [], 0)
+                if r and not self.connection.recv(1, socket.MSG_PEEK):
+                    raise BrokenPipeError
+                toks = self.loop.tokens_so_far(rid)
+                if holdback and not done:
+                    toks = toks[: max(0, len(toks) - holdback)]
+                if done:
+                    # the finished request may already be retired from the
+                    # engine's table; the authoritative output is the result
+                    out = self.loop.result(rid, ev)
+                    toks = out.tokens
+                if len(toks) > sent:
+                    chunk = {"tokens": toks[sent:]}
+                    if self.tokenizer is not None:
+                        chunk["text"] = self.tokenizer.decode(toks[sent:])
+                    self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                    self.wfile.flush()
+                    sent = len(toks)
+                if done:
+                    self.wfile.write(b"data: [DONE]\n\n")
+                    self.wfile.flush()
+                    return
+            self.wfile.write(b"data: [TIMEOUT]\n\n")
+        except (BrokenPipeError, ConnectionResetError):
+            # client went away mid-stream: withdraw the request so the
+            # engine stops generating (and frees its KV) instead of
+            # finishing a reply nobody reads
+            self.loop.cancel(rid)
 
 
 class SpeckvServer:
