@@ -39,6 +39,13 @@ class Request:
     stop_sequences: list[list[int]] = field(default_factory=list)
     stop_trim: int = 0           # trailing tokens to drop from the result
     ignore_eos: bool = False     # benchmark knob: never finish on EOS
+    # number of top alternative logprobs to return per generated token
+    # (0 = off). Entries land in logprobs_data, one dict per output token:
+    # {"logprob": chosen, "top_ids": [...], "top_logprobs": [...]} — raw
+    # model distribution (log_softmax before temperature/top-p), OpenAI
+    # semantics.
+    logprobs: int = 0
+    logprobs_data: list = field(default_factory=list)
     # session requests keep their KV allocated after finishing (demotable to
     # the host tier) so follow-up turns restore context instead of
     # re-prefilling — the reference's core serving pattern: per-request KV

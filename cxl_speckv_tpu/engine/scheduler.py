@@ -217,6 +217,7 @@ class Scheduler:
         victim.seq_slot = -1
         victim.prefill_pos = 0
         victim.output.clear()
+        victim.logprobs_data.clear()
         # latency bookkeeping restarts with the request: mixing
         # pre-preemption timestamps with post-restart tokens would corrupt
         # the TTFT/TPOT metrics the benchmark reports

@@ -508,10 +508,27 @@ def decode_step(
                         seq_lens, use_pallas)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def token_logprobs(logits: jax.Array, toks: jax.Array, *, k: int):
+    """Standalone jitted `_token_logprobs` (single-token decode path)."""
+    return _token_logprobs(logits, toks, k)
+
+
+def _token_logprobs(logits: jax.Array, toks: jax.Array, k: int):
+    """Raw-distribution logprobs (OpenAI semantics: log_softmax of the
+    model logits BEFORE temperature/top-p transforms): the chosen token's
+    logprob plus the top-k alternatives (ids + logprobs)."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    chosen = jnp.take_along_axis(
+        lp, toks[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    tv, ti = jax.lax.top_k(lp, k)
+    return chosen, ti.astype(jnp.int32), tv
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
-                     "return_logits"),
+                     "return_logits", "logprobs_k"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def decode_multi(
@@ -533,6 +550,7 @@ def decode_multi(
     use_pallas: bool = False,
     top_k: int = 0,
     return_logits: bool = False,
+    logprobs_k: int = 0,
 ) -> tuple:
     """`horizon` decode steps fused into one device program — sampling
     happens in-graph, so one dispatch emits `horizon` tokens per lane.
@@ -548,7 +566,10 @@ def decode_multi(
     where tokens[:, j] was sampled after feeding the j-th token. With
     return_logits, the per-step logits [B, horizon, V] are appended — the
     draft-proposal distributions that speculative sampling's acceptance
-    rule needs (`engine/spec.py`).
+    rule needs (`engine/spec.py`). With logprobs_k > 0, three arrays are
+    appended instead: chosen-token logprobs [B, horizon] and the top-k
+    alternative ids/logprobs [B, horizon, k] (raw-distribution, see
+    `_token_logprobs`).
     """
     from cxl_speckv_tpu.engine.sampling import sample_tokens
 
@@ -561,23 +582,26 @@ def decode_multi(
         key, sub = jax.random.split(key)
         nxt = sample_tokens(logits, temperatures, sub, top_k,
                             top_ps=top_ps).astype(jnp.int32)
-        ys = (nxt, logits) if return_logits else nxt
-        return (nxt, kp, vp, ks, vs, key), ys
+        ys = [nxt]
+        if logprobs_k:
+            ys += list(_token_logprobs(logits, nxt, logprobs_k))
+        if return_logits:
+            ys.append(logits)
+        return (nxt, kp, vp, ks, vs, key), tuple(ys)
 
     (_, k_pools, v_pools, k_scales, v_scales, _), ys = jax.lax.scan(
         step, (first_tokens, k_pools, v_pools, k_scales, v_scales, key),
         jnp.arange(horizon))
-    if return_logits:
-        toks, logits = ys
-        return (toks.T, k_pools, v_pools, k_scales, v_scales,
-                logits.swapaxes(0, 1))
-    return ys.T, k_pools, v_pools, k_scales, v_scales
+    # scan stacks on axis 0 (the horizon); callers want batch-major
+    out = [ys[0].T, k_pools, v_pools, k_scales, v_scales]
+    out += [y.swapaxes(0, 1) for y in ys[1:]]
+    return tuple(out)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
-                     "rng_seed", "return_logits"),
+                     "rng_seed", "return_logits", "logprobs_k"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def decode_multi_packed(
@@ -598,6 +622,7 @@ def decode_multi_packed(
     top_k: int = 0,
     rng_seed: int = 0,
     return_logits: bool = False,
+    logprobs_k: int = 0,
 ) -> tuple:
     """`decode_multi` with all per-round host inputs packed into ONE array —
     a single host->device transfer per engine round. On remote-dispatch
@@ -615,13 +640,13 @@ def decode_multi_packed(
         params, config, kv_dtype, first_tokens, start_positions,
         k_pools, v_pools, k_scales, v_scales, block_table, key, temperatures,
         top_ps, horizon=horizon, use_pallas=use_pallas, top_k=top_k,
-        return_logits=return_logits)
+        return_logits=return_logits, logprobs_k=logprobs_k)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed",
-                     "use_pallas"),
+                     "use_pallas", "logprobs_k"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def prefill_batch_packed(
@@ -640,13 +665,16 @@ def prefill_batch_packed(
     max_blocks: int,
     rng_seed: int = 0,
     use_pallas: bool = False,
+    logprobs_k: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Batched chunked prefill: every prefilling lane's chunk runs in ONE
     device program (causal within the chunk + streamed quantized pool
     context), with each lane's next token sampled in-graph.
 
     Returns (tokens [B], pools). Inactive lanes (valid_len 0) scatter to the
-    guard slot and their token is meaningless.
+    guard slot and their token is meaningless. With logprobs_k > 0,
+    appends chosen-token logprobs [B] and top-k ids/logprobs [B, k]
+    (raw-distribution — `_token_logprobs`) for the sampled first token.
     """
     from cxl_speckv_tpu.engine.sampling import sample_tokens
     from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
@@ -742,6 +770,9 @@ def prefill_batch_packed(
     x_last = _norm(x_last, params["final_norm"], c)
     logits = _final_logits(x_last, params, c)             # [B, V]
     toks = sample_tokens(logits, temps, key, top_ps=top_ps).astype(jnp.int32)
+    if logprobs_k:
+        chosen, ids, vals = _token_logprobs(logits, toks, logprobs_k)
+        return toks, k_pools, v_pools, k_scales, v_scales, chosen, ids, vals
     return toks, k_pools, v_pools, k_scales, v_scales
 
 

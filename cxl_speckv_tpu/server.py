@@ -61,15 +61,15 @@ class ServingLoop:
 
     def submit(self, prompt, max_new_tokens: int, temperature: float,
                top_p: float, stop_token_ids=None,
-               stop_sequences=None,
-               ignore_eos: bool = False) -> tuple[int, threading.Event]:
+               stop_sequences=None, ignore_eos: bool = False,
+               logprobs: int = 0) -> tuple[int, threading.Event]:
         with self._cv:
             rid = self.engine.add_request(
                 prompt, max_new_tokens=max_new_tokens,
                 temperature=temperature, top_p=top_p,
                 stop_token_ids=stop_token_ids,
                 stop_sequences=stop_sequences,
-                ignore_eos=ignore_eos)
+                ignore_eos=ignore_eos, logprobs=logprobs)
             ev = threading.Event()
             self._events[rid] = ev
             self._cv.notify()
@@ -180,6 +180,7 @@ class _Handler(BaseHTTPRequestHandler):
             top_p = float(body.get("top_p", 1.0))
             stream = bool(body.get("stream", False))
             ignore_eos = bool(body.get("ignore_eos", False))
+            logprobs = int(body.get("logprobs") or 0)
             stop_token_ids = body.get("stop_token_ids") or []
             # OpenAI "stop": string or list of strings (<= 4), excluded
             # from the returned text; needs the tokenizer to become token
@@ -203,7 +204,8 @@ class _Handler(BaseHTTPRequestHandler):
             rid, ev = self.loop.submit(prompt, max_tokens, temperature, top_p,
                                        stop_token_ids=stop_token_ids,
                                        stop_sequences=stop_sequences,
-                                       ignore_eos=ignore_eos)
+                                       ignore_eos=ignore_eos,
+                                       logprobs=logprobs)
         except ValueError as e:   # over-capacity etc. — the engine's probes
             self._error(400, str(e))
             return
@@ -225,6 +227,12 @@ class _Handler(BaseHTTPRequestHandler):
              "tokens": out.tokens, "finish_reason": out.finish_reason,
              "usage": {"completion_tokens": len(out.tokens)},
              "ttft_ms": out.ttft_ms, "tpot_ms": out.tpot_ms}
+        if out.logprobs is not None:
+            d["logprobs"] = {
+                "token_logprobs": [e["logprob"] for e in out.logprobs],
+                "top_ids": [e["top_ids"] for e in out.logprobs],
+                "top_logprobs": [e["top_logprobs"] for e in out.logprobs],
+            }
         if self.tokenizer is not None:
             d["text"] = self.tokenizer.decode(out.tokens)
         return d

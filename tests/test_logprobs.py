@@ -1,0 +1,131 @@
+"""Per-token logprobs (OpenAI semantics: log_softmax of the raw model
+logits, before temperature/top-p transforms) through prefill, single-token
+decode, and fused multi-token decode — validated against forward_dense."""
+
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cxl_speckv_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    KVDtype,
+    PrefetchConfig,
+    SystemConfig,
+)
+from cxl_speckv_tpu.engine.engine import Engine
+from cxl_speckv_tpu.models.configs import tiny_test_config
+from cxl_speckv_tpu.models.llama import forward_dense, init_params
+
+CFG = tiny_test_config()
+PARAMS = init_params(CFG, jax.random.PRNGKey(42))
+
+
+def make_engine(horizon=1, kv=KVDtype.BF16, seed=0):
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=256,
+                          num_host_blocks=256, kv_dtype=kv),
+        prefetch=PrefetchConfig(depth=2),
+        engine=EngineConfig(max_batch_size=4, max_seq_len=128,
+                            prefill_chunk=32, decode_horizon=horizon),
+    )
+    return Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False,
+                  seed=seed)
+
+
+def prompt(seed=0, n=10):
+    rng = np.random.RandomState(seed)
+    return rng.randint(1, CFG.vocab_size, n).tolist()
+
+
+def dense_logprob(tokens_all, pos):
+    """log_softmax of the dense forward's logits at `pos` (predicting
+    tokens_all[pos+1])."""
+    logits = forward_dense(PARAMS, CFG, jnp.asarray([tokens_all]))
+    return np.asarray(jax.nn.log_softmax(logits[0, pos].astype(jnp.float32)))
+
+
+def run_one(eng, p, **kw):
+    rid = eng.add_request(p, **kw)
+    return {o.req_id: o for o in eng.run()}[rid]
+
+
+@pytest.mark.parametrize("horizon", [1, 4])
+def test_greedy_logprobs_match_dense(horizon):
+    p = prompt()
+    out = run_one(make_engine(horizon=horizon), p, max_new_tokens=6,
+                  logprobs=3)
+    assert out.logprobs is not None and len(out.logprobs) == len(out.tokens)
+    full = p + out.tokens
+    for j, (tok, e) in enumerate(zip(out.tokens, out.logprobs)):
+        assert len(e["top_ids"]) == 3 and len(e["top_logprobs"]) == 3
+        # greedy picks the argmax, so the chosen token IS top-1
+        assert e["top_ids"][0] == tok
+        assert e["top_logprobs"][0] == pytest.approx(e["logprob"], abs=1e-6)
+        # top logprobs sorted descending
+        assert e["top_logprobs"] == sorted(e["top_logprobs"], reverse=True)
+        # raw-distribution value matches the dense forward (bf16 KV is the
+        # near-lossless pool encoding; decode-path numerics differ slightly)
+        dl = dense_logprob(full, len(p) + j - 1)
+        assert e["logprob"] == pytest.approx(float(dl[tok]), abs=2e-2)
+
+
+def test_logprob_entries_align_with_stop_trim():
+    p = prompt(1)
+    ref = run_one(make_engine(), p, max_new_tokens=10)
+    seq = ref.tokens[3:5]
+    out = run_one(make_engine(), p, max_new_tokens=10, logprobs=2,
+                  stop_sequences=[seq])
+    assert out.finish_reason == "stop"
+    assert len(out.logprobs) == len(out.tokens)
+
+
+def test_sampled_logprobs_are_raw_distribution():
+    """With temperature, the chosen token need not be top-1, but its raw
+    logprob must still match the dense distribution."""
+    p = prompt(2)
+    out = run_one(make_engine(horizon=4, seed=3), p, max_new_tokens=6,
+                  temperature=0.9, logprobs=2)
+    full = p + out.tokens
+    for j, (tok, e) in enumerate(zip(out.tokens, out.logprobs)):
+        dl = dense_logprob(full, len(p) + j - 1)
+        assert e["logprob"] == pytest.approx(float(dl[tok]), abs=2e-2)
+
+
+def test_logprobs_validation():
+    eng = make_engine()
+    with pytest.raises(ValueError):
+        eng.add_request(prompt(), logprobs=21)
+    # speculative engines reject logprobs
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=64,
+                          num_host_blocks=64, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(depth=2),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=64),
+    )
+    spec_eng = Engine(CFG, sc, params=PARAMS, use_pallas=False,
+                      enable_lstm=False, spec_ngram=True)
+    with pytest.raises(ValueError):
+        spec_eng.add_request(prompt(), logprobs=2)
+
+
+def test_server_returns_logprobs():
+    from cxl_speckv_tpu.server import SpeckvServer
+
+    eng = make_engine()
+    with SpeckvServer(eng, port=0) as srv:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/completions",
+            data=json.dumps({"prompt": prompt(), "max_tokens": 5,
+                             "logprobs": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        body = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        lp = body["logprobs"]
+        n = len(body["tokens"])
+        assert len(lp["token_logprobs"]) == n
+        assert all(len(t) == 2 for t in lp["top_ids"])
+        assert all(len(t) == 2 for t in lp["top_logprobs"])
