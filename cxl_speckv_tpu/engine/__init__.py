@@ -1,2 +1,3 @@
 from cxl_speckv_tpu.engine.engine import Engine, EngineOutput  # noqa: F401
 from cxl_speckv_tpu.engine.request import Request, RequestState  # noqa: F401
+from cxl_speckv_tpu.engine.spec import NgramProposer, SpecDecoder  # noqa: F401
