@@ -157,6 +157,30 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, {"status": "ok"})
         elif self.path == "/v1/stats":
             self._json(200, self.loop.stats())
+        elif self.path == "/metrics":
+            # Prometheus text exposition: every numeric leaf of the
+            # engine's statistics tree as a gauge, dots -> underscores
+            lines = []
+
+            def walk(prefix, obj):
+                if isinstance(obj, dict):
+                    for k, v in obj.items():
+                        k = (str(k).replace(".", "_").replace("-", "_")
+                             .replace(" ", "_").replace("/", "_"))
+                        walk(f"{prefix}_{k}", v)
+                elif isinstance(obj, bool):
+                    lines.append(f"{prefix} {int(obj)}")
+                elif isinstance(obj, (int, float)):
+                    lines.append(f"{prefix} {obj}")
+
+            walk("speckv", self.loop.stats())
+            body = "\n".join(lines).encode() + b"\n"
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._error(404, f"unknown path {self.path}")
 

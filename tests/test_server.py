@@ -77,6 +77,21 @@ def test_health_and_stats(server):
     assert code == 200 and "directory" in stats and "engine" in stats
 
 
+def test_prometheus_metrics(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/metrics", timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    lines = [ln for ln in body.strip().splitlines() if ln]
+    assert any(ln.startswith("speckv_engine_steps ") for ln in lines)
+    assert any(ln.startswith("speckv_directory_hit_rate ") for ln in lines)
+    for ln in lines:  # every line is "<name> <number>"
+        name, val = ln.rsplit(" ", 1)
+        assert " " not in name and "-" not in name
+        float(val)
+
+
 def test_completion_matches_engine_api(server):
     ps = prompts()
     want = make_engine().generate(ps, max_new_tokens=8)
