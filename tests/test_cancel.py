@@ -118,6 +118,38 @@ def test_cancelled_session_turn_keeps_kv():
     assert cont == want
 
 
+def test_cancel_session_mid_prefill_does_not_persist_partial_kv():
+    """A session turn cancelled DURING prefill must not leave a live
+    session whose stored tokens exceed the written KV — the next turn
+    re-prefills the stored history instead."""
+    eng = make_engine()
+    p1 = prompt(6, n=10)
+    rid = eng.add_request(p1, max_new_tokens=6, session=True)
+    out1 = {o.req_id: o for o in eng.run()}[rid]
+    sid = out1.session_id
+
+    # second turn with a long continuation; cancel it mid-prefill
+    follow = prompt(7, n=60)
+    cid = eng.continue_session(sid, follow, max_new_tokens=6)
+    eng.step()  # admit + first prefill chunk (32 < 60 tokens)
+    req = eng._requests[cid]
+    assert req.state == RequestState.PREFILLING
+    out = eng.cancel(cid)
+    assert out.finish_reason == "cancelled"
+    sess = eng._sessions[sid]
+    assert not sess.busy and not sess.live  # KV freed, history retained
+
+    # the next turn re-prefills the stored history and matches a fresh
+    # full-history request exactly
+    c2 = eng.continue_session(sid, [3, 5], max_new_tokens=5)
+    cont = {o.req_id: o for o in eng.run()}[c2].tokens
+    fresh = make_engine()
+    fid = fresh.add_request(p1 + out1.tokens + [3, 5], max_new_tokens=5)
+    want = {o.req_id: o for o in fresh.run()}[fid].tokens
+    assert cont == want
+    assert sess.reprefills >= 1
+
+
 def test_ignore_eos_runs_to_length():
     eng = make_engine()
     rid = eng.add_request(prompt(4), max_new_tokens=12)
