@@ -46,6 +46,12 @@ class Request:
     # semantics.
     logprobs: int = 0
     logprobs_data: list = field(default_factory=list)
+    # echo/perplexity surface: per-PROMPT-token logprobs (OpenAI echo —
+    # entry 0 is None, token i >= 1 scores log p(prompt[i] | prompt[:i])).
+    # Prefill chunks re-feed one boundary token so every position is
+    # covered; data accumulates in prompt_logprobs_data.
+    prompt_logprobs: bool = False
+    prompt_logprobs_data: list = field(default_factory=list)
     # session requests keep their KV allocated after finishing (demotable to
     # the host tier) so follow-up turns restore context instead of
     # re-prefilling — the reference's core serving pattern: per-request KV

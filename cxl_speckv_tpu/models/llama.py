@@ -646,7 +646,7 @@ def decode_multi_packed(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed",
-                     "use_pallas", "logprobs_k"),
+                     "use_pallas", "logprobs_k", "prompt_scores"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def prefill_batch_packed(
@@ -666,6 +666,7 @@ def prefill_batch_packed(
     rng_seed: int = 0,
     use_pallas: bool = False,
     logprobs_k: int = 0,
+    prompt_scores: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Batched chunked prefill: every prefilling lane's chunk runs in ONE
     device program (causal within the chunk + streamed quantized pool
@@ -675,6 +676,10 @@ def prefill_batch_packed(
     guard slot and their token is meaningless. With logprobs_k > 0,
     appends chosen-token logprobs [B] and top-k ids/logprobs [B, k]
     (raw-distribution — `_token_logprobs`) for the sampled first token.
+    With prompt_scores, appends [B, T] per-position scores: scores[t] =
+    log p(token[t+1] | prefix..t) for t < valid-1 (0 elsewhere) — the
+    echo/perplexity surface; the cross-chunk boundary is covered by the
+    engine re-feeding one token per chunk.
     """
     from cxl_speckv_tpu.engine.sampling import sample_tokens
     from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
@@ -770,10 +775,19 @@ def prefill_batch_packed(
     x_last = _norm(x_last, params["final_norm"], c)
     logits = _final_logits(x_last, params, c)             # [B, V]
     toks = sample_tokens(logits, temps, key, top_ps=top_ps).astype(jnp.int32)
+    out = [toks, k_pools, v_pools, k_scales, v_scales]
     if logprobs_k:
-        chosen, ids, vals = _token_logprobs(logits, toks, logprobs_k)
-        return toks, k_pools, v_pools, k_scales, v_scales, chosen, ids, vals
-    return toks, k_pools, v_pools, k_scales, v_scales
+        out += list(_token_logprobs(logits, toks, logprobs_k))
+    if prompt_scores:
+        xs = _norm(x, params["final_norm"], c)            # [B, T, H]
+        lp = jax.nn.log_softmax(
+            _final_logits(xs, params, c).astype(jnp.float32), axis=-1)
+        targets = jnp.roll(token_ids, -1, axis=1)         # target[t] = tok[t+1]
+        sc = jnp.take_along_axis(
+            lp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        # positions >= valid-1 have no in-chunk target
+        out.append(jnp.where(t_idx < (valid - 1)[:, None], sc, 0.0))
+    return tuple(out)
 
 
 @functools.partial(

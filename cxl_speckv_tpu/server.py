@@ -62,14 +62,16 @@ class ServingLoop:
     def submit(self, prompt, max_new_tokens: int, temperature: float,
                top_p: float, stop_token_ids=None,
                stop_sequences=None, ignore_eos: bool = False,
-               logprobs: int = 0) -> tuple[int, threading.Event]:
+               logprobs: int = 0,
+               prompt_logprobs: bool = False) -> tuple[int, threading.Event]:
         with self._cv:
             rid = self.engine.add_request(
                 prompt, max_new_tokens=max_new_tokens,
                 temperature=temperature, top_p=top_p,
                 stop_token_ids=stop_token_ids,
                 stop_sequences=stop_sequences,
-                ignore_eos=ignore_eos, logprobs=logprobs)
+                ignore_eos=ignore_eos, logprobs=logprobs,
+                prompt_logprobs=prompt_logprobs)
             ev = threading.Event()
             self._events[rid] = ev
             self._cv.notify()
@@ -205,6 +207,7 @@ class _Handler(BaseHTTPRequestHandler):
             stream = bool(body.get("stream", False))
             ignore_eos = bool(body.get("ignore_eos", False))
             logprobs = int(body.get("logprobs") or 0)
+            prompt_logprobs = bool(body.get("prompt_logprobs", False))
             stop_token_ids = body.get("stop_token_ids") or []
             # OpenAI "stop": string or list of strings (<= 4), excluded
             # from the returned text; needs the tokenizer to become token
@@ -229,7 +232,8 @@ class _Handler(BaseHTTPRequestHandler):
                                        stop_token_ids=stop_token_ids,
                                        stop_sequences=stop_sequences,
                                        ignore_eos=ignore_eos,
-                                       logprobs=logprobs)
+                                       logprobs=logprobs,
+                                       prompt_logprobs=prompt_logprobs)
         except ValueError as e:   # over-capacity etc. — the engine's probes
             self._error(400, str(e))
             return
@@ -257,6 +261,8 @@ class _Handler(BaseHTTPRequestHandler):
                 "top_ids": [e["top_ids"] for e in out.logprobs],
                 "top_logprobs": [e["top_logprobs"] for e in out.logprobs],
             }
+        if out.prompt_logprobs is not None:
+            d["prompt_logprobs"] = out.prompt_logprobs
         if self.tokenizer is not None:
             d["text"] = self.tokenizer.decode(out.tokens)
         return d

@@ -113,6 +113,55 @@ def test_logprobs_validation():
         spec_eng.add_request(prompt(), logprobs=2)
 
 
+def test_prompt_logprobs_match_dense_across_chunks():
+    """Echo scoring: prefill_chunk=32 over a 50-token prompt forces the
+    boundary-refeed path; every prompt token i >= 1 must score
+    log p(prompt[i] | prompt[:i]) per forward_dense."""
+    p = prompt(5, n=50)
+    out = run_one(make_engine(), p, max_new_tokens=2, prompt_logprobs=True)
+    pl = out.prompt_logprobs
+    assert pl is not None and len(pl) == len(p) and pl[0] is None
+    logits = forward_dense(PARAMS, CFG, jnp.asarray([p]))
+    lp = np.asarray(jax.nn.log_softmax(logits[0].astype(jnp.float32), -1))
+    for i in range(1, len(p)):
+        assert pl[i] == pytest.approx(float(lp[i - 1, p[i]]), abs=2e-2), i
+
+
+def test_prompt_logprobs_single_chunk_and_prefix_cache():
+    """Short prompt (one chunk) works, and a prompt already in the prefix
+    cache still gets scored (the claim is skipped for scoring requests)
+    with identical generated tokens."""
+    p = prompt(6, n=9)
+    eng = make_engine()
+    first = run_one(eng, p, max_new_tokens=4)          # populates the cache
+    out = run_one(eng, p, max_new_tokens=4, prompt_logprobs=True)
+    assert out.tokens == first.tokens
+    assert len(out.prompt_logprobs) == len(p)
+    assert all(x is not None for x in out.prompt_logprobs[1:])
+
+
+def test_prompt_logprobs_validation():
+    eng = make_engine()
+    with pytest.raises(ValueError):
+        eng.add_request(prompt(), session=True, prompt_logprobs=True)
+
+
+def test_server_returns_prompt_logprobs():
+    from cxl_speckv_tpu.server import SpeckvServer
+
+    p = prompt(8, n=12)
+    eng = make_engine()
+    with SpeckvServer(eng, port=0) as srv:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/completions",
+            data=json.dumps({"prompt": p, "max_tokens": 3,
+                             "prompt_logprobs": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        body = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        assert len(body["prompt_logprobs"]) == len(p)
+        assert body["prompt_logprobs"][0] is None
+
+
 def test_server_returns_logprobs():
     from cxl_speckv_tpu.server import SpeckvServer
 
