@@ -218,6 +218,7 @@ class Scheduler:
         victim.prefill_pos = 0
         victim.output.clear()
         victim.logprobs_data.clear()
+        victim.prompt_logprobs_data.clear()  # prefill restarts from 0
         # latency bookkeeping restarts with the request: mixing
         # pre-preemption timestamps with post-restart tokens would corrupt
         # the TTFT/TPOT metrics the benchmark reports

@@ -140,6 +140,26 @@ def test_prompt_logprobs_single_chunk_and_prefix_cache():
     assert all(x is not None for x in out.prompt_logprobs[1:])
 
 
+def test_prompt_logprobs_survive_preemption():
+    """A preempted scoring request restarts prefill from 0 — partial
+    scores must clear so re-admission doesn't duplicate entries."""
+    eng = make_engine()
+    p = prompt(9, n=50)
+    rid = eng.add_request(p, max_new_tokens=2, prompt_logprobs=True)
+    eng.step()  # first prefill chunk collects partial scores
+    req = eng._requests[rid]
+    assert len(req.prompt_logprobs_data) > 0
+    assert eng.scheduler.preempt_youngest() is req
+    assert req.prompt_logprobs_data == []
+    out = {o.req_id: o for o in eng.run()}[rid]
+    pl = out.prompt_logprobs
+    assert len(pl) == len(p)
+    logits = forward_dense(PARAMS, CFG, jnp.asarray([p]))
+    lp = np.asarray(jax.nn.log_softmax(logits[0].astype(jnp.float32), -1))
+    for i in (1, 25, len(p) - 1):
+        assert pl[i] == pytest.approx(float(lp[i - 1, p[i]]), abs=2e-2)
+
+
 def test_prompt_logprobs_validation():
     eng = make_engine()
     with pytest.raises(ValueError):
