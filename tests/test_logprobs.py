@@ -96,6 +96,30 @@ def test_sampled_logprobs_are_raw_distribution():
         assert e["logprob"] == pytest.approx(float(dl[tok]), abs=2e-2)
 
 
+def test_mixed_batch_logprob_and_plain_lanes():
+    """A scoring lane batched with plain lanes: the group runs with the
+    max requested k, plain lanes return None, and outputs are identical
+    to an all-plain engine (the flag changes returns, not math)."""
+    eng = make_engine(horizon=4)
+    ps = [prompt(11, n=40), prompt(12, n=9), prompt(13, n=9)]
+    r0 = eng.add_request(ps[0], max_new_tokens=5, logprobs=2,
+                         prompt_logprobs=True)
+    r1 = eng.add_request(ps[1], max_new_tokens=5)
+    r2 = eng.add_request(ps[2], max_new_tokens=5, logprobs=4)
+    outs = {o.req_id: o for o in eng.run()}
+    assert outs[r1].logprobs is None and outs[r1].prompt_logprobs is None
+    assert len(outs[r0].logprobs) == 5
+    assert all(len(e["top_ids"]) == 2 for e in outs[r0].logprobs)
+    assert all(len(e["top_ids"]) == 4 for e in outs[r2].logprobs)
+    assert len(outs[r0].prompt_logprobs) == len(ps[0])
+
+    plain = make_engine(horizon=4)
+    want = {plain.add_request(p, max_new_tokens=5): p for p in ps}
+    wouts = {o.req_id: o for o in plain.run()}
+    assert [outs[r].tokens for r in (r0, r1, r2)] == \
+        [wouts[r].tokens for r in sorted(wouts)]
+
+
 def test_logprobs_validation():
     eng = make_engine()
     with pytest.raises(ValueError):
