@@ -64,6 +64,12 @@ class Request:
     seq_slot: int = -1
     prefill_pos: int = 0         # tokens of the prompt already prefilled
     output: list[int] = field(default_factory=list)
+    # bumped every time preemption clears `output` (the request restarts
+    # from prefill). Lock-free streaming readers snapshot (restarts, output)
+    # and discard stale prefixes when the counter moved — without it a
+    # preempted sampled request would silently splice two different
+    # generations into one stream.
+    restarts: int = 0
     finish_reason: str = ""
     arrival_time: float = field(default_factory=time.monotonic)
     first_token_time: float = 0.0

@@ -216,6 +216,7 @@ class Scheduler:
         del self.running[victim.req_id]
         victim.seq_slot = -1
         victim.prefill_pos = 0
+        victim.restarts += 1     # streaming readers discard the stale prefix
         victim.output.clear()
         victim.logprobs_data.clear()
         victim.prompt_logprobs_data.clear()  # prefill restarts from 0

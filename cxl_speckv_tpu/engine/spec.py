@@ -205,12 +205,21 @@ class SpecDecoder(_AcceptanceMixin):
     def __init__(self, draft_config: LlamaConfig, draft_params,
                  target_kvc, gamma: int = 4,
                  draft_kv_dtype: KVDtype = KVDtype.BF16,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, mesh=None):
         self.config = draft_config
         self.params = draft_params
         self.kvc = target_kvc
         self.gamma = gamma
         self.kv_dtype = draft_kv_dtype
+        # the shard-mapped kernel decomposition needs the draft's kv heads
+        # to divide tp too; a head-incompatible draft falls back to the
+        # GSPMD-partitionable reference attention (target kernels unaffected)
+        self.mesh = mesh
+        if mesh is not None and (
+                draft_config.num_kv_heads % mesh.shape["tp"]
+                or draft_config.num_q_heads % mesh.shape["tp"]):
+            self.mesh = None
+            use_pallas = False
         self.use_pallas = use_pallas
 
         cache = target_kvc.config
@@ -224,6 +233,12 @@ class SpecDecoder(_AcceptanceMixin):
         elem = kv_storage_dtype(draft_kv_dtype)
         self.pools = (jnp.zeros(kv_shape, elem), jnp.zeros(kv_shape, elem),
                       jnp.ones(sc_shape, jnp.float32), jnp.ones(sc_shape, jnp.float32))
+        if self.mesh is not None:
+            # draft KV heads shard over tp like the target pools (the draft
+            # model's params are sharded by the engine; its pools must match)
+            from cxl_speckv_tpu.parallel.sharding import pool_put
+            put = pool_put(self.mesh)
+            self.pools = tuple(put(p) for p in self.pools)
         self.guard_slot = n_slots - 1
         self._free = list(range(n_slots - 2, -1, -1))
         self._slot_of_bid: dict[int, int] = {}
@@ -280,7 +295,7 @@ class SpecDecoder(_AcceptanceMixin):
             self.params, self.config, self.kv_dtype, tokens,
             jnp.int32(start_pos), *self.pools,
             jnp.asarray(self.table[seq_slot]), jnp.int32(valid_len),
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas, mesh=self.mesh)
         self.pools = tuple(pools)
 
     def prefill_batch(self, lanes, *, chunk: int, batch: int) -> None:
@@ -302,7 +317,8 @@ class SpecDecoder(_AcceptanceMixin):
             packed[i, 4 + mb:4 + mb + n] = tokens
         _, *pools = prefill_batch_packed(
             self.params, self.config, self.kv_dtype, packed, *self.pools,
-            max_blocks=mb, rng_seed=0, use_pallas=self.use_pallas)
+            max_blocks=mb, rng_seed=0, use_pallas=self.use_pallas,
+            mesh=self.mesh)
         self.pools = tuple(pools)
 
     def propose(self, last_tokens: np.ndarray, positions: np.ndarray,
@@ -338,7 +354,8 @@ class SpecDecoder(_AcceptanceMixin):
         packed[:, 4:] = tables
         toks, *rest = decode_multi_packed(
             self.params, self.config, self.kv_dtype, packed, *self.pools,
-            horizon=self.gamma + 1, return_logits=True)
+            horizon=self.gamma + 1, return_logits=True,
+            use_pallas=self.use_pallas, mesh=self.mesh)
         self.pools = tuple(rest[:4])
         self._draft_logits = rest[4][:, : self.gamma]  # [B, g, V] device
         drafts = np.asarray(toks)[:, : self.gamma].astype(np.int32)

@@ -38,6 +38,31 @@ from cxl_speckv_tpu.ops.quant import (
 Params = dict[str, Any]
 
 
+def _attend_fns(config: LlamaConfig, use_pallas: bool, mesh):
+    """(decode_attend, chunk_attend) for one traced program.
+
+    Pallas kernels when `use_pallas` — wrapped in `shard_map` under a mesh
+    (`parallel/shard_kernels.py`: kv-head/tp + lane/dp decomposition, zero
+    cross-chip traffic) so mesh serving runs the SAME flagship kernels as
+    single-chip serving; otherwise the GSPMD-partitionable jnp references.
+    """
+    from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
+    from cxl_speckv_tpu.ops.chunk_attention_pallas import (
+        paged_chunk_attention_pallas)
+
+    if not use_pallas:
+        return paged_attention_ref, paged_chunk_attention
+    cd = jnp.dtype(config.attn_compute_dtype)
+    if mesh is not None:
+        from cxl_speckv_tpu.parallel.shard_kernels import (
+            sharded_chunk_attention, sharded_paged_attention)
+
+        return (sharded_paged_attention(mesh, compute_dtype=cd),
+                sharded_chunk_attention(mesh, compute_dtype=cd))
+    return (functools.partial(paged_attention, compute_dtype=cd),
+            functools.partial(paged_chunk_attention_pallas, compute_dtype=cd))
+
+
 # ---------------------------------------------------------------------------
 # parameter init / structure
 # ---------------------------------------------------------------------------
@@ -403,6 +428,7 @@ def _decode_core(
     block_table: jax.Array,   # [B, max_blocks] int32 (clamped)
     seq_lens: jax.Array,      # [B] int32 — length INCLUDING this token
     use_pallas: bool,
+    mesh=None,
 ):
     """Single decode step, un-jitted (shared by decode_step/decode_multi)."""
     c = config
@@ -417,9 +443,7 @@ def _decode_core(
     slots = jnp.take_along_axis(block_table, blk[:, None], axis=1)[:, 0]  # [B]
     offs = positions % bs
 
-    attend = (functools.partial(
-        paged_attention, compute_dtype=jnp.dtype(c.attn_compute_dtype))
-        if use_pallas else paged_attention_ref)
+    attend, _ = _attend_fns(c, use_pallas, mesh)
     # per-layer mixed precision (CacheConfig.layer_kv_dtypes): kv_dtype is a
     # tuple of per-layer schemes; the scan sees one MIXED8 program with the
     # layer's scheme id as data
@@ -479,7 +503,7 @@ def _decode_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "kv_dtype", "use_pallas"),
+    static_argnames=("config", "kv_dtype", "use_pallas", "mesh"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def decode_step(
@@ -496,6 +520,7 @@ def decode_step(
     seq_lens: jax.Array,
     *,
     use_pallas: bool = False,
+    mesh=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """One decode step for a batch of sequences.
 
@@ -505,7 +530,7 @@ def decode_step(
     """
     return _decode_core(params, config, kv_dtype, token_ids, positions,
                         k_pools, v_pools, k_scales, v_scales, block_table,
-                        seq_lens, use_pallas)
+                        seq_lens, use_pallas, mesh)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -528,7 +553,7 @@ def _token_logprobs(logits: jax.Array, toks: jax.Array, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
-                     "return_logits", "logprobs_k"),
+                     "return_logits", "logprobs_k", "mesh"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def decode_multi(
@@ -551,6 +576,7 @@ def decode_multi(
     top_k: int = 0,
     return_logits: bool = False,
     logprobs_k: int = 0,
+    mesh=None,
 ) -> tuple:
     """`horizon` decode steps fused into one device program — sampling
     happens in-graph, so one dispatch emits `horizon` tokens per lane.
@@ -578,7 +604,7 @@ def decode_multi(
         positions = start_positions + j
         logits, kp, vp, ks, vs = _decode_core(
             params, config, kv_dtype, toks, positions, kp, vp, ks, vs,
-            block_table, positions + 1, use_pallas)
+            block_table, positions + 1, use_pallas, mesh)
         key, sub = jax.random.split(key)
         nxt = sample_tokens(logits, temperatures, sub, top_k,
                             top_ps=top_ps).astype(jnp.int32)
@@ -601,7 +627,7 @@ def decode_multi(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
-                     "rng_seed", "return_logits", "logprobs_k"),
+                     "rng_seed", "return_logits", "logprobs_k", "mesh"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def decode_multi_packed(
@@ -623,6 +649,7 @@ def decode_multi_packed(
     rng_seed: int = 0,
     return_logits: bool = False,
     logprobs_k: int = 0,
+    mesh=None,
 ) -> tuple:
     """`decode_multi` with all per-round host inputs packed into ONE array —
     a single host->device transfer per engine round. On remote-dispatch
@@ -640,13 +667,13 @@ def decode_multi_packed(
         params, config, kv_dtype, first_tokens, start_positions,
         k_pools, v_pools, k_scales, v_scales, block_table, key, temperatures,
         top_ps, horizon=horizon, use_pallas=use_pallas, top_k=top_k,
-        return_logits=return_logits, logprobs_k=logprobs_k)
+        return_logits=return_logits, logprobs_k=logprobs_k, mesh=mesh)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed",
-                     "use_pallas", "logprobs_k", "prompt_scores"),
+                     "use_pallas", "logprobs_k", "prompt_scores", "mesh"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def prefill_batch_packed(
@@ -667,6 +694,7 @@ def prefill_batch_packed(
     use_pallas: bool = False,
     logprobs_k: int = 0,
     prompt_scores: bool = False,
+    mesh=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Batched chunked prefill: every prefilling lane's chunk runs in ONE
     device program (causal within the chunk + streamed quantized pool
@@ -682,15 +710,9 @@ def prefill_batch_packed(
     engine re-feeding one token per chunk.
     """
     from cxl_speckv_tpu.engine.sampling import sample_tokens
-    from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
-    from cxl_speckv_tpu.ops.chunk_attention_pallas import (
-        paged_chunk_attention_pallas)
     from cxl_speckv_tpu.ops.quant import dequantize_kv
 
-    attend_chunk = (functools.partial(
-        paged_chunk_attention_pallas,
-        compute_dtype=jnp.dtype(config.attn_compute_dtype))
-        if use_pallas else paged_chunk_attention)
+    _, attend_chunk = _attend_fns(config, use_pallas, mesh)
 
     c = config
     B = packed.shape[0]
@@ -793,7 +815,7 @@ def prefill_batch_packed(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed",
-                     "use_pallas"),
+                     "use_pallas", "mesh"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def prefill_chunk_packed(
@@ -811,6 +833,7 @@ def prefill_chunk_packed(
     max_blocks: int,
     rng_seed: int = 0,
     use_pallas: bool = False,
+    mesh=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Prefill one chunk AND sample the next token in one dispatch (single
     packed H2D in, single scalar token out — the per-request prefill path
@@ -828,7 +851,7 @@ def prefill_chunk_packed(
     logits, k_pools, v_pools, k_scales, v_scales = prefill_chunk(
         params, config, kv_dtype, token_ids, start,
         k_pools, v_pools, k_scales, v_scales, table_row, valid_len,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, mesh=mesh)
     tok = sample_tokens(logits[None], temps, key,
                         top_ps=top_ps)[0].astype(jnp.int32)
     return tok, k_pools, v_pools, k_scales, v_scales
@@ -841,7 +864,7 @@ def prefill_chunk_packed(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
-                     "rng_seed", "store_ops"),
+                     "rng_seed", "store_ops", "mesh", "logprobs_k"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales",
                      "k_store", "v_store", "ks_store", "vs_store"),
 )
@@ -865,6 +888,8 @@ def decode_round_fused(
     top_k: int = 0,
     rng_seed: int = 0,
     store_ops=None,
+    mesh=None,
+    logprobs_k: int = 0,
 ):
     """One complete engine decode round as a single dispatch: apply the
     queued block migrations (host-tier DMA in/out — the descriptor-ring
@@ -880,17 +905,19 @@ def decode_round_fused(
     pools, stores = migrate_in_graph(
         (k_pools, v_pools, k_scales, v_scales),
         (k_store, v_store, ks_store, vs_store), mig, store_ops)
-    toks, *pools = decode_multi_packed(
+    toks, *rest = decode_multi_packed(
         params, config, kv_dtype, packed, *pools,
         horizon=horizon, use_pallas=use_pallas, top_k=top_k,
-        rng_seed=rng_seed)
-    return (toks, *pools, *stores)
+        rng_seed=rng_seed, mesh=mesh, logprobs_k=logprobs_k)
+    # keep stores at fixed positions: (toks, pools x4, stores x4[, lp x3])
+    return (toks, *rest[:4], *stores, *rest[4:])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed",
-                     "use_pallas", "store_ops"),
+                     "use_pallas", "store_ops", "mesh", "logprobs_k",
+                     "prompt_scores"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales",
                      "k_store", "v_store", "ks_store", "vs_store"),
 )
@@ -913,6 +940,9 @@ def prefill_round_fused(
     rng_seed: int = 0,
     use_pallas: bool = False,
     store_ops=None,
+    mesh=None,
+    logprobs_k: int = 0,
+    prompt_scores: bool = False,
 ):
     """Batched chunked prefill with the round's migration batch fused in
     (session restores / evictions ride the same dispatch)."""
@@ -921,10 +951,12 @@ def prefill_round_fused(
     pools, stores = migrate_in_graph(
         (k_pools, v_pools, k_scales, v_scales),
         (k_store, v_store, ks_store, vs_store), mig, store_ops)
-    toks, *pools = prefill_batch_packed(
+    toks, *rest = prefill_batch_packed(
         params, config, kv_dtype, packed, *pools,
-        max_blocks=max_blocks, rng_seed=rng_seed, use_pallas=use_pallas)
-    return (toks, *pools, *stores)
+        max_blocks=max_blocks, rng_seed=rng_seed, use_pallas=use_pallas,
+        mesh=mesh, logprobs_k=logprobs_k, prompt_scores=prompt_scores)
+    # (toks, pools x4, stores x4[, lp x3][, prompt scores])
+    return (toks, *rest[:4], *stores, *rest[4:])
 
 
 # ---------------------------------------------------------------------------
@@ -1089,7 +1121,7 @@ def _solve_chunk_len(rest: int, bs: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "kv_dtype", "use_pallas"),
+    static_argnames=("config", "kv_dtype", "use_pallas", "mesh"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def verify_step(
@@ -1106,6 +1138,7 @@ def verify_step(
     active: jax.Array,        # [B] bool — inactive lanes scatter to guard
     *,
     use_pallas: bool = False,
+    mesh=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Target-model scoring of T tokens per sequence in one pass (the
     speculative-decoding verification step). Returns logits [B, T, V]: row t
@@ -1118,14 +1151,7 @@ def verify_step(
     reference's lazy-invalidation philosophy,
     `speculative_prefetcher.cpp:84-97`, applied to the cache itself).
     """
-    from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
-    from cxl_speckv_tpu.ops.chunk_attention_pallas import (
-        paged_chunk_attention_pallas)
-
-    attend_chunk = (functools.partial(
-        paged_chunk_attention_pallas,
-        compute_dtype=jnp.dtype(config.attn_compute_dtype))
-        if use_pallas else paged_chunk_attention)
+    _, attend_chunk = _attend_fns(config, use_pallas, mesh)
     c = config
     B, T = token_ids.shape
     bs = k_pools.shape[3]
@@ -1208,7 +1234,7 @@ def verify_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "kv_dtype", "use_pallas"),
+    static_argnames=("config", "kv_dtype", "use_pallas", "mesh"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def prefill_chunk(
@@ -1225,6 +1251,7 @@ def prefill_chunk(
     valid_len: jax.Array | None = None,  # scalar int32: real tokens in chunk
     *,
     use_pallas: bool = False,
+    mesh=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Prefill T prompt tokens for one sequence; returns logits for the last
     *valid* token and updated pools. Attends causally within the chunk and
@@ -1236,14 +1263,7 @@ def prefill_chunk(
     pad positions scatter their KV to the pool's guard slot (last slot) and
     are causally invisible to real tokens (pads come after).
     """
-    from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
-    from cxl_speckv_tpu.ops.chunk_attention_pallas import (
-        paged_chunk_attention_pallas)
-
-    attend_chunk = (functools.partial(
-        paged_chunk_attention_pallas,
-        compute_dtype=jnp.dtype(config.attn_compute_dtype))
-        if use_pallas else paged_chunk_attention)
+    _, attend_chunk = _attend_fns(config, use_pallas, mesh)
 
     c = config
     T = token_ids.shape[0]

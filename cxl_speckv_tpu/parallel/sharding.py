@@ -132,6 +132,17 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def tp_compatible(config: LlamaConfig, tp: int) -> bool:
+    """True when every tp-sharded parameter axis of this config divides tp —
+    the condition for sharding a model's weights/pools over the mesh. The
+    engine uses it to decide whether a DRAFT model shards with the target or
+    stays replicated (a tiny draft with few heads is legitimately served
+    replicated; the target must pass `validate_tp` outright)."""
+    c = config
+    dims = [c.num_kv_heads, c.num_q_heads, c.intermediate_size, c.vocab_size]
+    return all(d % tp == 0 for d in dims)
+
+
 def validate_tp(config: LlamaConfig, tp: int, ep: int = 1) -> None:
     if config.num_kv_heads % tp:
         raise ValueError(

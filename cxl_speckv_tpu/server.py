@@ -83,13 +83,19 @@ class ServingLoop:
         could convoy behind a continuously-stepping loop."""
         self._aborts.add(rid)
 
-    def tokens_so_far(self, rid: int) -> list[int]:
+    def tokens_so_far(self, rid: int) -> tuple[int, list[int]]:
         # lock-free snapshot: the engine thread only ever APPENDS to
-        # req.output, and list() under the GIL yields a consistent prefix —
-        # taking the loop lock here would starve streaming handlers while
-        # the loop steps continuously
+        # req.output between restarts, and list() under the GIL yields a
+        # consistent prefix — taking the loop lock here would starve
+        # streaming handlers while the loop steps continuously. The restart
+        # counter is read FIRST: if it moved by the time the caller compares,
+        # the caller re-snapshots next poll, so a preempted request (whose
+        # output was cleared and regenerates — possibly differently at
+        # temperature > 0) never splices two generations into one stream.
         req = self.engine._requests.get(rid)
-        return list(req.output) if req is not None else []
+        if req is None:
+            return 0, []
+        return req.restarts, list(req.output)
 
     def result(self, rid: int, ev: threading.Event,
                timeout: float | None = None) -> EngineOutput | None:
@@ -239,9 +245,12 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if stream:
             # a matched stop sequence is trimmed from the final result, so
-            # interim SSE chunks hold back the longest-match-minus-one tail
-            # (never emitted tokens the finish could retract)
-            holdback = max((len(s) for s in stop_sequences), default=1) - 1
+            # interim SSE chunks hold back the longest possible match (the
+            # engine records the stop-completing token BEFORE the done event
+            # is set, so a max(len)-1 holdback could emit the match's first
+            # token in that window — a token the trimmed result retracts);
+            # the withheld tokens flush from the final result on done
+            holdback = max((len(s) for s in stop_sequences), default=0)
             self._stream(rid, ev, holdback=holdback)
         else:
             out = self.loop.result(rid, ev, timeout=600)
@@ -276,6 +285,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Connection", "close")
         self.end_headers()
         sent = 0
+        gen = 0   # restart counter of the prefix sent so far
         deadline = time.monotonic() + 600
         try:
             while time.monotonic() < deadline:
@@ -287,7 +297,15 @@ class _Handler(BaseHTTPRequestHandler):
                 r, _, _ = select.select([self.connection], [], [], 0)
                 if r and not self.connection.recv(1, socket.MSG_PEEK):
                     raise BrokenPipeError
-                toks = self.loop.tokens_so_far(rid)
+                g, toks = self.loop.tokens_so_far(rid)
+                if g != gen:
+                    # preemption restarted generation: tell the client to
+                    # discard everything received and resend from scratch
+                    # (at temperature > 0 the regenerated tokens differ)
+                    if sent:
+                        self.wfile.write(b'data: {"restart": true}\n\n')
+                        self.wfile.flush()
+                    sent, gen = 0, g
                 if holdback and not done:
                     toks = toks[: max(0, len(toks) - holdback)]
                 if done:
@@ -295,6 +313,10 @@ class _Handler(BaseHTTPRequestHandler):
                     # engine's table; the authoritative output is the result
                     out = self.loop.result(rid, ev)
                     toks = out.tokens
+                    if len(toks) < sent:  # restart raced the done event
+                        self.wfile.write(b'data: {"restart": true}\n\n')
+                        self.wfile.flush()
+                        sent = 0
                 if len(toks) > sent:
                     chunk = {"tokens": toks[sent:]}
                     if self.tokenizer is not None:

@@ -124,17 +124,67 @@ def test_logprobs_validation():
     eng = make_engine()
     with pytest.raises(ValueError):
         eng.add_request(prompt(), logprobs=21)
-    # speculative engines reject logprobs
+
+
+def test_spec_engine_logprobs_match_plain():
+    """Speculative engines return per-token logprobs (VERDICT r2 item 6):
+    verify logits row j IS the raw target distribution for emitted token j,
+    so a greedy ngram-spec run's logprob records match the plain engine's
+    for the identical token stream."""
+    p = prompt(4)
+    plain = run_one(make_engine(), p, max_new_tokens=8, logprobs=3)
     sc = SystemConfig(
-        cache=CacheConfig(block_size=8, num_hbm_blocks=64,
-                          num_host_blocks=64, kv_dtype=KVDtype.INT8),
+        cache=CacheConfig(block_size=8, num_hbm_blocks=256,
+                          num_host_blocks=256, kv_dtype=KVDtype.BF16),
         prefetch=PrefetchConfig(depth=2),
-        engine=EngineConfig(max_batch_size=2, max_seq_len=64),
+        engine=EngineConfig(max_batch_size=4, max_seq_len=128,
+                            prefill_chunk=32),
     )
     spec_eng = Engine(CFG, sc, params=PARAMS, use_pallas=False,
                       enable_lstm=False, spec_ngram=True)
-    with pytest.raises(ValueError):
-        spec_eng.add_request(prompt(), logprobs=2)
+    out = run_one(spec_eng, p, max_new_tokens=8, logprobs=3)
+    assert out.tokens == plain.tokens
+    assert len(out.logprobs) == len(out.tokens)
+    for a, b in zip(out.logprobs, plain.logprobs):
+        assert a["top_ids"] == b["top_ids"]
+        # decode-path vs verify-path numerics differ at the usual 1e-2 band
+        assert a["logprob"] == pytest.approx(b["logprob"], abs=2e-2)
+        # chosen token is top-1 on greedy lanes through the verify path too
+        assert a["top_ids"][0] == b["top_ids"][0]
+
+
+def test_fused_rounds_engine_logprobs():
+    """fused_rounds engines (migration batch + model step in one dispatch)
+    return logprobs; values match the split-pipeline engine's records."""
+    def engine(fused):
+        sc = SystemConfig(
+            cache=CacheConfig(block_size=8, num_hbm_blocks=10,
+                              num_host_blocks=64, kv_dtype=KVDtype.INT8),
+            prefetch=PrefetchConfig(depth=2),
+            engine=EngineConfig(max_batch_size=4, max_seq_len=96,
+                                prefill_chunk=32, decode_horizon=2,
+                                fused_rounds=fused),
+        )
+        return Engine(CFG, sc, params=PARAMS, use_pallas=False,
+                      enable_lstm=False)
+
+    ps = [prompt(i, n=12) for i in range(5, 9)]
+
+    def serve(eng):
+        ids = [eng.add_request(p, max_new_tokens=6, logprobs=2) for p in ps]
+        outs = {o.req_id: o for o in eng.run()}
+        return [outs[i] for i in ids]
+
+    ref = serve(engine(False))
+    fused_eng = engine(True)
+    assert fused_eng._fused_rounds
+    got = serve(fused_eng)
+    for a, b in zip(got, ref):
+        assert a.tokens == b.tokens
+        assert len(a.logprobs) == len(a.tokens)
+        for ea, eb in zip(a.logprobs, b.logprobs):
+            assert ea["top_ids"] == eb["top_ids"]
+            assert ea["logprob"] == pytest.approx(eb["logprob"], abs=1e-4)
 
 
 def test_prompt_logprobs_match_dense_across_chunks():
