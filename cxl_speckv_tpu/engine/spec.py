@@ -129,6 +129,20 @@ class _AcceptanceMixin:
     `self._draft_logits` ([B, gamma, V] device array: the distributions the
     drafts were proposed from) during `propose`."""
 
+    # the TARGET engine's mesh (accept fetches the target's verify outputs;
+    # distinct from a draft's own mesh, which may be downgraded to None for
+    # head-incompatible drafts while the target still serves a global mesh)
+    fetch_mesh = None
+
+    def _fetch(self, arr) -> np.ndarray:
+        """Multiprocess-safe host fetch (see parallel.sharding.host_fetch).
+        The verify/accept outputs may span non-addressable devices when the
+        target engine runs a multi-process global mesh."""
+        if self.fetch_mesh is None:
+            return np.asarray(arr)
+        from cxl_speckv_tpu.parallel.sharding import host_fetch
+        return host_fetch(arr, self.fetch_mesh)
+
     def accept(self, drafts: np.ndarray, target_logits,
                active: np.ndarray, temps: np.ndarray,
                key: np.ndarray,
@@ -150,8 +164,8 @@ class _AcceptanceMixin:
             jnp.asarray(np.asarray(temps, np.float32)),
             jnp.asarray(np.asarray(top_ps, np.float32)), jnp.asarray(key),
             gamma=self.gamma)
-        n_acc = np.asarray(n_acc_d)
-        final = np.asarray(final_d)
+        n_acc = self._fetch(n_acc_d)
+        final = self._fetch(final_d)
         emitted: list[list[int]] = []
         for b in range(drafts.shape[0]):
             if not active[b]:
@@ -214,6 +228,7 @@ class SpecDecoder(_AcceptanceMixin):
         # the shard-mapped kernel decomposition needs the draft's kv heads
         # to divide tp too; a head-incompatible draft falls back to the
         # GSPMD-partitionable reference attention (target kernels unaffected)
+        self.fetch_mesh = mesh
         self.mesh = mesh
         if mesh is not None and (
                 draft_config.num_kv_heads % mesh.shape["tp"]
@@ -358,7 +373,7 @@ class SpecDecoder(_AcceptanceMixin):
             use_pallas=self.use_pallas, mesh=self.mesh)
         self.pools = tuple(rest[:4])
         self._draft_logits = rest[4][:, : self.gamma]  # [B, g, V] device
-        drafts = np.asarray(toks)[:, : self.gamma].astype(np.int32)
+        drafts = self._fetch(toks)[:, : self.gamma].astype(np.int32)
         self.stats.drafted += int(active.sum()) * self.gamma
         return drafts
 

@@ -41,7 +41,8 @@ class LogEntry:
     key that every process agrees on without communication."""
     client_id: int
     client_seq: int
-    kind: str = field(compare=False)        # "request" | "depth" | "kv_dtype"
+    # "request" | "continue" | "cancel" | "depth" | "kv_dtype"
+    kind: str = field(compare=False)
     payload: tuple = field(compare=False)
 
 
@@ -78,13 +79,39 @@ class LockstepFrontend:
     # -- client side (local, buffered) ----------------------------------
 
     def submit(self, prompt: list[int], max_new_tokens: int = 64,
-               temperature: float = 0.0,
-               eos_token_id: int | None = None) -> tuple[int, int]:
+               temperature: float = 0.0, **kwargs) -> tuple[int, int]:
         """Buffer a generation request; returns a client-local handle.
-        The engine req_id exists only after the round commits."""
+        The engine req_id exists only after the round commits. Accepts the
+        FULL Engine.add_request surface (top_p, session, stop_token_ids,
+        stop_sequences, ignore_eos, eos_token_id, logprobs,
+        prompt_logprobs) — every kwarg replicates through the log, so the
+        multi-host frontend serves the same API as the single-host engine."""
         return self._push("request",
-                          (tuple(prompt), max_new_tokens, temperature,
-                           eos_token_id))
+                          (tuple(prompt),
+                           dict(max_new_tokens=max_new_tokens,
+                                temperature=temperature, **kwargs)))
+
+    def continue_session(self, session_id: int, new_tokens: list[int],
+                         **kwargs) -> tuple[int, int]:
+        """Buffer the next turn of a session. `session_id` comes from a
+        committed turn's EngineOutput — identical on every process, so it
+        replicates directly."""
+        return self._push("continue",
+                          (int(session_id), tuple(new_tokens), dict(kwargs)))
+
+    def cancel(self, handle: tuple[int, int]) -> tuple[int, int] | None:
+        """Cancel by client handle. A handle whose round already committed
+        replicates a cancel carrying the engine req_id (identical on every
+        process); a still-buffered handle is withdrawn locally — it never
+        reached any engine, so nothing needs replicating (returns None)."""
+        if handle in self._handles:
+            return self._push("cancel", (self._handles[handle],))
+        before = len(self._buffer)
+        self._buffer = [e for e in self._buffer
+                        if (e.client_id, e.client_seq) != handle]
+        if len(self._buffer) == before:
+            raise KeyError(f"unknown or foreign handle {handle}")
+        return None
 
     def set_prefetch_depth(self, depth: int) -> tuple[int, int]:
         return self._push("depth", (depth,))
@@ -115,12 +142,17 @@ class LockstepFrontend:
         new: dict[tuple[int, int], int] = {}
         for e in merged:
             if e.kind == "request":
-                prompt, mnt, temp, eos = e.payload
-                rid = self.engine.add_request(
-                    list(prompt), max_new_tokens=mnt, temperature=temp,
-                    eos_token_id=eos)
+                prompt, kwargs = e.payload
+                rid = self.engine.add_request(list(prompt), **kwargs)
                 if e.client_id == self.process_id:
                     new[(e.client_id, e.client_seq)] = rid
+            elif e.kind == "continue":
+                sid, toks, kwargs = e.payload
+                rid = self.engine.continue_session(sid, list(toks), **kwargs)
+                if e.client_id == self.process_id:
+                    new[(e.client_id, e.client_seq)] = rid
+            elif e.kind == "cancel":
+                self.engine.cancel(e.payload[0])
             elif e.kind == "depth":
                 self.engine.set_prefetch_depth(*e.payload)
             elif e.kind == "kv_dtype":

@@ -132,6 +132,34 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+_REPLICATORS: dict = {}
+
+
+def host_fetch(arr, mesh: Mesh | None = None):
+    """np.asarray that also works under a MULTI-PROCESS global mesh.
+
+    A dp/tp-sharded program output spans non-addressable devices there, so
+    `np.asarray` would raise; replicate it over the mesh first (one
+    allgather on the inter-process fabric — Gloo on CPU, DCN on a pod) via
+    a cached jitted identity, then pull to host. Single-process arrays (and
+    plain numpy/python inputs) take the direct path with zero overhead.
+    """
+    import numpy as np
+
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        if arr.sharding.is_fully_replicated:
+            return np.asarray(arr)
+        if mesh is None:
+            raise ValueError(
+                "host_fetch of a non-addressable sharded array needs the mesh")
+        rep = _REPLICATORS.get(mesh)
+        if rep is None:
+            rep = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
+            _REPLICATORS[mesh] = rep
+        arr = rep(arr)
+    return np.asarray(arr)
+
+
 def tp_compatible(config: LlamaConfig, tp: int) -> bool:
     """True when every tp-sharded parameter axis of this config divides tp —
     the condition for sharding a model's weights/pools over the mesh. The
