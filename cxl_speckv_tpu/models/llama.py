@@ -963,44 +963,24 @@ def prefill_round_fused(
 # streamed step: serve a sequence whose KV exceeds HBM from the host tier
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "kv_dtype", "max_blocks", "wave", "rng_seed",
-                     "store_ops"),
-    donate_argnames=("k_store", "v_store", "ks_store", "vs_store"),
-)
-def stream_step(
+def _stream_lane(
     params: Params,
     config: LlamaConfig,
     kv_dtype: KVDtype,
-    packed: jax.Array,   # int32 [4 + table_width + T]:
-                         # 0 = start_pos, 1 = valid_len, 2 = temp*1000,
-                         # 3 = rng counter, 4:4+tw = host-slot row
-                         # (guard-padded), rest = T token ids
-    k_store: jax.Array,  # flat-row host store (runtime/hoststore.py)
-    v_store: jax.Array,
-    ks_store: jax.Array,
-    vs_store: jax.Array,
+    packed: jax.Array,   # int32 [4 + table_width + T] (one lane)
+    stores_in,           # (k, v, ks, vs) flat-row host store arrays
     *,
     max_blocks: int,     # context blocks the table row covers
-    wave: int = 4,       # blocks streamed per attention wave
-    rng_seed: int = 0,
-    store_ops=None,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Process T tokens of a HOST-RESIDENT sequence in one dispatch: a
-    prefill chunk (T = chunk) or one decode token (T = 1).
+    wave: int,           # blocks streamed per attention wave
+    rng_seed: int,
+    store_ops,
+    logprobs_k: int = 0,
+):
+    """One host-streamed lane: a prefill chunk (T = chunk) or one decode
+    token (T = 1). Shared body of `stream_step` (single dispatch per lane)
+    and `stream_step_batched` (lanes scanned inside ONE dispatch).
 
-    The sequence's entire KV lives in the host tier; context attention
-    streams it wave-by-wave (`ops/stream_attention.py`) and the chunk's own
-    quantized KV is appended back to the store with a read-modify-write of
-    the touched blocks. HBM holds only the current wave + activations, so
-    sequence length is bounded by the HOST pool — the capacity-expansion
-    limit case (reference `README.md:16-19`, `docs/ARCHITECTURE.md:271`
-    32K-128K adaptation; BASELINE config 3).
-
-    Returns (next_token, stores...). The next token is sampled in-graph
-    from the last valid position.
-    """
+    Returns (next_token, stores, logprob arrays or None)."""
     from cxl_speckv_tpu.engine.sampling import sample_tokens
     from cxl_speckv_tpu.ops.quant import dequantize_kv
     from cxl_speckv_tpu.ops.stream_attention import (
@@ -1009,7 +989,8 @@ def stream_step(
     )
 
     c = config
-    bs = k_store.shape[2]
+    stores = stores_in
+    bs = stores[0].shape[2]
     L = c.num_layers
     ops = store_ops
 
@@ -1035,7 +1016,6 @@ def stream_step(
     positions = start + jnp.arange(T)
     rope_fs = rope_frequency_pair(c)
     x = _embed(params, c, token_ids)  # [T, H]
-    stores = (k_store, v_store, ks_store, vs_store)
 
     def layer(x, lp, li, window):
         h = _norm(x, lp["attn_norm"], c)
@@ -1104,7 +1084,110 @@ def stream_step(
     x_last = _norm(x_last, params["final_norm"], c)
     logits = _final_logits(x_last, params, c)
     tok = sample_tokens(logits, temps, key, top_ps=top_ps)[0].astype(jnp.int32)
+    lp = (_token_logprobs(logits[0], tok, logprobs_k)
+          if logprobs_k else None)
+    return tok, stores, lp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "max_blocks", "wave", "rng_seed",
+                     "store_ops", "logprobs_k"),
+    donate_argnames=("k_store", "v_store", "ks_store", "vs_store"),
+)
+def stream_step(
+    params: Params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    packed: jax.Array,   # int32 [4 + table_width + T]:
+                         # 0 = start_pos, 1 = valid_len, 2 = temp*1000,
+                         # 3 = rng counter, 4:4+tw = host-slot row
+                         # (guard-padded), rest = T token ids
+    k_store: jax.Array,  # flat-row host store (runtime/hoststore.py)
+    v_store: jax.Array,
+    ks_store: jax.Array,
+    vs_store: jax.Array,
+    *,
+    max_blocks: int,     # context blocks the table row covers
+    wave: int = 4,       # blocks streamed per attention wave
+    rng_seed: int = 0,
+    store_ops=None,
+    logprobs_k: int = 0,
+):
+    """Process T tokens of a HOST-RESIDENT sequence in one dispatch: a
+    prefill chunk (T = chunk) or one decode token (T = 1).
+
+    The sequence's entire KV lives in the host tier; context attention
+    streams it wave-by-wave (`ops/stream_attention.py`) and the chunk's own
+    quantized KV is appended back to the store with a read-modify-write of
+    the touched blocks. HBM holds only the current wave + activations, so
+    sequence length is bounded by the HOST pool — the capacity-expansion
+    limit case (reference `README.md:16-19`, `docs/ARCHITECTURE.md:271`
+    32K-128K adaptation; BASELINE config 3).
+
+    Returns (next_token, stores...[, chosen_lp, top_ids, top_lps]). The
+    next token is sampled in-graph from the last valid position.
+    """
+    tok, stores, lp = _stream_lane(
+        params, config, kv_dtype, packed,
+        (k_store, v_store, ks_store, vs_store),
+        max_blocks=max_blocks, wave=wave, rng_seed=rng_seed,
+        store_ops=store_ops, logprobs_k=logprobs_k)
+    if logprobs_k:
+        return (tok, *stores, *lp)
     return (tok, *stores)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "max_blocks", "wave", "rng_seed",
+                     "store_ops", "logprobs_k"),
+    donate_argnames=("k_store", "v_store", "ks_store", "vs_store"),
+)
+def stream_step_batched(
+    params: Params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    packed: jax.Array,   # int32 [B, 4 + table_width + T] — B lanes, same
+                         # phase (same static T); dead lanes valid_len=0
+                         # with guard-slot rows
+    k_store: jax.Array,
+    v_store: jax.Array,
+    ks_store: jax.Array,
+    vs_store: jax.Array,
+    *,
+    max_blocks: int,
+    wave: int = 4,
+    rng_seed: int = 0,
+    store_ops=None,
+    logprobs_k: int = 0,
+):
+    """B host-streamed lanes in ONE dispatch (VERDICT r2 next-step #4).
+
+    Lanes run as a `lax.scan` carrying the shared host store: each lane's
+    append read-modify-writes the store the previous lane produced, so the
+    result is identical to B sequential `stream_step` dispatches — but the
+    per-dispatch overhead (remote dispatch, host packing, store
+    donation/rebinding) is paid ONCE per engine round instead of once per
+    stream. Per-lane compute is serial either way: streamed attention is
+    host-bandwidth-bound, so there is no parallel-lanes win to forfeit on
+    a single chip.
+
+    Returns (tokens [B], stores...[, chosen_lp [B], ids [B,k], lps [B,k]]).
+    """
+    def body(stores, row):
+        tok, stores, lp = _stream_lane(
+            params, config, kv_dtype, row, stores,
+            max_blocks=max_blocks, wave=wave, rng_seed=rng_seed,
+            store_ops=store_ops, logprobs_k=logprobs_k)
+        return stores, ((tok, *lp) if logprobs_k else (tok,))
+
+    stores, outs = jax.lax.scan(
+        body, (k_store, v_store, ks_store, vs_store), packed)
+    if logprobs_k:
+        toks, chosen, ids, lps = outs
+        return (toks, *stores, chosen, ids, lps)
+    return (outs[0], *stores)
 
 
 def _solve_chunk_len(rest: int, bs: int) -> int:

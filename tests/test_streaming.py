@@ -103,6 +103,52 @@ def test_stream_mixed_with_normal_traffic():
     assert eng.kvc.directory.host_free == 64
 
 
+def test_concurrent_streams_batched_one_dispatch():
+    """Multiple streamed lanes ride ONE batched dispatch per phase group
+    (stream_step_batched) and each decodes token-identically to serving
+    it alone."""
+    prompts = [prompt_of(40, seed=20 + i) for i in range(3)]
+    gen = 8
+
+    solo = []
+    for p in prompts:
+        e = make_engine(hbm=6, host=64, max_seq=64)
+        e.add_request(p, max_new_tokens=gen)
+        solo.append(e.run()[0].tokens)
+
+    eng = make_engine(hbm=6, host=256, max_seq=64)
+    rids = [eng.add_request(p, max_new_tokens=gen) for p in prompts]
+    assert len(eng._stream_queue) == 3
+    toks = {o.req_id: o.tokens for o in eng.run()}
+    for rid, want in zip(rids, solo):
+        assert toks[rid] == want
+    # batched: 3 lanes advanced per engine step, so steady-state decode
+    # took ~gen steps, not 3*gen
+    st = eng.get_statistics()
+    assert st["engine"]["stream_tokens"] >= 3 * (gen - 1)
+
+
+def test_stream_logprobs():
+    """logprobs on the host-streamed path (lifted in r3): chosen-token
+    logprob must equal the top-1 logprob for greedy lanes, with one entry
+    per generated token."""
+    eng = make_engine(hbm=6, host=64, max_seq=64)
+    rid = eng.add_request(prompt_of(40, seed=7), max_new_tokens=6,
+                          logprobs=3)
+    outs = eng.run()
+    assert len(outs) == 1
+    lps = outs[0].logprobs
+    assert lps is not None and len(lps) == len(outs[0].tokens)
+    for tok, entry in zip(outs[0].tokens, lps):
+        assert entry["top_ids"][0] == tok          # greedy = argmax
+        assert abs(entry["logprob"] - entry["top_logprobs"][0]) < 1e-5
+        assert len(entry["top_ids"]) == 3
+    # prompt_logprobs stays cleanly rejected on the streamed path
+    with pytest.raises(ValueError, match="prompt_logprobs"):
+        eng.add_request(prompt_of(40, seed=8), max_new_tokens=4,
+                        prompt_logprobs=True)
+
+
 def test_stream_capacity_rejection():
     eng = make_engine(hbm=6, host=16, max_seq=64)
     with pytest.raises(ValueError, match="host-streamed capacity"):
