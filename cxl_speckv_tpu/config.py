@@ -168,6 +168,12 @@ class PrefetchConfig:
     # (min(vocab, vocab_buckets), embed_dim, lstm_hidden, lstm_layers).
     predictor_path: str | None = None
     replay_capacity: int = 4096
+    # Seed n-gram speculative-decoding lookup MISSES with the LSTM's top-k
+    # token-class predictions (mapped back to concrete tokens through the
+    # lane's own history) — the predictor's predictions do serving work
+    # beyond the EOS prefetch gate. Heuristic only: verify keeps the output
+    # distribution exact regardless of draft quality.
+    seed_ngram: bool = True
 
 
 @dataclass

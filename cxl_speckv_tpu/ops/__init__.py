@@ -6,4 +6,3 @@ from cxl_speckv_tpu.ops.quant import (  # noqa: F401
     kv_storage_dtype,
     quantize_kv,
 )
-from cxl_speckv_tpu.ops.quant_pallas import quantize_rows  # noqa: F401

@@ -19,8 +19,10 @@ scales, chosen TPU-first:
   on the datapath between CXL and HBM.
 
 All functions are shape-polymorphic over leading dims and quantize along the
-last axis (head_dim). They are pure jnp (XLA fuses them into neighbors);
-append-path Pallas variants live in `quant_pallas.py`.
+last axis (head_dim). They are pure jnp: XLA fuses them into the
+neighboring projection/scatter ops of every serving program, so a
+standalone append kernel would only add a VMEM round-trip (a Pallas
+variant was benchmarked and removed in r3 for exactly that reason).
 """
 
 from __future__ import annotations

@@ -91,7 +91,26 @@ def main():
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
             hb = Hkv * bs
-            if mode == "fetch":
+            if mode == "fetchrow":
+                # touch ONE sublane per tile: the DMA still moves the whole
+                # block, but the VPU processes ~1/bs of it — the closest
+                # measurable thing to the pure DMA floor
+                tot = jnp.zeros((1, 1), jnp.float32)
+                for j in range(ppb):
+                    tot += jnp.sum(
+                        k_refs[j][0, :, :1, :].astype(jnp.float32)).reshape(1, 1)
+                    tot += jnp.sum(
+                        v_refs[j][0, :, :1, :].astype(jnp.float32)).reshape(1, 1)
+                acc_ref[0:1, 0:1] += tot
+            elif mode == "fetchint":
+                # int32-accumulate reduce: no int8 -> float convert, so this
+                # isolates DMA + integer reduce from the convert cost
+                tot = jnp.zeros((1, 1), jnp.int32)
+                for j in range(ppb):
+                    tot += jnp.sum(k_refs[j][0].astype(jnp.int32)).reshape(1, 1)
+                    tot += jnp.sum(v_refs[j][0].astype(jnp.int32)).reshape(1, 1)
+                acc_ref[0:1, 0:1] += tot.astype(jnp.float32)
+            elif mode == "fetch":
                 # touch every byte of every tile; accumulate so nothing DCEs
                 tot = jnp.zeros((1, 1), jnp.float32)
                 for j in range(ppb):
@@ -182,7 +201,7 @@ def main():
     # p [rows, cols] @ v [cols, D]) — no big-operand transposes. Scales
     # fold per-COLUMN post-matmul (a [1, cols] vector op) instead of
     # scaling whole K/V tiles pre-matmul. Online softmax updates per page.
-    def run_v2(fused_scales=False):
+    def run_v2(fused_scales=False, w8a8=False):
         rows = Hkv * G
         cols = Hkv * bs
         kpT = jnp.zeros((S, D // pack, cols),
@@ -218,6 +237,8 @@ def main():
                     jnp.int32, (rows, cols), 0) // G
                 c_head = c_idx // bs
                 head_ok = c_head == r_head
+                q8 = (jnp.clip(q_ref[0].reshape(rows, D) * 127.0, -127, 127)
+                      .astype(jnp.int8) if w8a8 else None)
                 for j in range(ppb):
                     kT = kT_refs[j][0]                      # [D/pack, cols]
                     if name == "int4":
@@ -225,10 +246,18 @@ def main():
                         lo = (r << 28) >> 28
                         hi = (r << 24) >> 28
                         kT = jnp.concatenate([lo, hi], axis=0)
-                    s = jax.lax.dot_general(
-                        q, kT.astype(jnp.bfloat16),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # [rows, cols]
+                    if w8a8:
+                        # int8 x int8 MXU: no K convert on the QK path; the
+                        # int32 scores fold q/k scales in f32 afterwards
+                        s = jax.lax.dot_general(
+                            q8, kT, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32
+                        ).astype(jnp.float32) * (1.0 / 127.0)
+                    else:
+                        s = jax.lax.dot_general(
+                            q, kT.astype(jnp.bfloat16),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [rows, cols]
                     ksf = (sc_refs[j][0, 0] if fused_scales
                            else ks_refs[j][0]).reshape(1, cols)
                     s = s * ksf * (D ** -0.5)
@@ -324,6 +353,105 @@ def main():
         np.asarray(out)
         return (time.perf_counter() - t0) / N
 
+    # -- v5 prototype: manual DMA ring, grid (B,) --------------------------
+    # Mosaic's automatic BlockSpec pipelining runs at depth 2: every grid
+    # step WAITS on ~4*ppb block DMAs issued one step ahead, so per-step
+    # latency is a DMA latency chain (~1.2ms/call at every geometry — the
+    # measured floor). Here the kernel issues its own DMAs NBUF blocks
+    # ahead into a VMEM ring, so ~4*NBUF transfers stay in flight and the
+    # wait is amortized across the whole sequence.
+    def run_v5(nbuf=8, compute="row"):
+        def v5_kernel(table_ref, lens_ref, q_ref, kp_ref, vp_ref,
+                      ks_ref, vs_ref, o_ref):
+            b = pl.program_id(0)
+            seq_len = lens_ref[b]
+            nblk = (seq_len + bs - 1) // bs
+
+            def body(kbuf, vbuf, ksb, vsb, acc, sems):
+                def copies(i, buf):
+                    s = table_ref[b, i]
+                    return (
+                        pltpu.make_async_copy(kp_ref.at[s], kbuf.at[buf],
+                                              sems.at[buf, 0]),
+                        pltpu.make_async_copy(vp_ref.at[s], vbuf.at[buf],
+                                              sems.at[buf, 1]),
+                        pltpu.make_async_copy(ks_ref.at[s], ksb.at[buf],
+                                              sems.at[buf, 2]),
+                        pltpu.make_async_copy(vs_ref.at[s], vsb.at[buf],
+                                              sems.at[buf, 3]),
+                    )
+
+                for w in range(nbuf):
+                    @pl.when(w < nblk)
+                    def _(w=w):
+                        for c in copies(w, w):
+                            c.start()
+
+                acc[:] = jnp.zeros_like(acc)
+
+                def step(i, carry):
+                    buf = jax.lax.rem(i, nbuf)
+                    for c in copies(i, buf):   # matching descriptor to wait
+                        c.wait()
+                    if compute == "row":
+                        t = jnp.sum(kbuf[buf, :, :1, :].astype(jnp.float32))
+                        t += jnp.sum(vbuf[buf, :, :1, :].astype(jnp.float32))
+                        acc[0:1, 0:1] += t.reshape(1, 1)
+                    @pl.when(i + nbuf < nblk)
+                    def _():
+                        for c in copies(i + nbuf, buf):
+                            c.start()
+                    return carry
+
+                jax.lax.fori_loop(0, nblk, step, 0)
+                o_ref[0] = acc[: Hkv * G, :1].reshape(Hkv, G, 1).astype(
+                    o_ref.dtype)
+
+            pl.run_scoped(
+                body,
+                kbuf=pltpu.VMEM((nbuf, Hkv, bs, D // pack),
+                                jnp.int8 if elem == 1 else jnp.bfloat16),
+                vbuf=pltpu.VMEM((nbuf, Hkv, bs, D // pack),
+                                jnp.int8 if elem == 1 else jnp.bfloat16),
+                ksb=pltpu.VMEM((nbuf, Hkv, bs), jnp.float32),
+                vsb=pltpu.VMEM((nbuf, Hkv, bs), jnp.float32),
+                acc=pltpu.VMEM((max(Hkv * G, 8), 128), jnp.float32),
+                sems=pltpu.SemaphoreType.DMA((nbuf, 4)),
+            )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, G, D), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, Hkv, G, 1), lambda b, *_: (b, 0, 0, 0)),
+        )
+        q4 = q.reshape(B, Hkv, G, D)
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def loop(q4, kp, vp, ks, vs, table, lens, *, iters):
+            def body(_, acc):
+                out = pl.pallas_call(
+                    v5_kernel, grid_spec=grid_spec,
+                    out_shape=jax.ShapeDtypeStruct((B, Hkv, G, 1), q4.dtype),
+                    interpret=interpret_mode(),
+                )(table, lens, q4 + acc[:, :, :, :1] * 0, kp, vp, ks, vs)
+                return acc + out.astype(acc.dtype)
+            return jax.lax.fori_loop(
+                0, iters, body, jnp.zeros((B, Hkv, G, 1), jnp.float32))
+
+        out = loop(q4, kp, vp, ks, vs, table, lens, iters=N)
+        np.asarray(out)
+        t0 = time.perf_counter()
+        out = loop(q4, kp, vp, ks, vs, table, lens, iters=N)
+        np.asarray(out)
+        return (time.perf_counter() - t0) / N
+
     @functools.partial(jax.jit, static_argnames=("iters",))
     def full_loop(q, kp, vp, ks, vs, table, lens, *, iters):
         def body(_, q):
@@ -348,7 +476,7 @@ def main():
     print(f"full    : {dt*1e6:8.0f} us/call {tot_bytes/dt/1e9:7.1f} GB/s",
           flush=True)
 
-    for mode in ("fetch", "dequant", "matmul"):
+    for mode in ("fetchrow", "fetch", "fetchint", "dequant", "matmul"):
         try:
             dt = run_variant(mode)
             print(f"{mode:8s}: {dt*1e6:8.0f} us/call "
@@ -356,13 +484,22 @@ def main():
         except Exception as e:
             print(f"{mode:8s}: FAIL {type(e).__name__}: {str(e)[:150]}",
                   flush=True)
-    for fused, label in ((False, "v2"), (True, "v3fused")):
+    for fused, w8, label in ((False, False, "v2"),
+                             (True, False, "v3fused")):
         try:
-            dt = run_v2(fused)
+            dt = run_v2(fused, w8)
             print(f"{label:8s}: {dt*1e6:8.0f} us/call "
                   f"{tot_bytes/dt/1e9:7.1f} GB/s", flush=True)
         except Exception as e:
             print(f"{label:8s}: FAIL {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+    for nbuf in (4, 8, 16):
+        try:
+            dt = run_v5(nbuf=nbuf)
+            print(f"v5ring{nbuf:<2d}: {dt*1e6:8.0f} us/call "
+                  f"{tot_bytes/dt/1e9:7.1f} GB/s", flush=True)
+        except Exception as e:
+            print(f"v5ring{nbuf:<2d}: FAIL {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
 
 

@@ -203,3 +203,43 @@ def test_ngram_and_draft_config_mutually_exclusive():
     with pytest.raises(ValueError):
         Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False,
                spec_ngram=True, draft_config=dc)
+
+
+# -- LSTM-seeded lookup misses (r2 verdict weak #8) ---------------------------
+
+def test_lstm_seeds_lookup_misses_token_identical():
+    """With the prefetch LSTM enabled, n-gram lookup MISSES draft the
+    predictor's class prediction (mapped to a concrete history token) —
+    and greedy output stays identical to plain decoding, because proposals
+    never affect correctness."""
+    ps = prompts(4, rng_seed=31)
+    plain = run_all(make_engine(ngram=False), ps)
+
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=256,
+                          num_host_blocks=256, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(depth=2, seed_ngram=True),
+        engine=EngineConfig(max_batch_size=4, max_seq_len=128,
+                            prefill_chunk=32),
+    )
+    eng = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=True,
+                 seed=0, spec_ngram=True, spec_gamma=3)
+    assert eng.prefetcher.predictor is not None
+    spec = run_all(eng, ps)
+    assert spec == plain
+    # random prompts recur rarely: misses happened and were LSTM-seeded
+    assert eng.spec.stats.fallback_seeded > 0
+
+
+def test_seed_ngram_off_keeps_repeat_last_fallback():
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=256,
+                          num_host_blocks=256, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(depth=2, seed_ngram=False),
+        engine=EngineConfig(max_batch_size=4, max_seq_len=128,
+                            prefill_chunk=32),
+    )
+    eng = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=True,
+                 seed=0, spec_ngram=True, spec_gamma=3)
+    run_all(eng, prompts(2, rng_seed=32))
+    assert eng.spec.stats.fallback_seeded == 0

@@ -20,7 +20,6 @@ from cxl_speckv_tpu.ops.quant import (
     quantization_rms_error,
     quantize_kv,
 )
-from cxl_speckv_tpu.ops.quant_pallas import quantize_rows
 
 DTYPES = [KVDtype.BF16, KVDtype.INT8, KVDtype.INT4, KVDtype.FP8]
 # relative RMS error budgets per format
@@ -79,16 +78,6 @@ def test_scale_is_per_row():
     x = jnp.stack([jnp.ones(128), jnp.ones(128) * 1000.0])
     _, s = quantize_kv(x, KVDtype.INT8)
     assert float(s[1, 0]) / float(s[0, 0]) == pytest.approx(1000.0, rel=1e-5)
-
-
-@pytest.mark.parametrize("dt", [KVDtype.INT8, KVDtype.INT4, KVDtype.FP8])
-@pytest.mark.parametrize("rows", [1, 7, 256, 300])
-def test_pallas_matches_reference(dt, rows):
-    x = sample((rows, 128), seed=rows)
-    q_ref, s_ref = quantize_kv(x, dt)
-    q_pl, s_pl = quantize_rows(x, dt)
-    np.testing.assert_array_equal(np.asarray(q_pl), np.asarray(q_ref))
-    np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref), rtol=1e-6)
 
 
 def test_compression_ratio_accounting():
