@@ -131,3 +131,55 @@ def test_sp_ring_sliding_window():
     got = sp_forward_dense(params, cfg, toks, mesh=mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# engine-reachable batch scoring (r2 verdict missing #4)
+# ---------------------------------------------------------------------------
+
+def test_score_prompts_dense_pp_sp_agree():
+    """Engine.score_prompts routes the same scoring math through dense,
+    pipeline (pp), and ring-attention (sp) executions — identical
+    per-token logprobs up to summation order."""
+    from cxl_speckv_tpu.engine.scoring import score_prompts
+
+    rng = np.random.RandomState(5)
+    prompts = [rng.randint(1, CFG.vocab_size, n).tolist()
+               for n in (9, 14, 6, 11)]
+    dense = score_prompts(PARAMS, CFG, prompts, mode="dense")
+    assert [len(s) for s in dense] == [len(p) - 1 for p in prompts]
+    if len(jax.devices()) >= 4:
+        pp = score_prompts(PARAMS, CFG, prompts, mode="pp",
+                           parallel_size=4, num_microbatches=2)
+        sp = score_prompts(PARAMS, CFG, prompts, mode="sp",
+                           parallel_size=4)
+        for a, b, c in zip(dense, pp, sp):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+            np.testing.assert_allclose(a, c, rtol=2e-4, atol=2e-4)
+
+
+def test_engine_score_prompts_entry():
+    """The Engine API exposes the scorer (pp/sp are reachable from the
+    serving object, not just standalone functions)."""
+    from cxl_speckv_tpu.config import (CacheConfig, EngineConfig, KVDtype,
+                                       PrefetchConfig, SystemConfig)
+    from cxl_speckv_tpu.engine.engine import Engine
+
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=16,
+                          num_host_blocks=32, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(enabled=False),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=64,
+                            prefill_chunk=16),
+    )
+    eng = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+    prompts = [[3, 5, 7, 9, 11], [2, 4, 6]]
+    got = eng.score_prompts(prompts, mode="sp", parallel_size=2) \
+        if len(jax.devices()) >= 2 else eng.score_prompts(prompts)
+    assert [len(s) for s in got] == [4, 2]
+    want = eng.score_prompts(prompts, mode="dense")
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="2 tokens"):
+        eng.score_prompts([[1]])
