@@ -29,7 +29,8 @@ import numpy as np
 
 
 def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
-                 max_seq_len, horizon, quantum, use_pallas, prefetch):
+                 max_seq_len, horizon, quantum, use_pallas, prefetch,
+                 lstm=None):
     from cxl_speckv_tpu.config import (
         CacheConfig, EngineConfig, KVDtype, PrefetchConfig, SystemConfig)
     from cxl_speckv_tpu.engine.engine import Engine
@@ -48,7 +49,7 @@ def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
     # dispatch) and gates prefetch by continuation probability while
     # training online on the served token stream
     eng = Engine(model_config, sc, params=params, use_pallas=use_pallas,
-                 enable_lstm=prefetch, seed=0)
+                 enable_lstm=prefetch if lstm is None else lstm, seed=0)
     # construction cost (pool + pinned-store H2D) must not land inside the
     # first timed rounds — settle the async uploads before measurement.
     # Device pools: tiny value fetch (block_until_ready can return early on

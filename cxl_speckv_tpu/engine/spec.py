@@ -243,18 +243,21 @@ class SpecDecoder(_AcceptanceMixin):
         self.block_size = cache.block_size
         n_slots = cache.total_blocks + 1  # all logical blocks fit; +1 guard
         pack = 2 if draft_kv_dtype == KVDtype.INT4 else 1
+        kt_shape = (c.num_layers, n_slots, c.head_dim // pack,
+                    c.num_kv_heads * cache.block_size)
         kv_shape = (c.num_layers, n_slots, c.num_kv_heads, cache.block_size,
                     c.head_dim // pack)
         sc_shape = (c.num_layers, n_slots, c.num_kv_heads, cache.block_size)
         elem = kv_storage_dtype(draft_kv_dtype)
-        self.pools = (jnp.zeros(kv_shape, elem), jnp.zeros(kv_shape, elem),
+        self.pools = (jnp.zeros(kt_shape, elem), jnp.zeros(kv_shape, elem),
                       jnp.ones(sc_shape, jnp.float32), jnp.ones(sc_shape, jnp.float32))
         if self.mesh is not None:
             # draft KV heads shard over tp like the target pools (the draft
             # model's params are sharded by the engine; its pools must match)
             from cxl_speckv_tpu.parallel.sharding import pool_put
             put = pool_put(self.mesh)
-            self.pools = tuple(put(p) for p in self.pools)
+            self.pools = tuple(put(p, role) for p, role
+                               in zip(self.pools, ("kt", "v", "sc", "sc")))
         self.guard_slot = n_slots - 1
         self._free = list(range(n_slots - 2, -1, -1))
         self._slot_of_bid: dict[int, int] = {}

@@ -38,6 +38,19 @@ from cxl_speckv_tpu.ops.quant import (
 Params = dict[str, Any]
 
 
+def _kt_append(kp: jax.Array, kenc: jax.Array, slots: jax.Array,
+               offs: jax.Array, bs: int) -> jax.Array:
+    """Scatter encoded K rows [..., Hkv, D/pack] into the TRANSPOSED K pool
+    [S, D/pack, Hkv*bs] at (slot, :, h*bs + off); slots/offs carry the same
+    leading dims as kenc ([B] decode, [B, T] batched prefill). The INT4
+    half-split pairing is layout-invariant: `encode_for_pool` lane i holds
+    elements (i, i+D/2), which is exactly kT sublane i of the token's
+    column."""
+    hkv = kenc.shape[-2]
+    cols = offs[..., None] + jnp.arange(hkv, dtype=offs.dtype) * bs
+    return kp.at[slots[..., None], :, cols].set(kenc.astype(kp.dtype))
+
+
 def _attend_fns(config: LlamaConfig, use_pallas: bool, mesh):
     """(decode_attend, chunk_attend) for one traced program.
 
@@ -433,7 +446,7 @@ def _decode_core(
     """Single decode step, un-jitted (shared by decode_step/decode_multi)."""
     c = config
     B = token_ids.shape[0]
-    bs = k_pools.shape[3]  # pools [L, S, Hkv, bs, D/pack]
+    bs = v_pools.shape[3]  # v pools [L, S, Hkv, bs, D/pack]
     rope_fs = rope_frequency_pair(c)
     x = _embed(params, c, token_ids)  # [B, H]
 
@@ -476,7 +489,7 @@ def _decode_core(
         vp = jax.lax.dynamic_index_in_dim(v_pools, li, 0, keepdims=False)
         ksc = jax.lax.dynamic_index_in_dim(k_scales, li, 0, keepdims=False)
         vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
-        kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
+        kp = _kt_append(kp, kenc, slots, offs, bs)
         vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[:, :, 0])
         vsc = vsc.at[slots, :, offs].set(vs[:, :, 0])
@@ -717,7 +730,7 @@ def prefill_batch_packed(
     c = config
     B = packed.shape[0]
     T = packed.shape[1] - 4 - max_blocks
-    bs = k_pools.shape[3]
+    bs = v_pools.shape[3]
     guard_slot = k_pools.shape[1] - 1
     rope_fs = rope_frequency_pair(c)
 
@@ -777,7 +790,7 @@ def prefill_batch_packed(
                          softcap=c.attn_softcap, sinks=lp.get("sinks"))
         x = _block_residuals(x, o.reshape(B, T, -1), lp, c)
 
-        kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
+        kp = _kt_append(kp, kenc, slots, offs, bs)
         vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[..., 0])
         vsc = vsc.at[slots, :, offs].set(vs[..., 0])
@@ -1237,7 +1250,7 @@ def verify_step(
     _, attend_chunk = _attend_fns(config, use_pallas, mesh)
     c = config
     B, T = token_ids.shape
-    bs = k_pools.shape[3]
+    bs = v_pools.shape[3]
     max_blocks = block_tables.shape[1]
     guard_slot = k_pools.shape[1] - 1
     rope_fs = rope_frequency_pair(c)
@@ -1292,7 +1305,7 @@ def verify_step(
                          window=window, sm_scale=c.sm_scale,
                          softcap=c.attn_softcap, sinks=lp.get("sinks"))
         x = _block_residuals(x, o.reshape(B, T, -1), lp, c)
-        kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
+        kp = _kt_append(kp, kenc, slots, offs, bs)
         vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks[..., 0])
         vsc = vsc.at[slots, :, offs].set(vs[..., 0])
@@ -1350,7 +1363,7 @@ def prefill_chunk(
 
     c = config
     T = token_ids.shape[0]
-    bs = k_pools.shape[3]  # pools [L, S, Hkv, bs, D/pack]
+    bs = v_pools.shape[3]  # v pools [L, S, Hkv, bs, D/pack]
     max_blocks = table_row.shape[0]
     guard_slot = k_pools.shape[1] - 1
     rope_fs = rope_frequency_pair(c)
@@ -1413,7 +1426,7 @@ def prefill_chunk(
         x = _block_residuals(x, o, lp, c)
 
         # scatter the (already) quantized chunk KV
-        kp = kp.at[slots, :, offs].set(kenc.astype(kp.dtype))
+        kp = _kt_append(kp, kenc, slots, offs, bs)
         vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
         ksc = ksc.at[slots, :, offs].set(ks_pre[:, :, 0])
         vsc = vsc.at[slots, :, offs].set(vs_pre[:, :, 0])

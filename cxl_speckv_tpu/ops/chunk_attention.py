@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from cxl_speckv_tpu.config import KVDtype
-from cxl_speckv_tpu.ops.paged_attention_ref import _dequant_block
+from cxl_speckv_tpu.ops.paged_attention_ref import (_dequant_block,
+                                                    _dequant_kt_blocks)
 
 NEG_INF = -1e30
 
@@ -26,8 +27,8 @@ def paged_chunk_attention(
     q: jax.Array,            # [B, T, Hq, D] fresh queries (rope applied)
     k_new: jax.Array,        # [B, T, Hkv, D] fresh keys (rope applied, unquantized)
     v_new: jax.Array,
-    k_pool: jax.Array,       # [S, Hkv, bs, D/pack]
-    v_pool: jax.Array,
+    k_pool: jax.Array,       # [S, D/pack, Hkv*bs] (kT layout)
+    v_pool: jax.Array,       # [S, Hkv, bs, D/pack]
     k_scale: jax.Array,      # [S, Hkv, bs]
     v_scale: jax.Array,
     block_table: jax.Array,  # [B, max_blocks] int32 (clamped >= 0)
@@ -41,7 +42,7 @@ def paged_chunk_attention(
 ) -> jax.Array:
     """Returns [B, T, Hq, D]."""
     B, T, num_q_heads, head_dim = q.shape
-    _, num_kv_heads, block_size, _ = k_pool.shape
+    _, num_kv_heads, block_size, _ = v_pool.shape
     max_blocks = block_table.shape[1]
     group = num_q_heads // num_kv_heads
     if sm_scale is None:
@@ -53,7 +54,8 @@ def paged_chunk_attention(
     def block_step(carry, m):
         m_acc, l_acc, o_acc = carry                    # [B,Hkv,G,T,1]x2, [B,Hkv,G,T,D]
         slots = block_table[:, m]                      # [B]
-        kblk = _dequant_block(k_pool[slots], kv_dtype, scheme_id)  # [B, Hkv, bs, D]
+        kblk = _dequant_kt_blocks(k_pool[slots], num_kv_heads, kv_dtype,
+                                  scheme_id)           # [B, Hkv, bs, D]
         vblk = _dequant_block(v_pool[slots], kv_dtype, scheme_id)
         ks = k_scale[slots]                            # [B, Hkv, bs]
         vs = v_scale[slots]

@@ -99,49 +99,45 @@ def _chunk_kernel(
     def _context():
         q = q_ref[0, 0].astype(compute_dtype)                 # [TG, D]
 
-        # Scales ride their native 3D layout; each tile carries all heads
-        # (1KB) and the kernel selects this head's row — ref indexing with
-        # a dynamic sublane index is Mosaic-lowerable, and a host-side
-        # [..., None] relayout of the whole pool is avoided. Folding the
-        # scale into the dequantized values PRE-matmul matches the decode
-        # kernel's recipe exactly (one rounding behavior across paths);
-        # the unit-dim insert happens on f32 (32-bit-only Mosaic rule).
-        def dq(raw_ref, sc_ref):
-            x = _dequant_tile(raw_ref[0, 0], kv_dtype, head_dim, sid,
+        # Per-PAGE online updates on the kT layout (r3): this head's K tile
+        # is a lane slice [D/pack, bs] of the transposed pool, so QK^T is
+        # the MXU-native (lanes x sublanes) contraction — no operand
+        # relayouts (same redesign as the decode kernel). Scales fold
+        # POST-matmul as per-column vectors, identical rounding to decode.
+        for j in range(ppb):
+            kT = _dequant_tile(k_refs[j][0], kv_dtype, head_dim, sid,
+                               out_dtype=compute_dtype, axis=0)  # [D, bs]
+            s = jax.lax.dot_general(
+                q, kT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [TG, bs]
+            ksf = ks_refs[j][0, h].reshape(1, block_size)
+            s = s * ksf * sm_scale
+            if softcap is not None:
+                s = softcap * jnp.tanh(s / softcap)
+            # pages are CONSECUTIVE logical blocks: column c of page j sits
+            # at absolute position (i*ppb + j)*bs + c
+            pos = ((i * ppb + j) * block_size
+                   + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            ok = pos < start
+            if window is not None:
+                # query row r = t*G + g sits at absolute position start + t
+                # and attends positions in [start + t - window + 1, ...]
+                row_t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // group
+                ok = ok & (pos + window > start + row_t)
+            s = jnp.where(ok, s, NEG_INF)
+
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            vsf = vs_refs[j][0, h].reshape(1, block_size)
+            v = _dequant_tile(v_refs[j][0, 0], kv_dtype, head_dim, sid,
                               out_dtype=compute_dtype)        # [bs, D]
-            return x * sc_ref[0, h][:, None].astype(compute_dtype)
-
-        k = jnp.concatenate(
-            [dq(k_refs[j], ks_refs[j]) for j in range(ppb)], axis=0)
-        v = jnp.concatenate(
-            [dq(v_refs[j], vs_refs[j]) for j in range(ppb)], axis=0)
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale    # [TG, ppb*bs]
-        if softcap is not None:
-            s = softcap * jnp.tanh(s / softcap)
-        # pages are CONSECUTIVE logical blocks, so column c's token
-        # position is simply the step base + c
-        pos = (i * ppb * block_size
-               + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
-        ok = pos < start
-        if window is not None:
-            # query row r = t*G + g sits at absolute position start + t and
-            # attends positions in [start + t - window + 1, start + t]
-            row_t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // group
-            ok = ok & (pos + window > start + row_t)
-        s = jnp.where(ok, s, NEG_INF)
-
-        m_prev = m_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_ref[:] = m_new
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                (p * vsf).astype(compute_dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[:] = m_new
 
     @pl.when(i == nb - 1)
     def _chunk_and_finalize():
@@ -188,8 +184,8 @@ def paged_chunk_attention_pallas(
     q: jax.Array,            # [B, T, Hq, D] fresh queries (rope applied)
     k_new: jax.Array,        # [B, T, Hkv, D] fresh keys (store-rounded)
     v_new: jax.Array,
-    k_pool: jax.Array,       # [S, Hkv, bs, D/pack]
-    v_pool: jax.Array,
+    k_pool: jax.Array,       # [S, D/pack, Hkv*bs] (kT layout)
+    v_pool: jax.Array,       # [S, Hkv, bs, D/pack]
     k_scale: jax.Array,      # [S, Hkv, bs]
     v_scale: jax.Array,
     block_table: jax.Array,  # [B, max_blocks] int32 (clamped >= 0)
@@ -207,7 +203,7 @@ def paged_chunk_attention_pallas(
     """Drop-in kernel variant of `chunk_attention.paged_chunk_attention`.
     Returns [B, T, Hq, D]."""
     B, T, num_q_heads, head_dim = q.shape
-    num_slots, num_kv_heads, block_size, _ = k_pool.shape
+    num_slots, num_kv_heads, block_size, _ = v_pool.shape
     max_blocks = block_table.shape[1]
     group = num_q_heads // num_kv_heads
     tg = T * group
@@ -252,7 +248,7 @@ def paged_chunk_attention_pallas(
     kn = k_new.transpose(0, 2, 1, 3)   # [B, Hkv, T, D]
     vn = v_new.transpose(0, 2, 1, 3)
 
-    def ctx_index(j, rank4=True):
+    def ctx_index(j, mode="v"):
         def f(b, h, i, t, s, *_):
             # clamp to the lane's last real context block: trailing grid
             # steps re-address it, so their copies are elided
@@ -264,15 +260,21 @@ def paged_chunk_attention_pallas(
                 first = jnp.maximum((s[b] - window) // block_size, 0)
                 idx = jnp.maximum(idx, first)
             slot = t[b, jnp.minimum(idx, last)]
-            return (slot, h, 0, 0) if rank4 else (slot, 0, 0)
+            if mode == "kt":
+                # kT pool [S, D/pack, Hkv*bs]: this head's tile is the
+                # h-th bs-wide lane block
+                return (slot, 0, h)
+            return (slot, h, 0, 0) if mode == "v" else (slot, 0, 0)
         return f
 
+    kt_spec = [pl.BlockSpec((1, head_dim // pack, block_size),
+                            ctx_index(j, mode="kt")) for j in range(ppb)]
     kv_spec = [pl.BlockSpec((1, 1, block_size, head_dim // pack),
                             ctx_index(j)) for j in range(ppb)]
     sink_spec = ([pl.BlockSpec((1, tg, 1), lambda b, h, i, *_: (h, 0, 0))]
                  if sinks is not None else [])
     sc_spec = [pl.BlockSpec((1, num_kv_heads, block_size),
-                            ctx_index(j, rank4=False)) for j in range(ppb)]
+                            ctx_index(j, mode="sc")) for j in range(ppb)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if mixed else 2,
@@ -281,7 +283,7 @@ def paged_chunk_attention_pallas(
             pl.BlockSpec((1, 1, tg, head_dim), lambda b, h, i, *_: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, T, head_dim), lambda b, h, i, *_: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, T, head_dim), lambda b, h, i, *_: (b, h, 0, 0)),
-            *kv_spec, *kv_spec, *sc_spec, *sc_spec, *sink_spec,
+            *kt_spec, *kv_spec, *sc_spec, *sc_spec, *sink_spec,
         ],
         out_specs=pl.BlockSpec((1, 1, tg, head_dim),
                                lambda b, h, i, *_: (b, h, 0, 0)),

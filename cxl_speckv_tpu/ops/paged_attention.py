@@ -7,27 +7,38 @@ full precision — the TPU-native analog of the FPGA decompressing on the
 datapath between CXL pool and HBM (`hardware/rtl/kv_decompress.v`), fused one
 level further into the attention matmul itself.
 
-Design:
-- Grid (batch, kv_block_group): ALL kv heads of a block ride one tile and
-  `pages_per_step` blocks are fetched per grid step through separate
-  BlockSpecs — grid steps are sequential on a TensorCore and carry ~2us of
-  fixed sequencing cost each, so a (B, Hkv, n_blocks) grid of tiny [bs, D]
-  tiles is fixed-cost-bound (measured 1-3% of HBM peak); folding heads and
-  batching pages cuts the step count by Hkv * pages_per_step.
-- The block table and sequence lengths ride scalar prefetch
-  (`PrefetchScalarGridSpec`) so BlockSpec index_maps resolve the *physical*
-  pool slot of each logical block before the pipeline DMAs it — the
-  device-side page walk (analog of `hardware/rtl/atu.v`). Index maps clamp
-  at the lane's last real block: steps past seq_len re-address it and their
-  DMAs are elided.
-- Pool layout [num_slots, Hkv, block_size, D/pack] puts (block_size,
-  head_dim) in the tiling dims, satisfying the Mosaic (8, 128)-divisibility
-  rule; per-(slot) tiles now span every head.
-- Per-row scales fold into the matmuls: K scales multiply score columns
-  post-QK^T, V scales fold into the attention weights pre-WV. The MXU sees
-  raw quantized values upcast in-register; HBM traffic stays compressed.
-- Online softmax accumulators live in VMEM scratch across the block-group
-  grid dimension (sequential on TPU), giving flash-decoding in one pass.
+Design (r3 "v2": transposed-K layout — measured 1.8x over the r2 kernel):
+- K pool layout is [num_slots, D/pack, Hkv*block_size] ("kT": head_dim on
+  sublanes, head-major token columns on lanes). Both attention matmuls are
+  then MXU-NATIVE contractions with no operand transposes:
+      QK^T: q [rows, D] @ kT [D, cols]      (contract lanes x sublanes)
+      PV:   p [rows, cols] @ v [cols, D]    (contract lanes x sublanes)
+  The r2 kernel stored K token-major ([S, Hkv, bs, D]) and paid a Mosaic
+  relayout of every K tile for the (1,1)-contraction QK — measured ~40% of
+  kernel time at the bench geometry (scripts/kernel_anatomy.py; the
+  score-transposed form "matmulT" was measured worse, which is why the
+  LAYOUT moves instead of the math).
+- V pool stays token-major [num_slots, Hkv, block_size, D/pack] (PV is
+  already native on it).
+- Scales fold POST-matmul as per-column vectors: s *= ks[None, :] after
+  QK^T and p *= vs[None, :] before PV — a [1, cols] VPU op instead of
+  scaling whole K/V tiles pre-matmul.
+- INT4 K packs along the SUBLANE axis of kT (row r holds elements r and
+  r + D/2 of a token column — the same half-split pairing as the lane
+  packing, so `encode_for_pool` rows drop straight into kT rows); unpack
+  is 32-bit shifts + a sublane concat, full-lane throughout. INT4 V keeps
+  the lane half-split (a clean per-token row write at append).
+- Grid (batch, block_group): `pages_per_step` blocks ride separate
+  BlockSpecs per step; the block table + seq lens ride scalar prefetch
+  (`PrefetchScalarGridSpec`) so index maps resolve physical slots before
+  the pipeline DMAs them (the device-side page walk, `hardware/rtl/atu.v`).
+  Index maps clamp at the lane's last real block so overshoot DMAs elide.
+- Online softmax updates PER PAGE in VMEM scratch across the sequential
+  grid — flash decoding in one pass.
+
+Measured bound (scripts/kernel_anatomy.py, r3): at the bench geometry this
+kernel sits ON the DMA-pipeline floor — a fetch-only kernel with identical
+specs costs the same — so further wins need fewer/bigger blocks, not math.
 """
 
 from __future__ import annotations
@@ -45,14 +56,37 @@ from cxl_speckv_tpu.ops.pallas_utils import interpret_mode
 NEG_INF = -1e30
 
 
+def kt_pool_shape(num_slots: int, num_kv_heads: int, block_size: int,
+                  head_dim: int, kv_dtype: KVDtype) -> tuple[int, int, int]:
+    """Shape of the transposed K pool for one layer."""
+    pack = 2 if kv_dtype == KVDtype.INT4 else 1
+    return (num_slots, head_dim // pack, num_kv_heads * block_size)
+
+
+def store_to_kt(blk: jax.Array) -> jax.Array:
+    """Store-layout K blocks [..., Hkv, bs, D/pack] -> kT pool layout
+    [..., D/pack, Hkv*bs]. The INT4 half-split byte pairing is
+    layout-invariant (lane i of a token row holds elements (i, i+D/2),
+    which becomes sublane i of the token's kT column)."""
+    a = jnp.moveaxis(blk, -1, -3)             # [..., D/pack, Hkv, bs]
+    return a.reshape(*a.shape[:-2], -1)       # [..., D/pack, Hkv*bs]
+
+
+def kt_to_store(kt: jax.Array, num_kv_heads: int) -> jax.Array:
+    """Inverse of `store_to_kt`: [..., D/pack, Hkv*bs] -> [..., Hkv, bs, D/pack]."""
+    a = kt.reshape(*kt.shape[:-1], num_kv_heads, -1)   # [..., Dp, Hkv, bs]
+    return jnp.moveaxis(a, -3, -1)                     # [..., Hkv, bs, Dp]
+
+
 def _dequant_tile(raw: jax.Array, kv_dtype: KVDtype, head_dim: int,
-                  sid=None, out_dtype=jnp.float32) -> jax.Array:
-    """Raw quantized [..., bs, D/pack] tile -> `out_dtype` [..., bs, D]
-    (scales separate). All stored values are exactly representable in
-    bfloat16 (int8/int4 integers, e4m3 floats), so out_dtype=bfloat16 loses
-    nothing here — rounding enters only at the scale multiply. MIXED8:
-    `sid` (scalar read from SMEM) selects the byte interpretation per call
-    — 0 = INT8, 1 = FP8 (per-layer mixed pools)."""
+                  sid=None, out_dtype=jnp.float32, axis: int = -1) -> jax.Array:
+    """Raw quantized tile -> `out_dtype` values (scales separate). All
+    stored values are exactly representable in bfloat16 (int8/int4
+    integers, e4m3 floats), so out_dtype=bfloat16 loses nothing here —
+    rounding enters only at the scale multiply. INT4 unpacks along `axis`
+    (-1 for token-major V tiles, -2/0 for kT sublane-packed tiles). MIXED8:
+    `sid` (scalar read from SMEM) selects the byte interpretation — 0 =
+    INT8, 1 = FP8 (per-layer mixed pools)."""
     if kv_dtype == KVDtype.MIXED8:
         i8 = raw.astype(out_dtype)
         f8 = jax.lax.bitcast_convert_type(raw, jnp.float8_e4m3fn).astype(out_dtype)
@@ -63,7 +97,7 @@ def _dequant_tile(raw: jax.Array, kv_dtype: KVDtype, head_dim: int,
         r = raw.astype(jnp.int32)
         lo = (r << 28) >> 28
         hi = (r << 24) >> 28
-        raw = jnp.concatenate([lo, hi], axis=-1)  # half-split packing
+        raw = jnp.concatenate([lo, hi], axis=axis)  # half-split packing
     elif kv_dtype == KVDtype.FP8 and raw.dtype == jnp.int8:
         # pool stores e4m3 bits in int8 bytes; reinterpret in-register.
         # Foreign-scheme bytes (guard slot, pre-switch blocks) can bitcast
@@ -77,7 +111,7 @@ def _decode_kernel(
     table_ref,   # [B, max_blocks] int32 (SMEM)
     lens_ref,    # [B] int32 (SMEM)
     q_ref,       # [1, Hkv, G, D]
-    *rest,       # ppb x (k, v, ks, vs) block refs, o_ref, 3 scratch refs
+    *rest,       # ppb x (kT, v, ks, vs) block refs, o_ref, 3 scratch refs
     kv_dtype: KVDtype,
     block_size: int,
     head_dim: int,
@@ -91,7 +125,7 @@ def _decode_kernel(
     softcap=None,   # static tanh score cap (Gemma family)
     has_sinks=False,  # GPT-OSS learned sink logits operand present
 ):
-    k_refs = rest[0:ppb]
+    kt_refs = rest[0:ppb]
     v_refs = rest[ppb:2 * ppb]
     ks_refs = rest[2 * ppb:3 * ppb]
     vs_refs = rest[3 * ppb:4 * ppb]
@@ -107,6 +141,9 @@ def _decode_kernel(
     seq_len = lens_ref[b]
     sid = sid_ref[0] if sid_ref is not None else None
     G = group
+    bs = block_size
+    rows = num_kv_heads * G
+    cols = num_kv_heads * bs
 
     @pl.when(i == 0)
     def _init():
@@ -121,62 +158,53 @@ def _decode_kernel(
 
     @pl.when(run)
     def _compute():
-        # One block-diagonal pass over ALL heads and pages of this step:
-        # Q [Hkv*G, D] against K/V [ppb*Hkv*bs, D] in single matmuls, with
-        # off-diagonal (query-head != kv-head) score columns masked to
-        # NEG_INF. exp underflows those to exactly 0, so the PV matmul sums
-        # only each head's own columns — Hkv-fold redundant FLOPs, but the
-        # kernel is bandwidth-bound and big MXU ops beat Hkv*ppb tiny ones
-        # (the per-head-loop variant measured 1-5% of HBM peak; see
-        # NOTES_ROUND2).
-        rows = num_kv_heads * G
-        hb = num_kv_heads * block_size
-        cols = ppb * hb
-
+        # One pass per PAGE: q [rows, D] against this page's kT [D, cols]
+        # and v [cols, D] in MXU-native contractions. Off-diagonal
+        # (query-head != kv-head) score entries mask to NEG_INF; exp
+        # underflows them to exactly 0 so PV sums only each head's own
+        # columns — Hkv-fold redundant FLOPs, but the kernel is
+        # bandwidth-bound and big MXU ops beat Hkv tiny ones.
         q = q_ref[0].reshape(rows, head_dim).astype(compute_dtype)
-        # Scale blocks arrive as [1, Hkv, bs] tiles of the raw 3D scale
-        # pool — a host-side k_scale[..., None] would relayout the ENTIRE
-        # pool (unit dim padded to 128 lanes; ~5ms/call for a 512MB pool).
-        # In-kernel, dequant+scale happen in the tile's natural 3D shape
-        # ([..., None] minor-unit insert is Mosaic-lowerable for f32 where
-        # a [Hkv, bs] -> [hb, 1] shape cast is not), then collapse to 2D.
-        def dq(raw_ref, sc_ref):
-            raw = raw_ref[0]                                   # [Hkv, bs, Dp]
-            x = _dequant_tile(raw, kv_dtype, head_dim, sid,
-                              out_dtype=compute_dtype)         # [Hkv, bs, D]
-            # unit-dim insert happens on f32 (Mosaic only lowers it for
-            # 32-bit types), THEN the scale converts to compute_dtype
-            x = x * sc_ref[0][..., None].astype(compute_dtype)
-            return x.reshape(hb, head_dim)
-        k = jnp.concatenate(
-            [dq(k_refs[j], ks_refs[j]) for j in range(ppb)], axis=0)
-        v = jnp.concatenate(
-            [dq(v_refs[j], vs_refs[j]) for j in range(ppb)], axis=0)
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale     # [rows, cols]
-        if softcap is not None:
-            s = softcap * jnp.tanh(s / softcap)
-
         c_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
         r_head = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // G
-        c_head = (c_idx // block_size) % num_kv_heads
-        pos = ((i * ppb + c_idx // hb) * block_size + c_idx % block_size)
-        ok = (c_head == r_head) & (pos < seq_len)
-        if window is not None:
-            ok = ok & (pos >= seq_len - window)
-        s = jnp.where(ok, s, NEG_INF)
+        c_head = c_idx // bs
+        head_ok = c_head == r_head
 
-        m_prev = m_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)                                 # [rows, cols]
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_ref[:] = m_new
+        for j in range(ppb):
+            kT = _dequant_tile(kt_refs[j][0], kv_dtype, head_dim, sid,
+                               out_dtype=compute_dtype, axis=0)  # [D, cols]
+            s = jax.lax.dot_general(
+                q, kT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [rows, cols]
+            # K scales fold per column post-matmul:
+            # q . (k * s) == (q . k) * s — a [1, cols] VPU op. The [Hkv, bs]
+            # scale tile flattens lane-major to match the column order.
+            ksf = ks_refs[j][0].reshape(1, cols)
+            s = s * ksf * sm_scale
+            if softcap is not None:
+                s = softcap * jnp.tanh(s / softcap)
+
+            pos = (i * ppb + j) * bs + c_idx % bs
+            ok = head_ok & (pos < seq_len)
+            if window is not None:
+                ok = ok & (pos >= seq_len - window)
+            s = jnp.where(ok, s, NEG_INF)
+
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            # V scales fold into the weights pre-PV (same post-matmul trick)
+            vsf = vs_refs[j][0].reshape(1, cols)
+            v = _dequant_tile(v_refs[j][0], kv_dtype, head_dim, sid,
+                              out_dtype=compute_dtype)  # [Hkv, bs, D]
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                (p * vsf).astype(compute_dtype),
+                v.reshape(cols, head_dim),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[:] = m_new
 
     @pl.when(i == n_steps - 1)
     def _finalize():
@@ -203,8 +231,8 @@ def _decode_kernel(
 )
 def paged_attention(
     q: jax.Array,              # [B, num_q_heads, head_dim]
-    k_pool: jax.Array,         # [num_slots, H_kv, block_size, D/pack]
-    v_pool: jax.Array,
+    k_pool: jax.Array,         # [num_slots, D/pack, Hkv*block_size] (kT)
+    v_pool: jax.Array,         # [num_slots, H_kv, block_size, D/pack]
     k_scale: jax.Array,        # [num_slots, H_kv, block_size] f32
     v_scale: jax.Array,
     block_table: jax.Array,    # [B, max_blocks] int32, clamped >= 0
@@ -220,7 +248,7 @@ def paged_attention(
     sinks: jax.Array | None = None,  # [Hq] learned sink logits (GPT-OSS)
 ) -> jax.Array:
     B, num_q_heads, head_dim = q.shape
-    num_slots, num_kv_heads, block_size, _ = k_pool.shape
+    num_slots, num_kv_heads, block_size, _ = v_pool.shape
     max_blocks = block_table.shape[1]
     group = num_q_heads // num_kv_heads
     if sm_scale is None:
@@ -233,6 +261,7 @@ def paged_attention(
     while max_blocks % ppb:
         ppb -= 1
     n_steps = max_blocks // ppb
+    cols = num_kv_heads * block_size
 
     base = functools.partial(
         _decode_kernel,
@@ -258,7 +287,7 @@ def paged_attention(
     # group-major q view: [B, Hkv, G, D] — (G, D) are the tiling dims
     q4 = q.reshape(B, num_kv_heads, group, head_dim)
 
-    def kv_index(j, rank4=True):
+    def kv_index(j, rank=4):
         def f(b, i, t, l, *_):
             # clamp to the lane's last real block: grid steps past seq_len
             # re-address it, so their DMAs are elided (no dead traffic for
@@ -271,20 +300,21 @@ def paged_attention(
                 first = jnp.maximum((l[b] - window) // block_size, 0)
                 idx = jnp.maximum(idx, first)
             slot = t[b, jnp.minimum(idx, last)]
-            return (slot, 0, 0, 0) if rank4 else (slot, 0, 0)
+            return (slot,) + (0,) * (rank - 1)
         return f
 
-    kv_spec = [pl.BlockSpec((1, num_kv_heads, block_size, head_dim // pack),
-                            kv_index(j)) for j in range(ppb)]
+    kt_spec = [pl.BlockSpec((1, head_dim // pack, cols), kv_index(j, rank=3))
+               for j in range(ppb)]
+    v_spec = [pl.BlockSpec((1, num_kv_heads, block_size, head_dim // pack),
+                           kv_index(j)) for j in range(ppb)]
     sink_spec = ([pl.BlockSpec((num_kv_heads * group, 1),
                                lambda b, i, *_: (0, 0))]
                  if sinks is not None else [])
     # scales ride their NATIVE 3D layout [S, Hkv, bs] — (Hkv, bs) are the
-    # tiling dims ((8,128)-rule: Hkv % 8 == 0 or full; bs == full dim). A
-    # trailing unit dim added outside the kernel would pad 1 -> 128 lanes
-    # and relayout the whole pool on every call.
+    # tiling dims; the in-kernel [Hkv, bs] -> [1, cols] flatten is a 4KB
+    # relayout per page (measured negligible)
     sc_spec = [pl.BlockSpec((1, num_kv_heads, block_size),
-                            kv_index(j, rank4=False)) for j in range(ppb)]
+                            kv_index(j, rank=3)) for j in range(ppb)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if mixed else 2,
@@ -292,7 +322,7 @@ def paged_attention(
         in_specs=[
             pl.BlockSpec((1, num_kv_heads, group, head_dim),
                          lambda b, i, *_: (b, 0, 0, 0)),
-            *kv_spec, *kv_spec, *sc_spec, *sc_spec, *sink_spec,
+            *kt_spec, *v_spec, *sc_spec, *sc_spec, *sink_spec,
         ],
         out_specs=pl.BlockSpec((1, num_kv_heads, group, head_dim),
                                lambda b, i, *_: (b, 0, 0, 0)),

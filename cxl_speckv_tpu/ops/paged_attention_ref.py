@@ -5,12 +5,12 @@ equal. Gathers KV blocks through the block table, dequantizes, and runs
 masked softmax attention. This materializes dequantized KV (fine on CPU /
 for testing); the Pallas kernel streams blocks and never materializes them.
 
-Pool layout (per layer):
-    k_pool, v_pool : [num_slots, num_kv_heads, block_size, head_dim/pack]
+Pool layout (per layer, r3):
+    k_pool : [num_slots, head_dim/pack, num_kv_heads*block_size]  ("kT" —
+             transposed so the Pallas QK matmul is MXU-native; INT4 packs
+             along the head_dim/sublane axis)
+    v_pool : [num_slots, num_kv_heads, block_size, head_dim/pack]
     k_scale, v_scale : [num_slots, num_kv_heads, block_size] float32
-
-(head-major so the Pallas kernel's per-(slot, head) tile is a well-shaped
-[block_size, head_dim] slab in the tiling dims)
 
 The per-row scales make dequantization *post-matmul*: for K,
 q . (k_q * s)^T == (q . k_q^T) * s^T, and for V, (w * s_v) . v_q — so the
@@ -61,6 +61,21 @@ def _dequant_block(q: jax.Array, kv_dtype: KVDtype,
     return x
 
 
+def _dequant_kt_blocks(ktb: jax.Array, num_kv_heads: int, kv_dtype: KVDtype,
+                       scheme_id: jax.Array | None = None) -> jax.Array:
+    """Gathered kT blocks [..., D/pack, Hkv*bs] -> dequantized LOGICAL
+    token-major [..., Hkv, bs, D] float32 (scales separate). INT4 unpacks
+    along the sublane (D) axis — the kT packing (r3 layout)."""
+    if kv_dtype == KVDtype.INT4:
+        r = ktb.astype(jnp.int32)
+        x = jnp.concatenate([(r << 28) >> 28, (r << 24) >> 28],
+                            axis=-2).astype(jnp.float32)
+    else:
+        x = _dequant_block(ktb, kv_dtype, scheme_id)
+    x = x.reshape(*x.shape[:-1], num_kv_heads, -1)   # [..., D, Hkv, bs]
+    return jnp.moveaxis(x, -3, -1)                   # [..., Hkv, bs, D]
+
+
 def sink_softmax(scores: jax.Array, sink: jax.Array | None) -> jax.Array:
     """Softmax with a learned per-head sink logit in the denominator
     (GPT-OSS attention sinks): equivalent to softmax([scores, sink]) with
@@ -76,8 +91,8 @@ def sink_softmax(scores: jax.Array, sink: jax.Array | None) -> jax.Array:
 
 def paged_attention_ref(
     q: jax.Array,              # [B, num_q_heads, head_dim]
-    k_pool: jax.Array,         # [num_slots, H_kv, block_size, D/pack]
-    v_pool: jax.Array,
+    k_pool: jax.Array,         # [num_slots, D/pack, Hkv*block_size] (kT)
+    v_pool: jax.Array,         # [num_slots, H_kv, block_size, D/pack]
     k_scale: jax.Array,        # [num_slots, H_kv, block_size]
     v_scale: jax.Array,
     block_table: jax.Array,    # [B, max_blocks] int32 (clamped >= 0)
@@ -94,14 +109,15 @@ def paged_attention_ref(
     With `window`, each query (at position len_b - 1) attends only to
     positions in [len_b - window, len_b - 1]."""
     B, num_q_heads, head_dim = q.shape
-    _, num_kv_heads, block_size, _ = k_pool.shape
+    _, num_kv_heads, block_size, _ = v_pool.shape
     group = num_q_heads // num_kv_heads
     if sm_scale is None:
         sm_scale = head_dim**-0.5
 
     def per_seq(q_b, table_b, len_b):
         # gather and dequantize this sequence's blocks
-        k = _dequant_block(k_pool[table_b], kv_dtype, scheme_id)  # [M, Hkv, bs, D]
+        k = _dequant_kt_blocks(k_pool[table_b], num_kv_heads, kv_dtype,
+                               scheme_id)                  # [M, Hkv, bs, D]
         v = _dequant_block(v_pool[table_b], kv_dtype, scheme_id)
         ks = k_scale[table_b]                              # [M, Hkv, bs]
         vs = v_scale[table_b]
@@ -177,8 +193,9 @@ def prefill_attention_ref(
     scores_new = jnp.where(causal[None, None], scores_new, NEG_INF)
 
     if start_pos and k_pool is not None:
-        block_size = k_pool.shape[2]
-        k_ctx = _dequant_block(k_pool[block_table_row], kv_dtype)
+        block_size = v_pool.shape[2]
+        k_ctx = _dequant_kt_blocks(k_pool[block_table_row], num_kv_heads,
+                                   kv_dtype)
         v_ctx = _dequant_block(v_pool[block_table_row], kv_dtype)
         M = block_table_row.shape[0]
         L = M * block_size

@@ -2,7 +2,9 @@
 device mesh (VERDICT r2 item 1: mesh serving must run the flagship kernels,
 not fall back to the jnp reference attention).
 
-The KV pools are kv-head-sharded over "tp" (`parallel/sharding.py:pool_specs`)
+The KV pools are kv-head-sharded over "tp" (`parallel/sharding.py:pool_specs`;
+the transposed K pool shards its head-major COLUMN axis, which is the same
+per-head decomposition)
 and batch lanes over "dp", so paged attention decomposes with ZERO cross-chip
 communication: q heads are laid out kv-head-major (q head h*G+g belongs to kv
 head h), so sharding the q-head axis over "tp" hands each chip exactly the
@@ -41,8 +43,8 @@ def sharded_paged_attention(mesh: Mesh, *, compute_dtype):
         args = [q, k_pool, v_pool, k_scale, v_scale, block_table, seq_lens]
         in_specs = [
             P(bax, "tp", None),            # q [B, Hq, D]
-            P(None, "tp", None, None),     # k_pool [S, Hkv, bs, Dp]
-            P(None, "tp", None, None),     # v_pool
+            P(None, None, "tp"),           # k_pool [S, Dp, Hkv*bs] (kT)
+            P(None, "tp", None, None),     # v_pool [S, Hkv, bs, Dp]
             P(None, "tp", None),           # k_scale [S, Hkv, bs]
             P(None, "tp", None),           # v_scale
             P(bax, None),                  # block_table [B, mb]
@@ -89,8 +91,8 @@ def sharded_chunk_attention(mesh: Mesh, *, compute_dtype):
             P(bax, None, "tp", None),      # q [B, T, Hq, D]
             P(bax, None, "tp", None),      # k_new [B, T, Hkv, D]
             P(bax, None, "tp", None),      # v_new
-            P(None, "tp", None, None),     # k_pool [S, Hkv, bs, Dp]
-            P(None, "tp", None, None),     # v_pool
+            P(None, None, "tp"),           # k_pool [S, Dp, Hkv*bs] (kT)
+            P(None, "tp", None, None),     # v_pool [S, Hkv, bs, Dp]
             P(None, "tp", None),           # k_scale [S, Hkv, bs]
             P(None, "tp", None),           # v_scale
             P(bax, None),                  # block_table [B, mb]

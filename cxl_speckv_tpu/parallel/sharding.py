@@ -92,11 +92,15 @@ def param_specs(config: LlamaConfig) -> dict[str, Any]:
 def pool_specs() -> tuple:
     """(k_pool, v_pool, k_scale, v_scale) specs: kv-head axis over tp.
 
-    Pools are [L, S, Hkv, bs, D/pack]; scales [L, S, Hkv, bs].
+    K pool is TRANSPOSED [L, S, D/pack, Hkv*bs] (r3 kT layout) — its
+    head-major column axis shards over tp, each shard holding its heads'
+    contiguous columns. V pools are [L, S, Hkv, bs, D/pack]; scales
+    [L, S, Hkv, bs].
     """
+    kt = P(None, None, None, "tp")
     kv = P(None, None, "tp", None, None)
     sc = P(None, None, "tp", None)
-    return kv, kv, sc, sc
+    return kt, kv, sc, sc
 
 
 def param_shardings(config: LlamaConfig, mesh: Mesh):
@@ -118,12 +122,17 @@ def shard_pools(pools, mesh: Mesh):
 
 
 def pool_put(mesh: Mesh):
-    """device_put function for TieredKVCache pool arrays: kv-head axis over
-    tp (pools [L, S, Hkv, bs, Dp] are ndim-5; scales [L, S, Hkv, bs] ndim-4)."""
-    kv_s, _, sc_s, _ = pool_shardings(mesh)
+    """device_put function for TieredKVCache pool arrays. kT pools and
+    scales are both ndim-4, so the role is explicit: "kt" | "v" | "sc"
+    (single-device callers pass a device_put that ignores it)."""
+    kt_s, kv_s, sc_s, _ = pool_shardings(mesh)
 
-    def put(x):
-        return jax.device_put(x, kv_s if x.ndim == 5 else sc_s)
+    def put(x, role="v"):
+        if role == "kt":
+            return jax.device_put(x, kt_s)
+        if role == "sc" or x.ndim == 4:
+            return jax.device_put(x, sc_s)
+        return jax.device_put(x, kv_s)
 
     return put
 

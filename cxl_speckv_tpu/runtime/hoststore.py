@@ -243,17 +243,25 @@ def migrate_in_graph(pools, stores, mig, ops: StoreOps):
     be reused as promote targets in the same batch), then promotes scatter
     in. Within one batch the planner never routes the same block both ways.
     """
+    from cxl_speckv_tpu.ops.paged_attention import kt_to_store, store_to_kt
+
     k_pools, v_pools, k_scales, v_scales = pools
     L = k_pools.shape[0]
+    num_kv_heads = v_pools.shape[2]
     up_host, up_hbm, down_hbm, down_host = mig[0], mig[1], mig[2], mig[3]
 
-    # demote: pools -> store ([L, S, ...] -> slabs [M, L, ...])
-    slabs = tuple(p[:, down_hbm].swapaxes(0, 1) for p in pools)
+    # demote: pools -> store ([L, S, ...] -> slabs [M, L, ...]). The store
+    # keeps the token-major layout the streamed path reads, so K blocks
+    # transpose between kT pool layout and store layout on the way (an
+    # in-graph relayout of MIGRATE_BATCH blocks — negligible vs the copy).
+    slabs = (kt_to_store(k_pools[:, down_hbm].swapaxes(0, 1), num_kv_heads),
+             *(p[:, down_hbm].swapaxes(0, 1)
+               for p in (v_pools, k_scales, v_scales)))
     stores = ops.stash_blocks(stores, slabs, down_host, L)
 
     # promote: store -> pools
     kd, vd, ksd, vsd = ops.fetch_blocks(stores, up_host, L)
-    k_pools = k_pools.at[:, up_hbm].set(kd.swapaxes(0, 1))
+    k_pools = k_pools.at[:, up_hbm].set(store_to_kt(kd).swapaxes(0, 1))
     v_pools = v_pools.at[:, up_hbm].set(vd.swapaxes(0, 1))
     k_scales = k_scales.at[:, up_hbm].set(ksd.swapaxes(0, 1))
     v_scales = v_scales.at[:, up_hbm].set(vsd.swapaxes(0, 1))

@@ -24,7 +24,9 @@ Two host-tier backends (CacheConfig.host_store_backend):
   host-memory-space support.
 
 Device pool layout (per layer, all layers stacked):
-    k_pools/v_pools [L, hbm_slots+1, Hkv, block_size, D/pack]
+    k_pools [L, hbm_slots+1, D/pack, Hkv*block_size]  (TRANSPOSED "kT", r3:
+      MXU-native QK matmul — see ops/paged_attention.py)
+    v_pools [L, hbm_slots+1, Hkv, block_size, D/pack]
       (one extra guard slot so padded scatters can target it)
     k_scales/v_scales [L, hbm_slots+1, Hkv, block_size]
 """
@@ -100,13 +102,18 @@ class TieredKVCache:
         dp = c.head_dim // pack
         elem = kv_storage_dtype(self.kv_dtype)
         S = cache_config.num_hbm_blocks + 1  # +1 guard slot for dropped scatters
-        put = device_put or jax.device_put
+        put = device_put or (lambda x, role="v": jax.device_put(x))
+        # K is stored TRANSPOSED ("kT", r3): head_dim on sublanes, head-major
+        # token columns on lanes — both attention matmuls become MXU-native
+        # contractions (ops/paged_attention.py header). V stays token-major.
+        kt_shape = (c.num_layers, S, dp,
+                    c.num_kv_heads * cache_config.block_size)
         kv_shape = (c.num_layers, S, c.num_kv_heads, cache_config.block_size, dp)
         sc_shape = (c.num_layers, S, c.num_kv_heads, cache_config.block_size)
-        self.k_pools = put(jnp.zeros(kv_shape, elem))
-        self.v_pools = put(jnp.zeros(kv_shape, elem))
-        self.k_scales = put(jnp.ones(sc_shape, jnp.float32))
-        self.v_scales = put(jnp.ones(sc_shape, jnp.float32))
+        self.k_pools = put(jnp.zeros(kt_shape, elem), "kt")
+        self.v_pools = put(jnp.zeros(kv_shape, elem), "v")
+        self.k_scales = put(jnp.ones(sc_shape, jnp.float32), "sc")
+        self.v_scales = put(jnp.ones(sc_shape, jnp.float32), "sc")
 
         self._prefix_map: dict[bytes, int] = {}
         self._device_mode = cache_config.host_store_backend == "device"

@@ -93,9 +93,12 @@ def _bucket(n: int) -> int:
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_in(pools: Pools, kd, vd, ksd, vsd, slots) -> Pools:
-    """Insert staged blocks. kd/vd: [N, L, Hkv, bs, Dp] -> pools [L, S, ...]."""
+    """Insert staged blocks. kd/vd: [N, L, Hkv, bs, Dp] staged token-major;
+    K transposes into the kT pool layout on the way (ops/paged_attention)."""
+    from cxl_speckv_tpu.ops.paged_attention import store_to_kt
+
     k, v, ks, vs = pools
-    k = k.at[:, slots].set(kd.swapaxes(0, 1), mode="drop")
+    k = k.at[:, slots].set(store_to_kt(kd).swapaxes(0, 1), mode="drop")
     v = v.at[:, slots].set(vd.swapaxes(0, 1), mode="drop")
     ks = ks.at[:, slots].set(ksd.swapaxes(0, 1), mode="drop")
     vs = vs.at[:, slots].set(vsd.swapaxes(0, 1), mode="drop")
@@ -104,8 +107,11 @@ def _scatter_in(pools: Pools, kd, vd, ksd, vsd, slots) -> Pools:
 
 @jax.jit
 def _gather_out(pools: Pools, slots):
+    from cxl_speckv_tpu.ops.paged_attention import kt_to_store
+
     k, v, ks, vs = pools
-    return (k[:, slots].swapaxes(0, 1), v[:, slots].swapaxes(0, 1),
+    return (kt_to_store(k[:, slots].swapaxes(0, 1), v.shape[2]),
+            v[:, slots].swapaxes(0, 1),
             ks[:, slots].swapaxes(0, 1), vs[:, slots].swapaxes(0, 1))
 
 

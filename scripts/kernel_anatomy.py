@@ -70,6 +70,9 @@ def main():
     S = max(B * mb + 1, args.minpool // block_bytes)
     kp = jnp.zeros((S, Hkv, bs, D // pack),
                    jnp.int8 if elem == 1 else jnp.bfloat16)
+    # production kernel now takes the TRANSPOSED K pool (r3 layout)
+    kpT_full = jnp.zeros((S, D // pack, Hkv * bs),
+                         jnp.int8 if elem == 1 else jnp.bfloat16)
     vp = jnp.zeros_like(kp)
     ks = jnp.ones((S, Hkv, bs), jnp.float32)
     vs = jnp.ones_like(ks)
@@ -143,6 +146,25 @@ def main():
                         preferred_element_type=jnp.float32)
                     acc_ref[:rows, : D // pack] += jax.lax.dot_general(
                         s.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            elif mode == "matmulT":
+                # transposed-score form on the CURRENT pool layout: the QK
+                # dot transposes q (8KB) instead of k (256KB), softmax runs
+                # along sublanes, and PV contracts dim 0 of both operands —
+                # if this matches v2's speed, no pool layout change is
+                # needed, only kernel math
+                rows = Hkv * G
+                qv = q_ref[0].reshape(rows, D).astype(jnp.bfloat16)
+                for j in range(ppb):
+                    k = k_refs[j][0].astype(jnp.bfloat16).reshape(hb, D // pack)
+                    v = v_refs[j][0].astype(jnp.bfloat16).reshape(hb, D // pack)
+                    sT = jax.lax.dot_general(
+                        k, qv[:, : D // pack], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # [hb, rows]
+                    m = jnp.max(sT, axis=0, keepdims=True)
+                    pT = jnp.exp(sT - m)
+                    acc_ref[:rows, : D // pack] += jax.lax.dot_general(
+                        pT.astype(jnp.bfloat16), v, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
 
             @pl.when(i == pl.num_programs(1) - 1)
@@ -467,16 +489,16 @@ def main():
           f"bytes/call={tot_bytes/1e6:.0f}MB "
           f"ideal={tot_bytes/820e9*1e6:.0f}us", flush=True)
 
-    out = full_loop(q, kp, vp, ks, vs, table, lens, iters=N)
+    out = full_loop(q, kpT_full, vp, ks, vs, table, lens, iters=N)
     np.asarray(out)
     t0 = time.perf_counter()
-    out = full_loop(q, kp, vp, ks, vs, table, lens, iters=N)
+    out = full_loop(q, kpT_full, vp, ks, vs, table, lens, iters=N)
     np.asarray(out)
     dt = (time.perf_counter() - t0) / N
     print(f"full    : {dt*1e6:8.0f} us/call {tot_bytes/dt/1e9:7.1f} GB/s",
           flush=True)
 
-    for mode in ("fetchrow", "fetch", "fetchint", "dequant", "matmul"):
+    for mode in ("fetch", "matmul", "matmulT"):
         try:
             dt = run_variant(mode)
             print(f"{mode:8s}: {dt*1e6:8.0f} us/call "

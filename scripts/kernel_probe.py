@@ -74,9 +74,10 @@ def main():
             mb = ctx // bs
             block_bytes = Hkv * bs * (D // pack) * elem
             S = max(B * mb + 1, args.minpool // block_bytes)
-            kp = jnp.zeros((S, Hkv, bs, D // pack),
+            kp = jnp.zeros((S, D // pack, Hkv * bs),
                            jnp.int8 if elem == 1 else jnp.bfloat16)
-            vp = jnp.zeros_like(kp)
+            vp = jnp.zeros((S, Hkv, bs, D // pack),
+                           jnp.int8 if elem == 1 else jnp.bfloat16)
             ks = jnp.ones((S, Hkv, bs), jnp.float32)
             vs = jnp.ones_like(ks)
             table = jnp.asarray(

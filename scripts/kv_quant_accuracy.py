@@ -51,9 +51,11 @@ def main():
 
     def run(kv_dtype, tokens):
         pack = 2 if kv_dtype == KVDtype.INT4 else 1
+        kt_shape = (cfg.num_layers, slots, cfg.head_dim // pack,
+                    cfg.num_kv_heads * bs)
         shape = (cfg.num_layers, slots, cfg.num_kv_heads, bs, cfg.head_dim // pack)
-        kp = jnp.zeros(shape, kv_storage_dtype(kv_dtype))
-        vp = jnp.zeros_like(kp)
+        kp = jnp.zeros(kt_shape, kv_storage_dtype(kv_dtype))
+        vp = jnp.zeros(shape, kv_storage_dtype(kv_dtype))
         sc = jnp.ones((cfg.num_layers, slots, cfg.num_kv_heads, bs), jnp.float32)
         vs = jnp.ones_like(sc)
         table = jnp.arange(1, max_blocks + 1, dtype=jnp.int32)[None]

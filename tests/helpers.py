@@ -21,9 +21,11 @@ def build_pools(keys, values, block_size, num_slots, kv_dtype, seed_tables=True)
     max_blocks = max(-(-k.shape[0] // block_size) for k in keys)
     B = len(keys)
     pack = 2 if kv_dtype == KVDtype.INT4 else 1
-    k_pool = np.zeros((num_slots, num_kv_heads, block_size, head_dim // pack),
+    # K pool is TRANSPOSED ("kT", r3): [S, D/pack, Hkv*bs]
+    k_pool = np.zeros((num_slots, head_dim // pack, num_kv_heads * block_size),
                       dtype=kv_storage_dtype(kv_dtype))
-    v_pool = np.zeros_like(k_pool)
+    v_pool = np.zeros((num_slots, num_kv_heads, block_size, head_dim // pack),
+                      dtype=kv_storage_dtype(kv_dtype))
     k_scale = np.ones((num_slots, num_kv_heads, block_size), np.float32)
     v_scale = np.ones_like(k_scale)
     table = np.zeros((B, max_blocks), np.int32)
@@ -47,8 +49,9 @@ def build_pools(keys, values, block_size, num_slots, kv_dtype, seed_tables=True)
             slot = free.pop()
             table[b, i] = slot
             sl = slice(i * block_size, (i + 1) * block_size)
-            k_pool[slot] = np.asarray(
-                encode_for_pool(kq[sl], kv_dtype)).transpose(1, 0, 2)
+            # kT: encoded rows [bs, Hkv, Dp] -> [Dp, Hkv, bs] -> [Dp, Hkv*bs]
+            kt = np.asarray(encode_for_pool(kq[sl], kv_dtype)).transpose(2, 1, 0)
+            k_pool[slot] = kt.reshape(kt.shape[0], -1)
             v_pool[slot] = np.asarray(
                 encode_for_pool(vq[sl], kv_dtype)).transpose(1, 0, 2)
             k_scale[slot] = np.asarray(ks[sl, :, 0]).T

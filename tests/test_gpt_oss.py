@@ -94,9 +94,10 @@ def _pools(cfg, kv_dtype, slots=16, seed=0):
                               (slots, cfg.num_kv_heads, bs, cfg.head_dim))
     kq, ks = quantize_kv(k_raw, kv_dtype)
     vq, vs = quantize_kv(v_raw, kv_dtype)
+    from cxl_speckv_tpu.ops.paged_attention import store_to_kt
     from cxl_speckv_tpu.ops.quant import encode_for_pool
-    kp = encode_for_pool(kq, kv_dtype).astype(
-        kv_storage_dtype(kv_dtype))
+    kp = store_to_kt(encode_for_pool(kq, kv_dtype).astype(
+        kv_storage_dtype(kv_dtype)))
     vp = encode_for_pool(vq, kv_dtype).astype(kv_storage_dtype(kv_dtype))
     return kp, vp, ks[..., 0], vs[..., 0], bs
 

@@ -69,9 +69,10 @@ def test_mesh_engine_sharded_layouts():
     q = eng.params["layers"]["q"]
     spec = q.sharding.spec
     assert spec == jax.sharding.PartitionSpec(None, None, "tp")
-    # pools: kv-head axis over tp
+    # pools: kT's head-major column axis over tp; V's kv-head axis over tp
     kspec = eng.kvc.k_pools.sharding.spec
-    assert kspec[2] == "tp"
+    assert kspec[3] == "tp" and kspec[2] is None   # [L, S, Dp, Hkv*bs]
+    assert eng.kvc.v_pools.sharding.spec[2] == "tp"
     # host store rows sharded over tp on the head axis (CPU: plain arrays,
     # sharding still applies via GSPMD layout)
     eng.add_request(prompts(1, 7)[0], max_new_tokens=4)

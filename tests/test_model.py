@@ -32,10 +32,12 @@ MAXB = 16
 
 def empty_pools(cfg, kv_dtype, slots=SLOTS, bs=BS):
     pack = 2 if kv_dtype == KVDtype.INT4 else 1
+    kt_shape = (cfg.num_layers, slots, cfg.head_dim // pack,
+                cfg.num_kv_heads * bs)
     shape = (cfg.num_layers, slots, cfg.num_kv_heads, bs, cfg.head_dim // pack)
-    kp = jnp.zeros(shape, kv_storage_dtype(kv_dtype))
+    kp = jnp.zeros(kt_shape, kv_storage_dtype(kv_dtype))
     sc = jnp.ones((cfg.num_layers, slots, cfg.num_kv_heads, bs), jnp.float32)
-    return kp, jnp.zeros_like(kp), sc, jnp.ones_like(sc)
+    return kp, jnp.zeros(shape, kv_storage_dtype(kv_dtype)), sc, jnp.ones_like(sc)
 
 
 def run_cached(params, cfg, kv_dtype, tokens, prefill_len):

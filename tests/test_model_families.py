@@ -253,10 +253,13 @@ MAXB = 16
 
 def _empty_pools(cfg, kv_dtype, slots=SLOTS, bs=BLOCK):
     pack = 2 if kv_dtype == KVDtype.INT4 else 1
+    kt_shape = (cfg.num_layers, slots, cfg.head_dim // pack,
+                cfg.num_kv_heads * bs)
     shape = (cfg.num_layers, slots, cfg.num_kv_heads, bs, cfg.head_dim // pack)
-    kpool = jnp.zeros(shape, kv_storage_dtype(kv_dtype))
+    kpool = jnp.zeros(kt_shape, kv_storage_dtype(kv_dtype))
     sc = jnp.ones((cfg.num_layers, slots, cfg.num_kv_heads, bs), jnp.float32)
-    return kpool, jnp.zeros_like(kpool), sc, jnp.ones_like(sc)
+    return (kpool, jnp.zeros(shape, kv_storage_dtype(kv_dtype)), sc,
+            jnp.ones_like(sc))
 
 
 # ---------------------------------------------------------------------------

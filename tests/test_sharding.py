@@ -65,10 +65,12 @@ def test_sharded_decode_step_matches(mesh):
     B, S, bs, MB = 4, 17, 8, 4
     pack = 1
     def make_pools():
-        kp = jnp.zeros((CFG.num_layers, S, CFG.num_kv_heads, bs, CFG.head_dim // pack),
-                       kv_storage_dtype(kv_dtype))
+        kp = jnp.zeros((CFG.num_layers, S, CFG.head_dim // pack,
+                        CFG.num_kv_heads * bs), kv_storage_dtype(kv_dtype))
+        vp = jnp.zeros((CFG.num_layers, S, CFG.num_kv_heads, bs,
+                        CFG.head_dim // pack), kv_storage_dtype(kv_dtype))
         sc = jnp.ones((CFG.num_layers, S, CFG.num_kv_heads, bs), jnp.float32)
-        return (kp, jnp.zeros_like(kp), sc, jnp.ones_like(sc))
+        return (kp, vp, sc, jnp.ones_like(sc))
 
     table = jnp.arange(B * MB, dtype=jnp.int32).reshape(B, MB) % (S - 1)
     tokens = jnp.array([3, 5, 7, 9], jnp.int32)

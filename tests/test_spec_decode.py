@@ -65,9 +65,11 @@ def test_verify_step_matches_dense():
     bs, slots, mb = 8, 32, 8
     kv_dtype = KVDtype.BF16
     pack = 1
+    kt_shape = (CFG.num_layers, slots, CFG.head_dim // pack,
+                CFG.num_kv_heads * bs)
     shape = (CFG.num_layers, slots, CFG.num_kv_heads, bs, CFG.head_dim // pack)
-    kp = jnp.zeros(shape, kv_storage_dtype(kv_dtype))
-    vp = jnp.zeros_like(kp)
+    kp = jnp.zeros(kt_shape, kv_storage_dtype(kv_dtype))
+    vp = jnp.zeros(shape, kv_storage_dtype(kv_dtype))
     sc = jnp.ones((CFG.num_layers, slots, CFG.num_kv_heads, bs), jnp.float32)
     vs = jnp.ones_like(sc)
     from cxl_speckv_tpu.models.llama import prefill_chunk

@@ -92,7 +92,7 @@ def test_batched_migrations_preserve_distinct_contents():
     kvc.set_pools(kvc.transfer.flush(kvc.pools, kvc.directory, wait_up=True))
     for i, bid in enumerate(bids):
         slot = kvc.directory.entry(bid).hbm_slot
-        assert np.asarray(kvc.pools[0])[0, slot, 0, 0, 0] == i + 1
+        assert np.asarray(kvc.pools[0])[0, slot, 0, 0] == i + 1
 
 
 def test_ensure_resident_demand_fetch():
@@ -115,7 +115,7 @@ def test_ensure_resident_demand_fetch():
     e = kvc.directory.entry(bid)
     assert kvc.pool.table.get(s, 1) == e.hbm_slot
     # contents survived the round trip
-    assert np.asarray(kvc.pools[0])[0, e.hbm_slot, 0, 0, 0] == 5
+    assert np.asarray(kvc.pools[0])[0, e.hbm_slot, 0, 0] == 5
 
 
 def test_maintain_restores_landing_zone():
