@@ -102,7 +102,32 @@ class TieredKVCache:
         dp = c.head_dim // pack
         elem = kv_storage_dtype(self.kv_dtype)
         S = cache_config.num_hbm_blocks + 1  # +1 guard slot for dropped scatters
-        put = device_put or (lambda x, role="v": jax.device_put(x))
+        self._put = device_put or (lambda x, role="v": jax.device_put(x))
+        self._injected_store_ops = store_ops
+        self._device_mode = cache_config.host_store_backend == "device"
+        self._prefix_map: dict[bytes, int] = {}
+        self._alloc_storage(self.kv_dtype)
+        # blocks the scheduler expects to need soon (current + upcoming decode
+        # groups): eviction takes them only as a last resort, so proactive
+        # writebacks don't fight the prefetcher over the same blocks
+        self.protected: set[int] = set()
+        # device backend only: when True, maintain() leaves queued migrations
+        # for the engine's next fused round dispatch instead of issuing a
+        # standalone migrate program (set by engines using fused rounds)
+        self.defer_migrations = False
+        self.stats = CacheRuntimeStatistics()
+
+    def _alloc_storage(self, kv_dtype: KVDtype) -> None:
+        """(Re)allocate pool + store arrays for `kv_dtype`'s storage width.
+        Directory/table metadata is width-agnostic and untouched."""
+        c = self.model_config
+        cache_config = self.config
+        self.kv_dtype = kv_dtype
+        pack = 2 if kv_dtype == KVDtype.INT4 else 1
+        dp = c.head_dim // pack
+        elem = kv_storage_dtype(kv_dtype)
+        S = cache_config.num_hbm_blocks + 1
+        put = self._put
         # K is stored TRANSPOSED ("kT", r3): head_dim on sublanes, head-major
         # token columns on lanes — both attention matmuls become MXU-native
         # contractions (ops/paged_attention.py header). V stays token-major.
@@ -115,10 +140,8 @@ class TieredKVCache:
         self.k_scales = put(jnp.ones(sc_shape, jnp.float32), "sc")
         self.v_scales = put(jnp.ones(sc_shape, jnp.float32), "sc")
 
-        self._prefix_map: dict[bytes, int] = {}
-        self._device_mode = cache_config.host_store_backend == "device"
         if self._device_mode:
-            self.store_ops = store_ops or single_device_store_ops()
+            self.store_ops = self._injected_store_ops or single_device_store_ops()
             self.store = DeviceHostStore(
                 cache_config.num_host_blocks, c.num_layers,
                 cache_config.block_size, c.num_kv_heads, dp, elem,
@@ -131,15 +154,26 @@ class TieredKVCache:
                 cache_config.block_size, c.num_kv_heads, dp, np.dtype(elem))
             self.store = None
             self.transfer = TransferEngine(self.host)
-        # blocks the scheduler expects to need soon (current + upcoming decode
-        # groups): eviction takes them only as a last resort, so proactive
-        # writebacks don't fight the prefetcher over the same blocks
-        self.protected: set[int] = set()
-        # device backend only: when True, maintain() leaves queued migrations
-        # for the engine's next fused round dispatch instead of issuing a
-        # standalone migrate program (set by engines using fused rounds)
-        self.defer_migrations = False
-        self.stats = CacheRuntimeStatistics()
+
+    def rebuild_storage(self, kv_dtype: KVDtype) -> None:
+        """Cross-WIDTH scheme switch (e.g. INT8 -> INT4 or -> BF16):
+        reallocate pool + store arrays in the new storage width. Only legal
+        when NO block is live — bytes cannot be reinterpreted across widths
+        (same-width schemes switch live via the engine's `set_kv_dtype`;
+        this is the idle complement that spans the full scheme set, the
+        analog of the reference knob's FP16 <-> INT8_DELTA_RLE span,
+        `speckv.h:59-63`). Directory metadata survives; the prefix cache
+        clears (its blocks were freed with the last live sequence)."""
+        d = self.directory
+        if (d.hbm_free != self.config.num_hbm_blocks
+                or d.host_free != self.config.num_host_blocks):
+            raise ValueError(
+                "cross-width scheme switch requires an idle cache "
+                f"(live blocks: hbm {self.config.num_hbm_blocks - d.hbm_free}, "
+                f"host {self.config.num_host_blocks - d.host_free})")
+        self._prefix_map.clear()
+        self.config.kv_dtype = kv_dtype
+        self._alloc_storage(kv_dtype)
 
     @property
     def device_mode(self) -> bool:

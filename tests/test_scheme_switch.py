@@ -46,17 +46,15 @@ def prompts(n, seed=0):
             for _ in range(n)]
 
 
-def test_width_constraint():
+def test_width_switch_semantics():
     eng = make_engine(KVDtype.INT8)
-    eng.set_kv_dtype(KVDtype.FP8)       # byte <-> byte: fine
+    eng.set_kv_dtype(KVDtype.FP8)       # byte <-> byte: live switch
     eng.set_kv_dtype("int8")            # accepts raw enum values
-    with pytest.raises(ValueError, match="storage width"):
-        eng.set_kv_dtype(KVDtype.INT4)  # packed layout: construction-time
-    with pytest.raises(ValueError, match="storage width"):
-        eng.set_kv_dtype(KVDtype.BF16)
-    eng4 = make_engine(KVDtype.INT4)
-    with pytest.raises(ValueError, match="storage width"):
-        eng4.set_kv_dtype(KVDtype.INT8)
+    # cross-width on an IDLE engine rebuilds storage (r3)
+    eng.set_kv_dtype(KVDtype.INT4)
+    assert eng.kvc.kv_dtype == KVDtype.INT4
+    eng.set_kv_dtype(KVDtype.INT8)
+    assert eng.kvc.kv_dtype == KVDtype.INT8
 
 
 def test_switch_mid_serve_matches_fixed_engines():
@@ -113,3 +111,43 @@ def test_fp8_engine_matches_fp8_storage_roundtrip():
     oa = {o.req_id: o.tokens for o in ample.run()}
     ot = {o.req_id: o.tokens for o in tight.run()}
     assert [ot[i] for i in t] == [oa[i] for i in a]
+
+
+# -- cross-width switching (r3: idle rebuild) ---------------------------------
+
+def test_cross_width_switch_idle_rebuild():
+    """INT8 -> INT4 -> BF16 on an idle engine: pools rebuild in the new
+    width and serving continues, matching a fresh engine of that scheme."""
+    p = np.random.RandomState(11).randint(1, CFG.vocab_size, 12).tolist()
+
+    eng = make_engine(KVDtype.INT8)
+    eng.add_request(p, max_new_tokens=6)
+    first = eng.run()[0].tokens
+
+    eng.set_kv_dtype(KVDtype.INT4)           # cross-width, engine idle
+    assert eng.kvc.kv_dtype == KVDtype.INT4
+    # kT pool halves its sublane (head_dim) axis under INT4 packing
+    assert eng.kvc.k_pools.shape[2] == CFG.head_dim // 2
+    eng.add_request(p, max_new_tokens=6)
+    got4 = eng.run()[0].tokens
+    fresh4 = make_engine(KVDtype.INT4)
+    fresh4.add_request(p, max_new_tokens=6)
+    assert got4 == fresh4.run()[0].tokens
+
+    eng.set_kv_dtype(KVDtype.BF16)
+    eng.add_request(p, max_new_tokens=6)
+    got16 = eng.run()[0].tokens
+    fresh16 = make_engine(KVDtype.BF16)
+    fresh16.add_request(p, max_new_tokens=6)
+    assert got16 == fresh16.run()[0].tokens
+
+
+def test_cross_width_switch_rejected_while_busy():
+    eng = make_engine(KVDtype.INT8)
+    eng.add_request([5, 6, 7, 8], max_new_tokens=8)
+    eng.step()
+    with pytest.raises(ValueError, match="idle engine"):
+        eng.set_kv_dtype(KVDtype.INT4)
+    # same-width switching stays legal mid-serve
+    eng.set_kv_dtype(KVDtype.FP8)
+    eng.run()
