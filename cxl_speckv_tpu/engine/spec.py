@@ -247,7 +247,8 @@ class SpecDecoder(_AcceptanceMixin):
                     c.num_kv_heads * cache.block_size)
         kv_shape = (c.num_layers, n_slots, c.num_kv_heads, cache.block_size,
                     c.head_dim // pack)
-        sc_shape = (c.num_layers, n_slots, c.num_kv_heads, cache.block_size)
+        sc_shape = (c.num_layers, n_slots, 1,
+                    c.num_kv_heads * cache.block_size)
         elem = kv_storage_dtype(draft_kv_dtype)
         self.pools = (jnp.zeros(kt_shape, elem), jnp.zeros(kv_shape, elem),
                       jnp.ones(sc_shape, jnp.float32), jnp.ones(sc_shape, jnp.float32))

@@ -51,6 +51,18 @@ def _kt_append(kp: jax.Array, kenc: jax.Array, slots: jax.Array,
     return kp.at[slots[..., None], :, cols].set(kenc.astype(kp.dtype))
 
 
+def _sc_append(sc: jax.Array, vals: jax.Array, slots: jax.Array,
+               offs: jax.Array, bs: int) -> jax.Array:
+    """Scatter per-token scales [..., Hkv] into the FLAT scale pool
+    [S, 1, Hkv*bs] at (slot, 0, h*bs + off) — the scale pool stores
+    head-major columns like kT, so kernels read per-column scale vectors
+    as natural [1, cols] tiles (a [Hkv, bs] -> [1, cols] in-kernel shape
+    cast is not Mosaic-lowerable at sub-tile sizes)."""
+    hkv = vals.shape[-1]
+    cols = offs[..., None] + jnp.arange(hkv, dtype=offs.dtype) * bs
+    return sc.at[slots[..., None], 0, cols].set(vals)
+
+
 def _attend_fns(config: LlamaConfig, use_pallas: bool, mesh):
     """(decode_attend, chunk_attend) for one traced program.
 
@@ -491,8 +503,8 @@ def _decode_core(
         vsc = jax.lax.dynamic_index_in_dim(v_scales, li, 0, keepdims=False)
         kp = _kt_append(kp, kenc, slots, offs, bs)
         vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
-        ksc = ksc.at[slots, :, offs].set(ks[:, :, 0])
-        vsc = vsc.at[slots, :, offs].set(vs[:, :, 0])
+        ksc = _sc_append(ksc, ks[:, :, 0], slots, offs, bs)
+        vsc = _sc_append(vsc, vs[:, :, 0], slots, offs, bs)
 
         o = attend(q, kp, vp, ksc, vsc, block_table, seq_lens, eff_dtype,
                    scheme_id=sid, window=window, sm_scale=c.sm_scale,
@@ -792,8 +804,8 @@ def prefill_batch_packed(
 
         kp = _kt_append(kp, kenc, slots, offs, bs)
         vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
-        ksc = ksc.at[slots, :, offs].set(ks[..., 0])
-        vsc = vsc.at[slots, :, offs].set(vs[..., 0])
+        ksc = _sc_append(ksc, ks[..., 0], slots, offs, bs)
+        vsc = _sc_append(vsc, vs[..., 0], slots, offs, bs)
         k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)
         v_pools = jax.lax.dynamic_update_index_in_dim(v_pools, vp, li, 0)
         k_scales = jax.lax.dynamic_update_index_in_dim(k_scales, ksc, li, 0)
@@ -1307,8 +1319,8 @@ def verify_step(
         x = _block_residuals(x, o.reshape(B, T, -1), lp, c)
         kp = _kt_append(kp, kenc, slots, offs, bs)
         vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
-        ksc = ksc.at[slots, :, offs].set(ks[..., 0])
-        vsc = vsc.at[slots, :, offs].set(vs[..., 0])
+        ksc = _sc_append(ksc, ks[..., 0], slots, offs, bs)
+        vsc = _sc_append(vsc, vs[..., 0], slots, offs, bs)
 
         k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)
         v_pools = jax.lax.dynamic_update_index_in_dim(v_pools, vp, li, 0)
@@ -1428,8 +1440,8 @@ def prefill_chunk(
         # scatter the (already) quantized chunk KV
         kp = _kt_append(kp, kenc, slots, offs, bs)
         vp = vp.at[slots, :, offs].set(venc.astype(vp.dtype))
-        ksc = ksc.at[slots, :, offs].set(ks_pre[:, :, 0])
-        vsc = vsc.at[slots, :, offs].set(vs_pre[:, :, 0])
+        ksc = _sc_append(ksc, ks_pre[:, :, 0], slots, offs, bs)
+        vsc = _sc_append(vsc, vs_pre[:, :, 0], slots, offs, bs)
         k_pools = jax.lax.dynamic_update_index_in_dim(k_pools, kp, li, 0)
         v_pools = jax.lax.dynamic_update_index_in_dim(v_pools, vp, li, 0)
         k_scales = jax.lax.dynamic_update_index_in_dim(k_scales, ksc, li, 0)

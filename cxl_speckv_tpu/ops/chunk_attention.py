@@ -29,7 +29,7 @@ def paged_chunk_attention(
     v_new: jax.Array,
     k_pool: jax.Array,       # [S, D/pack, Hkv*bs] (kT layout)
     v_pool: jax.Array,       # [S, Hkv, bs, D/pack]
-    k_scale: jax.Array,      # [S, Hkv, bs]
+    k_scale: jax.Array,      # [S, 1, Hkv*bs] f32 (flat kT-order)
     v_scale: jax.Array,
     block_table: jax.Array,  # [B, max_blocks] int32 (clamped >= 0)
     start_pos: jax.Array,    # [B] int32 — pool tokens < start_pos are context
@@ -57,8 +57,9 @@ def paged_chunk_attention(
         kblk = _dequant_kt_blocks(k_pool[slots], num_kv_heads, kv_dtype,
                                   scheme_id)           # [B, Hkv, bs, D]
         vblk = _dequant_block(v_pool[slots], kv_dtype, scheme_id)
-        ks = k_scale[slots]                            # [B, Hkv, bs]
-        vs = v_scale[slots]
+        # flat scale pools [S, 1, Hkv*bs] -> [B, Hkv, bs]
+        ks = k_scale[slots].reshape(-1, num_kv_heads, block_size)
+        vs = v_scale[slots].reshape(-1, num_kv_heads, block_size)
         s = jnp.einsum("bthgd,bhsd->bhgts", qg, kblk,
                        precision=jax.lax.Precision.HIGHEST)  # [B,Hkv,G,T,bs]
         s = s * ks[:, :, None, None, :] * sm_scale

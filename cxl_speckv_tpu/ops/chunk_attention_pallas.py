@@ -115,9 +115,9 @@ def _chunk_kernel(
             s = jax.lax.dot_general(
                 q, kT, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # [rows, gcols]
-            # scales fold POST-matmul per column; this group's g_h scale
-            # rows flatten to the column order (dynamic sublane slice)
-            ksf = ks_refs[j][0, pl.ds(hg * g_h, g_h)].reshape(1, gcols)
+            # scales fold POST-matmul per column; the FLAT scale pool's
+            # tile IS this group's [1, gcols] vector (no shape cast)
+            ksf = ks_refs[j][0]
             s = s * ksf * sm_scale
             if softcap is not None:
                 s = softcap * jnp.tanh(s / softcap)
@@ -134,7 +134,7 @@ def _chunk_kernel(
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m_prev - m_new)
             l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            vsf = vs_refs[j][0, pl.ds(hg * g_h, g_h)].reshape(1, gcols)
+            vsf = vs_refs[j][0]
             v = _dequant_tile(v_refs[j][0], kv_dtype, head_dim, sid,
                               out_dtype=compute_dtype)  # [g_h, bs, D]
             acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -192,7 +192,7 @@ def paged_chunk_attention_pallas(
     v_new: jax.Array,
     k_pool: jax.Array,       # [S, D/pack, Hkv*bs] (kT layout)
     v_pool: jax.Array,       # [S, Hkv, bs, D/pack]
-    k_scale: jax.Array,      # [S, Hkv, bs]
+    k_scale: jax.Array,      # [S, 1, Hkv*bs] f32 (flat, matches kT columns)
     v_scale: jax.Array,
     block_table: jax.Array,  # [B, max_blocks] int32 (clamped >= 0)
     start_pos: jax.Array,    # [B] int32 — pool tokens < start_pos are context
@@ -280,14 +280,14 @@ def paged_chunk_attention_pallas(
                 return (slot, 0, hg)
             if mode == "v":
                 return (slot, hg, 0, 0)
-            return (slot, 0, 0)   # scales: all heads ride the tile (small)
+            return (slot, 0, hg)  # scales: this group's flat column block
         return f
 
     kt_spec = [pl.BlockSpec((1, head_dim // pack, g_h * block_size),
                             ctx_index(j, "kt")) for j in range(ppb)]
     v_spec = [pl.BlockSpec((1, g_h, block_size, head_dim // pack),
                            ctx_index(j, "v")) for j in range(ppb)]
-    sc_spec = [pl.BlockSpec((1, num_kv_heads, block_size),
+    sc_spec = [pl.BlockSpec((1, 1, g_h * block_size),
                             ctx_index(j, "sc")) for j in range(ppb)]
     sink_spec = ([pl.BlockSpec((1, rows, 1), lambda b, hg, i, *_: (hg, 0, 0))]
                  if sinks is not None else [])

@@ -177,9 +177,9 @@ def _decode_kernel(
                 q, kT, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)              # [rows, cols]
             # K scales fold per column post-matmul:
-            # q . (k * s) == (q . k) * s — a [1, cols] VPU op. The [Hkv, bs]
-            # scale tile flattens lane-major to match the column order.
-            ksf = ks_refs[j][0].reshape(1, cols)
+            # q . (k * s) == (q . k) * s — a [1, cols] VPU op; the flat
+            # scale pool's tile IS that vector (no in-kernel shape cast)
+            ksf = ks_refs[j][0]
             s = s * ksf * sm_scale
             if softcap is not None:
                 s = softcap * jnp.tanh(s / softcap)
@@ -196,7 +196,7 @@ def _decode_kernel(
             alpha = jnp.exp(m_prev - m_new)
             l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
             # V scales fold into the weights pre-PV (same post-matmul trick)
-            vsf = vs_refs[j][0].reshape(1, cols)
+            vsf = vs_refs[j][0]
             v = _dequant_tile(v_refs[j][0], kv_dtype, head_dim, sid,
                               out_dtype=compute_dtype)  # [Hkv, bs, D]
             acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -233,7 +233,7 @@ def paged_attention(
     q: jax.Array,              # [B, num_q_heads, head_dim]
     k_pool: jax.Array,         # [num_slots, D/pack, Hkv*block_size] (kT)
     v_pool: jax.Array,         # [num_slots, H_kv, block_size, D/pack]
-    k_scale: jax.Array,        # [num_slots, H_kv, block_size] f32
+    k_scale: jax.Array,        # [num_slots, 1, Hkv*block_size] f32 (flat)
     v_scale: jax.Array,
     block_table: jax.Array,    # [B, max_blocks] int32, clamped >= 0
     seq_lens: jax.Array,       # [B] int32
@@ -310,11 +310,10 @@ def paged_attention(
     sink_spec = ([pl.BlockSpec((num_kv_heads * group, 1),
                                lambda b, i, *_: (0, 0))]
                  if sinks is not None else [])
-    # scales ride their NATIVE 3D layout [S, Hkv, bs] — (Hkv, bs) are the
-    # tiling dims; the in-kernel [Hkv, bs] -> [1, cols] flatten is a 4KB
-    # relayout per page (measured negligible)
-    sc_spec = [pl.BlockSpec((1, num_kv_heads, block_size),
-                            kv_index(j, rank=3)) for j in range(ppb)]
+    # scales ride FLAT head-major columns [S, 1, Hkv*bs] matching kT, so
+    # each page's per-column scale vector is one natural [1, cols] tile
+    sc_spec = [pl.BlockSpec((1, 1, cols), kv_index(j, rank=3))
+               for j in range(ppb)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if mixed else 2,

@@ -10,7 +10,8 @@ Pool layout (per layer, r3):
              transposed so the Pallas QK matmul is MXU-native; INT4 packs
              along the head_dim/sublane axis)
     v_pool : [num_slots, num_kv_heads, block_size, head_dim/pack]
-    k_scale, v_scale : [num_slots, num_kv_heads, block_size] float32
+    k_scale, v_scale : [num_slots, 1, num_kv_heads*block_size] float32
+             (flat kT-order columns)
 
 The per-row scales make dequantization *post-matmul*: for K,
 q . (k_q * s)^T == (q . k_q^T) * s^T, and for V, (w * s_v) . v_q — so the
@@ -119,8 +120,9 @@ def paged_attention_ref(
         k = _dequant_kt_blocks(k_pool[table_b], num_kv_heads, kv_dtype,
                                scheme_id)                  # [M, Hkv, bs, D]
         v = _dequant_block(v_pool[table_b], kv_dtype, scheme_id)
-        ks = k_scale[table_b]                              # [M, Hkv, bs]
-        vs = v_scale[table_b]
+        # flat scale pools [S, 1, Hkv*bs] -> [M, Hkv, bs] (free reshape)
+        ks = k_scale[table_b].reshape(-1, num_kv_heads, block_size)
+        vs = v_scale[table_b].reshape(-1, num_kv_heads, block_size)
         M = table_b.shape[0]
         L = M * block_size
         k = k.transpose(0, 2, 1, 3).reshape(L, num_kv_heads, head_dim)
@@ -201,8 +203,10 @@ def prefill_attention_ref(
         L = M * block_size
         k_ctx = k_ctx.transpose(0, 2, 1, 3).reshape(L, num_kv_heads, head_dim)
         v_ctx = v_ctx.transpose(0, 2, 1, 3).reshape(L, num_kv_heads, head_dim)
-        ks = k_scale[block_table_row].transpose(0, 2, 1).reshape(L, num_kv_heads)
-        vs = v_scale[block_table_row].transpose(0, 2, 1).reshape(L, num_kv_heads)
+        sc3 = lambda s: (s[block_table_row]
+                         .reshape(M, num_kv_heads, block_size)
+                         .transpose(0, 2, 1).reshape(L, num_kv_heads))
+        ks, vs = sc3(k_scale), sc3(v_scale)
         scores_ctx = _cap(
             jnp.einsum("thgd,lhd->hgtl", qg, k_ctx)
             * ks.T[:, None, None, :] * sm_scale, softcap)

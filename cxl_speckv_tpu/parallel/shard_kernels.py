@@ -45,8 +45,8 @@ def sharded_paged_attention(mesh: Mesh, *, compute_dtype):
             P(bax, "tp", None),            # q [B, Hq, D]
             P(None, None, "tp"),           # k_pool [S, Dp, Hkv*bs] (kT)
             P(None, "tp", None, None),     # v_pool [S, Hkv, bs, Dp]
-            P(None, "tp", None),           # k_scale [S, Hkv, bs]
-            P(None, "tp", None),           # v_scale
+            P(None, None, "tp"),           # k_scale [S, 1, Hkv*bs] (flat)
+            P(None, None, "tp"),           # v_scale
             P(bax, None),                  # block_table [B, mb]
             P(bax),                        # seq_lens [B]
         ]
@@ -93,8 +93,8 @@ def sharded_chunk_attention(mesh: Mesh, *, compute_dtype):
             P(bax, None, "tp", None),      # v_new
             P(None, None, "tp"),           # k_pool [S, Dp, Hkv*bs] (kT)
             P(None, "tp", None, None),     # v_pool [S, Hkv, bs, Dp]
-            P(None, "tp", None),           # k_scale [S, Hkv, bs]
-            P(None, "tp", None),           # v_scale
+            P(None, None, "tp"),           # k_scale [S, 1, Hkv*bs] (flat)
+            P(None, None, "tp"),           # v_scale
             P(bax, None),                  # block_table [B, mb]
             P(bax),                        # start_pos [B]
         ]

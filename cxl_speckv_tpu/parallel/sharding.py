@@ -95,11 +95,11 @@ def pool_specs() -> tuple:
     K pool is TRANSPOSED [L, S, D/pack, Hkv*bs] (r3 kT layout) — its
     head-major column axis shards over tp, each shard holding its heads'
     contiguous columns. V pools are [L, S, Hkv, bs, D/pack]; scales
-    [L, S, Hkv, bs].
+    are flat kT-order columns [L, S, 1, Hkv*bs].
     """
     kt = P(None, None, None, "tp")
     kv = P(None, None, "tp", None, None)
-    sc = P(None, None, "tp", None)
+    sc = P(None, None, None, "tp")   # flat [L, S, 1, Hkv*bs], kT-order
     return kt, kv, sc, sc
 
 

@@ -254,17 +254,23 @@ def migrate_in_graph(pools, stores, mig, ops: StoreOps):
     # keeps the token-major layout the streamed path reads, so K blocks
     # transpose between kT pool layout and store layout on the way (an
     # in-graph relayout of MIGRATE_BATCH blocks — negligible vs the copy).
+    hkv_bs = v_pools.shape[2:4]
+    def sc_to_store(s):     # [M, L, 1, Hkv*bs] -> [M, L, Hkv, bs] (free)
+        return s.reshape(*s.shape[:2], *hkv_bs)
+    def sc_from_store(s):   # inverse (free reshape, same byte order)
+        return s.reshape(*s.shape[:2], 1, -1)
     slabs = (kt_to_store(k_pools[:, down_hbm].swapaxes(0, 1), num_kv_heads),
-             *(p[:, down_hbm].swapaxes(0, 1)
-               for p in (v_pools, k_scales, v_scales)))
+             v_pools[:, down_hbm].swapaxes(0, 1),
+             sc_to_store(k_scales[:, down_hbm].swapaxes(0, 1)),
+             sc_to_store(v_scales[:, down_hbm].swapaxes(0, 1)))
     stores = ops.stash_blocks(stores, slabs, down_host, L)
 
     # promote: store -> pools
     kd, vd, ksd, vsd = ops.fetch_blocks(stores, up_host, L)
     k_pools = k_pools.at[:, up_hbm].set(store_to_kt(kd).swapaxes(0, 1))
     v_pools = v_pools.at[:, up_hbm].set(vd.swapaxes(0, 1))
-    k_scales = k_scales.at[:, up_hbm].set(ksd.swapaxes(0, 1))
-    v_scales = v_scales.at[:, up_hbm].set(vsd.swapaxes(0, 1))
+    k_scales = k_scales.at[:, up_hbm].set(sc_from_store(ksd).swapaxes(0, 1))
+    v_scales = v_scales.at[:, up_hbm].set(sc_from_store(vsd).swapaxes(0, 1))
     return (k_pools, v_pools, k_scales, v_scales), stores
 
 

@@ -28,7 +28,7 @@ Device pool layout (per layer, all layers stacked):
       MXU-native QK matmul — see ops/paged_attention.py)
     v_pools [L, hbm_slots+1, Hkv, block_size, D/pack]
       (one extra guard slot so padded scatters can target it)
-    k_scales/v_scales [L, hbm_slots+1, Hkv, block_size]
+    k_scales/v_scales [L, hbm_slots+1, 1, Hkv*block_size] (flat, kT-order)
 """
 
 from __future__ import annotations
@@ -134,7 +134,10 @@ class TieredKVCache:
         kt_shape = (c.num_layers, S, dp,
                     c.num_kv_heads * cache_config.block_size)
         kv_shape = (c.num_layers, S, c.num_kv_heads, cache_config.block_size, dp)
-        sc_shape = (c.num_layers, S, c.num_kv_heads, cache_config.block_size)
+        # scales are FLAT head-major columns matching kT ([1, Hkv*bs] per
+        # slot): kernels read per-column scale vectors as natural tiles
+        sc_shape = (c.num_layers, S, 1,
+                    c.num_kv_heads * cache_config.block_size)
         self.k_pools = put(jnp.zeros(kt_shape, elem), "kt")
         self.v_pools = put(jnp.zeros(kv_shape, elem), "v")
         self.k_scales = put(jnp.ones(sc_shape, jnp.float32), "sc")

@@ -100,8 +100,9 @@ def _scatter_in(pools: Pools, kd, vd, ksd, vsd, slots) -> Pools:
     k, v, ks, vs = pools
     k = k.at[:, slots].set(store_to_kt(kd).swapaxes(0, 1), mode="drop")
     v = v.at[:, slots].set(vd.swapaxes(0, 1), mode="drop")
-    ks = ks.at[:, slots].set(ksd.swapaxes(0, 1), mode="drop")
-    vs = vs.at[:, slots].set(vsd.swapaxes(0, 1), mode="drop")
+    flat = lambda s: s.reshape(*s.shape[:2], 1, -1)  # staged [N,L,Hkv,bs]
+    ks = ks.at[:, slots].set(flat(ksd).swapaxes(0, 1), mode="drop")
+    vs = vs.at[:, slots].set(flat(vsd).swapaxes(0, 1), mode="drop")
     return k, v, ks, vs
 
 
@@ -110,9 +111,12 @@ def _gather_out(pools: Pools, slots):
     from cxl_speckv_tpu.ops.paged_attention import kt_to_store
 
     k, v, ks, vs = pools
-    return (kt_to_store(k[:, slots].swapaxes(0, 1), v.shape[2]),
+    hkv, bs = v.shape[2], v.shape[3]
+    unflat = lambda s: s.reshape(*s.shape[:2], hkv, bs)
+    return (kt_to_store(k[:, slots].swapaxes(0, 1), hkv),
             v[:, slots].swapaxes(0, 1),
-            ks[:, slots].swapaxes(0, 1), vs[:, slots].swapaxes(0, 1))
+            unflat(ks[:, slots].swapaxes(0, 1)),
+            unflat(vs[:, slots].swapaxes(0, 1)))
 
 
 @dataclass

@@ -75,6 +75,9 @@ def main():
                          jnp.int8 if elem == 1 else jnp.bfloat16)
     vp = jnp.zeros_like(kp)
     ks = jnp.ones((S, Hkv, bs), jnp.float32)
+    # production kernel's flat scale pools (variant kernels keep their own)
+    ks_full = jnp.ones((S, 1, Hkv * bs), jnp.float32)
+    vs_full = jnp.ones_like(ks_full)
     vs = jnp.ones_like(ks)
     table = jnp.asarray(np.arange(B * mb, dtype=np.int32).reshape(B, mb))
     lens = jnp.full(B, ctx, jnp.int32)
@@ -489,10 +492,10 @@ def main():
           f"bytes/call={tot_bytes/1e6:.0f}MB "
           f"ideal={tot_bytes/820e9*1e6:.0f}us", flush=True)
 
-    out = full_loop(q, kpT_full, vp, ks, vs, table, lens, iters=N)
+    out = full_loop(q, kpT_full, vp, ks_full, vs_full, table, lens, iters=N)
     np.asarray(out)
     t0 = time.perf_counter()
-    out = full_loop(q, kpT_full, vp, ks, vs, table, lens, iters=N)
+    out = full_loop(q, kpT_full, vp, ks_full, vs_full, table, lens, iters=N)
     np.asarray(out)
     dt = (time.perf_counter() - t0) / N
     print(f"full    : {dt*1e6:8.0f} us/call {tot_bytes/dt/1e9:7.1f} GB/s",

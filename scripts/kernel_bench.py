@@ -61,7 +61,7 @@ def main():
                            jnp.int8 if name != "bf16" else jnp.bfloat16)
             vp = jnp.zeros((S, Hkv, bs, D // pack),
                            jnp.int8 if name != "bf16" else jnp.bfloat16)
-            ks = jnp.ones((S, Hkv, bs), jnp.float32)
+            ks = jnp.ones((S, 1, Hkv * bs), jnp.float32)
             vs = jnp.ones_like(ks)
             table = jnp.asarray(
                 np.arange(B * mb, dtype=np.int32).reshape(B, mb))

@@ -56,7 +56,8 @@ def main():
         shape = (cfg.num_layers, slots, cfg.num_kv_heads, bs, cfg.head_dim // pack)
         kp = jnp.zeros(kt_shape, kv_storage_dtype(kv_dtype))
         vp = jnp.zeros(shape, kv_storage_dtype(kv_dtype))
-        sc = jnp.ones((cfg.num_layers, slots, cfg.num_kv_heads, bs), jnp.float32)
+        sc = jnp.ones((cfg.num_layers, slots, 1,
+                       cfg.num_kv_heads * bs), jnp.float32)
         vs = jnp.ones_like(sc)
         table = jnp.arange(1, max_blocks + 1, dtype=jnp.int32)[None]
         logits = []

@@ -26,7 +26,8 @@ def build_pools(keys, values, block_size, num_slots, kv_dtype, seed_tables=True)
                       dtype=kv_storage_dtype(kv_dtype))
     v_pool = np.zeros((num_slots, num_kv_heads, block_size, head_dim // pack),
                       dtype=kv_storage_dtype(kv_dtype))
-    k_scale = np.ones((num_slots, num_kv_heads, block_size), np.float32)
+    # flat kT-order scale pools [S, 1, Hkv*bs]
+    k_scale = np.ones((num_slots, 1, num_kv_heads * block_size), np.float32)
     v_scale = np.ones_like(k_scale)
     table = np.zeros((B, max_blocks), np.int32)
     lens = np.array([k.shape[0] for k in keys], np.int32)
@@ -54,8 +55,8 @@ def build_pools(keys, values, block_size, num_slots, kv_dtype, seed_tables=True)
             k_pool[slot] = kt.reshape(kt.shape[0], -1)
             v_pool[slot] = np.asarray(
                 encode_for_pool(vq[sl], kv_dtype)).transpose(1, 0, 2)
-            k_scale[slot] = np.asarray(ks[sl, :, 0]).T
-            v_scale[slot] = np.asarray(vs[sl, :, 0]).T
+            k_scale[slot, 0] = np.asarray(ks[sl, :, 0]).T.reshape(-1)
+            v_scale[slot, 0] = np.asarray(vs[sl, :, 0]).T.reshape(-1)
     return (jnp.asarray(k_pool), jnp.asarray(v_pool), jnp.asarray(k_scale),
             jnp.asarray(v_scale), jnp.asarray(table), jnp.asarray(lens),
             k_deq, v_deq)

@@ -99,7 +99,9 @@ def _pools(cfg, kv_dtype, slots=16, seed=0):
     kp = store_to_kt(encode_for_pool(kq, kv_dtype).astype(
         kv_storage_dtype(kv_dtype)))
     vp = encode_for_pool(vq, kv_dtype).astype(kv_storage_dtype(kv_dtype))
-    return kp, vp, ks[..., 0], vs[..., 0], bs
+    # flat kT-order scale pools [S, 1, Hkv*bs]
+    flat_sc = lambda s: s[..., 0].reshape(slots, 1, -1)
+    return kp, vp, flat_sc(ks), flat_sc(vs), bs
 
 
 @pytest.mark.parametrize("dt", [KVDtype.INT8, KVDtype.BF16])

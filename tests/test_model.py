@@ -36,7 +36,8 @@ def empty_pools(cfg, kv_dtype, slots=SLOTS, bs=BS):
                 cfg.num_kv_heads * bs)
     shape = (cfg.num_layers, slots, cfg.num_kv_heads, bs, cfg.head_dim // pack)
     kp = jnp.zeros(kt_shape, kv_storage_dtype(kv_dtype))
-    sc = jnp.ones((cfg.num_layers, slots, cfg.num_kv_heads, bs), jnp.float32)
+    sc = jnp.ones((cfg.num_layers, slots, 1,
+                   cfg.num_kv_heads * bs), jnp.float32)
     return kp, jnp.zeros(shape, kv_storage_dtype(kv_dtype)), sc, jnp.ones_like(sc)
 
 

@@ -257,7 +257,8 @@ def _empty_pools(cfg, kv_dtype, slots=SLOTS, bs=BLOCK):
                 cfg.num_kv_heads * bs)
     shape = (cfg.num_layers, slots, cfg.num_kv_heads, bs, cfg.head_dim // pack)
     kpool = jnp.zeros(kt_shape, kv_storage_dtype(kv_dtype))
-    sc = jnp.ones((cfg.num_layers, slots, cfg.num_kv_heads, bs), jnp.float32)
+    sc = jnp.ones((cfg.num_layers, slots, 1,
+                   cfg.num_kv_heads * bs), jnp.float32)
     return (kpool, jnp.zeros(shape, kv_storage_dtype(kv_dtype)), sc,
             jnp.ones_like(sc))
 

@@ -69,7 +69,8 @@ def test_sharded_decode_step_matches(mesh):
                         CFG.num_kv_heads * bs), kv_storage_dtype(kv_dtype))
         vp = jnp.zeros((CFG.num_layers, S, CFG.num_kv_heads, bs,
                         CFG.head_dim // pack), kv_storage_dtype(kv_dtype))
-        sc = jnp.ones((CFG.num_layers, S, CFG.num_kv_heads, bs), jnp.float32)
+        sc = jnp.ones((CFG.num_layers, S, 1,
+                       CFG.num_kv_heads * bs), jnp.float32)
         return (kp, vp, sc, jnp.ones_like(sc))
 
     table = jnp.arange(B * MB, dtype=jnp.int32).reshape(B, MB) % (S - 1)

@@ -70,7 +70,8 @@ def test_verify_step_matches_dense():
     shape = (CFG.num_layers, slots, CFG.num_kv_heads, bs, CFG.head_dim // pack)
     kp = jnp.zeros(kt_shape, kv_storage_dtype(kv_dtype))
     vp = jnp.zeros(shape, kv_storage_dtype(kv_dtype))
-    sc = jnp.ones((CFG.num_layers, slots, CFG.num_kv_heads, bs), jnp.float32)
+    sc = jnp.ones((CFG.num_layers, slots, 1,
+                   CFG.num_kv_heads * bs), jnp.float32)
     vs = jnp.ones_like(sc)
     from cxl_speckv_tpu.models.llama import prefill_chunk
 
