@@ -49,8 +49,11 @@ def _chunk_kernel(
     start_ref,   # [B] int32 — context length per lane (SMEM)
     # blocks
     q_ref,       # [1, 1, g_h*TG, D] this head-group's queries
-    kn_ref,      # [1, g_h, T, D] fresh keys (group), already store-rounded
-    vn_ref,      # [1, g_h, T, D]
+    kn_ref,      # [1, 1, g_h*T, D] fresh keys (group), store-rounded,
+                 # pre-flattened head-major on the host (an in-kernel
+                 # [g_h, T, D] -> [g_h*T, D] reshape is not Mosaic-lowerable
+                 # for sub-sublane T)
+    vn_ref,      # [1, 1, g_h*T, D]
     *rest,       # ppb x (kT, v, ks, vs) context refs, o_ref, 3 scratch refs
     kv_dtype: KVDtype,
     block_size: int,
@@ -146,7 +149,7 @@ def _chunk_kernel(
     @pl.when(i == nb - 1)
     def _chunk_and_finalize():
         q = q_ref[0, 0].astype(compute_dtype)                 # [rows, D]
-        k = kn_ref[0].astype(compute_dtype).reshape(g_h * T, head_dim)
+        k = kn_ref[0, 0].astype(compute_dtype)            # [g_h*T, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale    # [rows, g_h*T]
@@ -166,7 +169,7 @@ def _chunk_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = vn_ref[0].astype(compute_dtype).reshape(g_h * T, head_dim)
+        v = vn_ref[0, 0].astype(compute_dtype)
         acc = acc_ref[:] * alpha + jax.lax.dot_general(
             p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -259,8 +262,8 @@ def paged_chunk_attention_pallas(
     q4 = (q.reshape(B, T, num_kv_heads, group, head_dim)
           .transpose(0, 2, 1, 3, 4).reshape(B, hg_count, rows, head_dim))
     kn = k_new.transpose(0, 2, 1, 3).reshape(
-        B, hg_count, g_h, T, head_dim)    # [B, HG, g_h, T, D]
-    vn = v_new.transpose(0, 2, 1, 3).reshape(B, hg_count, g_h, T, head_dim)
+        B, hg_count, g_h * T, head_dim)   # [B, HG, g_h*T, D] head-major
+    vn = v_new.transpose(0, 2, 1, 3).reshape(B, hg_count, g_h * T, head_dim)
 
     def ctx_index(j, mode):
         def f(b, hg, i, t, s, *_):
@@ -298,10 +301,10 @@ def paged_chunk_attention_pallas(
         in_specs=[
             pl.BlockSpec((1, 1, rows, head_dim),
                          lambda b, hg, i, *_: (b, hg, 0, 0)),
-            pl.BlockSpec((1, 1, g_h, T, head_dim),
-                         lambda b, hg, i, *_: (b, hg, 0, 0, 0)),
-            pl.BlockSpec((1, 1, g_h, T, head_dim),
-                         lambda b, hg, i, *_: (b, hg, 0, 0, 0)),
+            pl.BlockSpec((1, 1, g_h * T, head_dim),
+                         lambda b, hg, i, *_: (b, hg, 0, 0)),
+            pl.BlockSpec((1, 1, g_h * T, head_dim),
+                         lambda b, hg, i, *_: (b, hg, 0, 0)),
             *kt_spec, *v_spec, *sc_spec, *sc_spec, *sink_spec,
         ],
         out_specs=pl.BlockSpec((1, 1, rows, head_dim),

@@ -39,10 +39,12 @@ def main():
     for kv_dtype in (KVDtype.INT8, KVDtype.INT4, KVDtype.BF16):
         pack = 2 if kv_dtype == KVDtype.INT4 else 1
         S = B * mb + 1
-        k_pool = np.zeros((S, Hkv, bs, D // pack),
+        # r3 layouts: kT K pool + flat kT-order scales
+        k_pool = np.zeros((S, D // pack, Hkv * bs),
                           np.dtype(kv_storage_dtype(kv_dtype)))
-        v_pool = np.zeros_like(k_pool)
-        k_scale = np.ones((S, Hkv, bs), np.float32)
+        v_pool = np.zeros((S, Hkv, bs, D // pack),
+                          np.dtype(kv_storage_dtype(kv_dtype)))
+        k_scale = np.ones((S, 1, Hkv * bs), np.float32)
         v_scale = np.ones_like(k_scale)
         table = rng.permutation(S - 1).astype(np.int32)[: B * mb].reshape(B, mb)
         for b in range(B):
@@ -53,10 +55,11 @@ def main():
             venc = np.asarray(encode_for_pool(vq, kv_dtype))
             for i in range(mb):
                 sl = slice(i * bs, (i + 1) * bs)
-                k_pool[table[b, i]] = kenc[sl].transpose(1, 0, 2)
+                kt = kenc[sl].transpose(2, 1, 0)   # [Dp, Hkv, bs]
+                k_pool[table[b, i]] = kt.reshape(kt.shape[0], -1)
                 v_pool[table[b, i]] = venc[sl].transpose(1, 0, 2)
-                k_scale[table[b, i]] = np.asarray(ks[sl, :, 0]).T
-                v_scale[table[b, i]] = np.asarray(vs[sl, :, 0]).T
+                k_scale[table[b, i], 0] = np.asarray(ks[sl, :, 0]).T.reshape(-1)
+                v_scale[table[b, i], 0] = np.asarray(vs[sl, :, 0]).T.reshape(-1)
         args = (jnp.asarray(k_pool), jnp.asarray(v_pool),
                 jnp.asarray(k_scale), jnp.asarray(v_scale),
                 jnp.asarray(table), jnp.asarray(lens))
