@@ -148,8 +148,17 @@ def _chunk_kernel(
 
     @pl.when(i == nb - 1)
     def _chunk_and_finalize():
-        q = q_ref[0, 0].astype(compute_dtype)                 # [rows, D]
-        k = kn_ref[0, 0].astype(compute_dtype)            # [g_h*T, D]
+        # Fresh-chunk KV enters the matmul in f32: the engine feeds
+        # quantize->dequantized values (exact int x f32 scale), and the
+        # POOL path multiplies raw ints (bf16-exact) folding the f32 scale
+        # post-matmul — i.e. the context scores carry NO bf16 rounding.
+        # Rounding the fresh values to bf16 here made verify diverge from
+        # decode on the newest tokens (measured on hardware: spec greedy
+        # agreement 0.82 vs 0.99). q still rounds through compute_dtype
+        # first so its value matches the pool path's q exactly.
+        q = (q_ref[0, 0].astype(compute_dtype)
+             .astype(jnp.float32))                            # [rows, D]
+        k = kn_ref[0, 0].astype(jnp.float32)                  # [g_h*T, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale    # [rows, g_h*T]
@@ -169,9 +178,9 @@ def _chunk_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = vn_ref[0, 0].astype(compute_dtype)
+        v = vn_ref[0, 0].astype(jnp.float32)   # f32 like k (see above)
         acc = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
+            p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         if has_sinks:
             # GPT-OSS sink: one extra per-head logit with no value —

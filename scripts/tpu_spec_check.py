@@ -85,13 +85,57 @@ def run_check(sharp: bool, cdt: str = "bfloat16"):
     return same / tot
 
 
+def run_self_draft(cdt: str = "bfloat16"):
+    """Cascade-free mechanism probe: the TARGET drafts for itself
+    (draft_config == config, draft_params == params), so the acceptance
+    rate IS the per-position decode-vs-verify greedy agreement — each
+    round re-anchors on the verify output, no flip cascades. 1.0 means
+    the two attention paths argmax-agree everywhere."""
+    import jax
+    import numpy as np
+
+    from cxl_speckv_tpu.config import (
+        CacheConfig, EngineConfig, KVDtype, PrefetchConfig, SystemConfig)
+    from cxl_speckv_tpu.engine.engine import Engine
+    from cxl_speckv_tpu.models.configs import LlamaConfig
+    from cxl_speckv_tpu.models.llama import init_params
+
+    cfg = LlamaConfig(
+        vocab_size=2048, hidden_size=512, intermediate_size=1024,
+        num_layers=4, num_q_heads=8, num_kv_heads=4, head_dim=64,
+        rope_theta=10000.0, tie_embeddings=False, max_seq_len=512,
+        eos_token_id=0, dtype="bfloat16", attn_compute_dtype=cdt)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=32, num_hbm_blocks=64,
+                          num_host_blocks=128, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(enabled=False),
+        engine=EngineConfig(max_batch_size=4, max_seq_len=256,
+                            prefill_chunk=64))
+    eng = Engine(cfg, sc, params=params, enable_lstm=False, seed=0,
+                 draft_config=cfg, draft_params=params, spec_gamma=4)
+    rng = np.random.RandomState(7)
+    for p in [rng.randint(1, 2048, 24).tolist() for _ in range(6)]:
+        eng.add_request(p, max_new_tokens=48)
+    t0 = time.monotonic()
+    eng.run()
+    st = eng.get_statistics()["spec"]
+    acc = st["acceptance_rate"]
+    print(f"self-draft acceptance (= per-position decode/verify argmax "
+          f"agreement, cascade-free): {acc:.4f} "
+          f"({time.monotonic()-t0:.0f}s)", flush=True)
+    return acc
+
+
 def main():
     import jax
     print("backend:", jax.default_backend(), flush=True)
     cdt = "float32" if "--f32" in sys.argv else "bfloat16"
+    a0 = run_self_draft(cdt=cdt)
     a1 = run_check(sharp=False, cdt=cdt)
     a2 = run_check(sharp=True, cdt=cdt)
-    print(f"RESULT cdt={cdt} plain={a1:.3f} sharp={a2:.3f}", flush=True)
+    print(f"RESULT cdt={cdt} selfdraft={a0:.4f} plain={a1:.3f} "
+          f"sharp={a2:.3f}", flush=True)
 
 
 if __name__ == "__main__":
