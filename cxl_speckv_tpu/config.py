@@ -168,6 +168,12 @@ class PrefetchConfig:
     # (min(vocab, vocab_buckets), embed_dim, lstm_hidden, lstm_layers).
     predictor_path: str | None = None
     replay_capacity: int = 4096
+    # Continuation-probability refresh threshold, in observation batches
+    # (~decode rounds) per sequence: the EOS-gate/rank prediction re-runs
+    # only after this many new observations (staleness is benign for a
+    # should-we-prefetch gate; measured on TPU, per-round refreshes cost
+    # ~10% of serving throughput in host-thread contention — NOTES_ROUND3).
+    pcont_refresh: int = 8
     # Seed n-gram speculative-decoding lookup MISSES with the LSTM's top-k
     # token-class predictions (mapped back to concrete tokens through the
     # lane's own history) — the predictor's predictions do serving work

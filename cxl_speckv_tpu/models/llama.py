@@ -1199,20 +1199,26 @@ def stream_step_batched(
     a single chip.
 
     Returns (tokens [B], stores...[, chosen_lp [B], ids [B,k], lps [B,k]]).
+
+    Lanes UNROLL (B is static, small) instead of `lax.scan`: XLA:TPU
+    cannot carry pinned-host-memory-space arrays through a scan (layout
+    mismatch "S(5)" at post-optimization, observed on v5e) — the unrolled
+    chain is the same dataflow without the loop-carry constraint.
     """
-    def body(stores, row):
+    stores = (k_store, v_store, ks_store, vs_store)
+    outs = []
+    for b in range(packed.shape[0]):
         tok, stores, lp = _stream_lane(
-            params, config, kv_dtype, row, stores,
+            params, config, kv_dtype, packed[b], stores,
             max_blocks=max_blocks, wave=wave, rng_seed=rng_seed,
             store_ops=store_ops, logprobs_k=logprobs_k)
-        return stores, ((tok, *lp) if logprobs_k else (tok,))
-
-    stores, outs = jax.lax.scan(
-        body, (k_store, v_store, ks_store, vs_store), packed)
+        outs.append((tok, *lp) if logprobs_k else (tok,))
+    stacked = tuple(jnp.stack([o[i] for o in outs])
+                    for i in range(len(outs[0])))
     if logprobs_k:
-        toks, chosen, ids, lps = outs
+        toks, chosen, ids, lps = stacked
         return (toks, *stores, chosen, ids, lps)
-    return (outs[0], *stores)
+    return (stacked[0], *stores)
 
 
 def _solve_chunk_len(rest: int, bs: int) -> int:

@@ -140,9 +140,15 @@ class PrefetchController:
         keep = seqs
         if self.predictor is not None and self.eos_token_id is not None:
             t0 = time.monotonic()
+            # refresh only after `pcont_refresh` new tokens: per-step
+            # refreshes measured ~10% of serving throughput in host-thread
+            # contention (NOTES_ROUND3 ablation); staleness of a few tokens
+            # is benign for a should-we-prefetch gate
+            thresh = max(1, self.config.pcont_refresh)
             stale = [s for s in seqs
-                     if self._pcont.get(s, (-1, 0.0))[0]
-                     != self._hist_version.get(s, 0)]
+                     if s not in self._pcont
+                     or (self._hist_version.get(s, 0)
+                         - self._pcont[s][0]) >= thresh]
             if stale and self.config.train_async:
                 # async refresh on the CPU worker: this plan uses the last
                 # known probabilities (one decode round stale — benign for
