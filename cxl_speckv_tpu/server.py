@@ -23,6 +23,11 @@ Endpoints:
   tokens (OpenAI semantics); stop token ids finish like EOS. With
   `"stream": true` the response is SSE: one `data: {"tokens": [...]}`
   chunk per new-token group, then `data: [DONE]`.
+- `POST /v1/chat/completions` — OpenAI chat schema: `{"messages":
+  [{"role", "content"}, ...], ...}` templated through the tokenizer's
+  chat template (`apply_chat_template` when present, a role-tagged
+  transcript otherwise); responds with `chat.completion` /
+  `chat.completion.chunk` delta SSE.
 - `GET /v1/stats` — the full `Engine.get_statistics()` JSON (hit rates,
   migrations, compression, prefetch accuracy, TPOT percentiles).
 - `GET /health` — liveness.
@@ -193,18 +198,22 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(404, f"unknown path {self.path}")
 
     def do_POST(self):
-        if self.path not in ("/v1/completions", "/generate"):
+        chat = self.path == "/v1/chat/completions"
+        if not chat and self.path not in ("/v1/completions", "/generate"):
             self._error(404, f"unknown path {self.path}")
             return
         try:
             n = int(self.headers.get("Content-Length", 0))
             body = json.loads(self.rfile.read(n) or b"{}")
-            prompt = body.get("prompt")
-            if isinstance(prompt, str):
-                if self.tokenizer is None:
-                    raise ValueError("string prompts need a tokenizer; "
-                                     "send token ids")
-                prompt = list(self.tokenizer.encode(prompt))
+            if chat:
+                prompt = self._chat_prompt(body.get("messages"))
+            else:
+                prompt = body.get("prompt")
+                if isinstance(prompt, str):
+                    if self.tokenizer is None:
+                        raise ValueError("string prompts need a tokenizer; "
+                                         "send token ids")
+                    prompt = list(self.tokenizer.encode(prompt))
             if not isinstance(prompt, list) or not prompt:
                 raise ValueError("prompt must be a non-empty token-id list")
             max_tokens = int(body.get("max_tokens", 64))
@@ -251,13 +260,49 @@ class _Handler(BaseHTTPRequestHandler):
             # token in that window — a token the trimmed result retracts);
             # the withheld tokens flush from the final result on done
             holdback = max((len(s) for s in stop_sequences), default=0)
-            self._stream(rid, ev, holdback=holdback)
+            self._stream(rid, ev, holdback=holdback, chat=chat)
         else:
             out = self.loop.result(rid, ev, timeout=600)
             if out is None:
                 self._error(504, "generation timed out")
                 return
-            self._json(200, self._payload(out))
+            self._json(200, self._chat_payload(out) if chat
+                       else self._payload(out))
+
+    def _chat_prompt(self, messages) -> list[int]:
+        """OpenAI chat messages -> prompt token ids. Uses the tokenizer's
+        chat template when it has one (HF tokenizers:
+        `apply_chat_template`); otherwise a plain role-tagged transcript
+        with a generation prompt — serviceable for base models and
+        tests."""
+        if self.tokenizer is None:
+            raise ValueError("chat completions need a tokenizer")
+        if not isinstance(messages, list) or not messages:
+            raise ValueError("messages must be a non-empty list")
+        for m in messages:
+            if not isinstance(m, dict) or "role" not in m or "content" not in m:
+                raise ValueError("each message needs role and content")
+        if hasattr(self.tokenizer, "apply_chat_template"):
+            return list(self.tokenizer.apply_chat_template(
+                messages, add_generation_prompt=True))
+        text = "".join(f"{m['role']}: {m['content']}\n" for m in messages)
+        return list(self.tokenizer.encode(text + "assistant:"))
+
+    def _chat_payload(self, out: EngineOutput) -> dict:
+        d = {"id": f"chatcmpl-{out.req_id}", "object": "chat.completion",
+             "choices": [{
+                 "index": 0,
+                 "message": {"role": "assistant",
+                             "content": self.tokenizer.decode(out.tokens)},
+                 "finish_reason": out.finish_reason,
+             }],
+             "usage": {"completion_tokens": len(out.tokens)},
+             "tokens": out.tokens,
+             "ttft_ms": out.ttft_ms, "tpot_ms": out.tpot_ms}
+        if out.logprobs is not None:
+            d["choices"][0]["logprobs"] = {
+                "token_logprobs": [e["logprob"] for e in out.logprobs]}
+        return d
 
     def _payload(self, out: EngineOutput) -> dict:
         d = {"id": f"cmpl-{out.req_id}", "object": "completion",
@@ -277,7 +322,7 @@ class _Handler(BaseHTTPRequestHandler):
         return d
 
     def _stream(self, rid: int, ev: threading.Event,
-                holdback: int = 0) -> None:
+                holdback: int = 0, chat: bool = False) -> None:
         self.send_response(200)
         self.send_header("Content-Type", "text/event-stream")
         self.send_header("Cache-Control", "no-cache")
@@ -318,9 +363,17 @@ class _Handler(BaseHTTPRequestHandler):
                         self.wfile.flush()
                         sent = 0
                 if len(toks) > sent:
-                    chunk = {"tokens": toks[sent:]}
-                    if self.tokenizer is not None:
-                        chunk["text"] = self.tokenizer.decode(toks[sent:])
+                    if chat:
+                        # OpenAI chat.completion.chunk delta format
+                        chunk = {"object": "chat.completion.chunk",
+                                 "choices": [{"index": 0, "delta": {
+                                     "content": self.tokenizer.decode(
+                                         toks[sent:])}}],
+                                 "tokens": toks[sent:]}
+                    else:
+                        chunk = {"tokens": toks[sent:]}
+                        if self.tokenizer is not None:
+                            chunk["text"] = self.tokenizer.decode(toks[sent:])
                     self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
                     self.wfile.flush()
                     sent = len(toks)

@@ -84,24 +84,49 @@ def worker(rank: int, nprocs: int, port: int, out_path: str,
     front = LockstepFrontend(eng, rank, JaxProcessTransport())
 
     # each process's clients submit DIFFERENT prompts (seeded by rank) in a
-    # different local order; HBM is small enough (24 blocks, 96-token seqs)
-    # that serving 6 requests on 4 lanes exercises queueing + tiering
+    # different local order, exercising the FULL replicated command surface:
+    # sampling knobs, stops, logprobs, sessions, and cancellation
     rng = np.random.RandomState(100 + rank)
     for i in range(3):
         prompt = rng.randint(1, cfg.vocab_size, 6 + 3 * rank + i).tolist()
         front.submit(prompt, max_new_tokens=8,
-                     temperature=0.0 if i % 2 == 0 else 0.8)
+                     temperature=0.0 if i % 2 == 0 else 0.8,
+                     top_p=1.0 if i % 2 == 0 else 0.9,
+                     logprobs=2 if i == 0 else 0)
+    h_sess = front.submit(rng.randint(1, cfg.vocab_size, 8).tolist(),
+                          max_new_tokens=4, session=True) if rank == 0 else None
+    h_dead = front.submit([7, 7, 7], max_new_tokens=40, ignore_eos=True)
     front.set_prefetch_depth(3)
     front.commit_round()          # allgather barrier: the lockstep round
 
-    outs = {o.req_id: o.tokens for o in front.run()}
+    # cancel a committed request mid-serve (replicates the engine req_id)
+    for _ in range(2):
+        front.step()
+    front.cancel(h_dead)
+    front.commit_round()
+    res = {o.req_id: (o.tokens, o.finish_reason, o.logprobs)
+           for o in front.run()}
 
-    # round 2: more submissions after serving started once
+    # round 2: a session continuation + fresh submissions
+    # the session's CLIENT lives on rank 0; every rank's engine knows the
+    # session (replicated), but only its owner submits the next turn
+    sid = next((o.session_id for o in eng._requests.values()
+                if getattr(o, "session", False) and o.session_id >= 0), None)
+    if rank == 0 and sid is not None:
+        front.continue_session(sid, [30, 31, 32], max_new_tokens=4)
     rng2 = np.random.RandomState(200 + rank)
     front.submit(rng2.randint(1, cfg.vocab_size, 10).tolist(),
                  max_new_tokens=6)
     front.commit_round()
-    outs.update({o.req_id: o.tokens for o in front.run()})
+    res.update({o.req_id: (o.tokens, o.finish_reason, o.logprobs)
+                for o in front.run()})
+    # fold ALL cancelled requests' terminal state into the digest (every
+    # rank cancelled its own; both replicate to both engines)
+    assert front.req_id(h_dead) in eng._requests
+    for r in eng._requests.values():
+        if r.finish_reason == "cancelled":
+            res[r.req_id] = (list(r.output), r.finish_reason, None)
+    outs = res
 
     digest = hashlib.sha256(
         repr(sorted(outs.items())).encode()).hexdigest()
@@ -144,6 +169,8 @@ def launch(nprocs: int, port: int, use_pallas: bool,
         "global_devices": results[0]["global_devices"],
         "mesh": f"dp={DP} x tp={TP} (dp across processes)",
         "transport": "JaxProcessTransport (process_allgather / Gloo-CPU)",
+        "command_surface": "submit(temperature/top_p/logprobs/ignore_eos) "
+                           "+ session + continue_session + cancel + depth",
         "use_pallas": use_pallas,
         "requests_served": len(results[0]["outputs"]),
         "outputs_identical_across_processes": identical,

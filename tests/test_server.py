@@ -172,3 +172,76 @@ def test_tokenizer_round_trip():
                           {"prompt": "hello speckv", "max_tokens": 4})
         assert code == 200 and len(body["tokens"]) == 4
         assert isinstance(body["text"], str)
+
+
+def test_chat_completions():
+    """OpenAI chat endpoint: messages -> templated prompt -> assistant
+    message (non-streamed and SSE delta chunks)."""
+    class Tok:
+        def encode(self, s):
+            return [ord(c) % 250 + 1 for c in s]
+
+        def decode(self, ids):
+            return "".join(chr(i) for i in ids)
+
+        def apply_chat_template(self, messages, add_generation_prompt=False):
+            text = "".join(f"<{m['role']}>{m['content']}" for m in messages)
+            return self.encode(text + ("<assistant>" if add_generation_prompt
+                                       else ""))
+
+    msgs = [{"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hi"}]
+    with SpeckvServer(make_engine(), port=0, tokenizer=Tok()) as srv:
+        code, body = post(srv.port, "/v1/chat/completions",
+                          {"messages": msgs, "max_tokens": 4})
+        assert code == 200
+        assert body["object"] == "chat.completion"
+        ch = body["choices"][0]
+        assert ch["message"]["role"] == "assistant"
+        assert isinstance(ch["message"]["content"], str)
+        assert ch["finish_reason"] in ("length", "eos")
+        # validation
+        code, _ = post(srv.port, "/v1/chat/completions", {"messages": []})
+        assert code == 400
+        code, _ = post(srv.port, "/v1/chat/completions",
+                       {"messages": [{"role": "user"}]})
+        assert code == 400
+
+    # no tokenizer -> clean rejection
+    with SpeckvServer(make_engine(), port=0) as srv:
+        code, _ = post(srv.port, "/v1/chat/completions",
+                       {"messages": msgs})
+        assert code == 400
+
+
+def test_chat_stream_delta_chunks():
+    class Tok:
+        def encode(self, s):
+            return [ord(c) % 250 + 1 for c in s]
+
+        def decode(self, ids):
+            return "".join(chr(i) for i in ids)
+
+    import http.client
+    import json as _json
+    with SpeckvServer(make_engine(), port=0, tokenizer=Tok()) as srv:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.request("POST", "/v1/chat/completions",
+                     _json.dumps({"messages": [{"role": "user",
+                                                "content": "hello"}],
+                                  "max_tokens": 5, "stream": True}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        raw = resp.read().decode()
+        chunks = [l[6:] for l in raw.splitlines()
+                  if l.startswith("data: ") and l != "data: [DONE]"]
+        assert raw.strip().endswith("data: [DONE]")
+        toks = []
+        for c in chunks:
+            d = _json.loads(c)
+            assert d["object"] == "chat.completion.chunk"
+            assert "content" in d["choices"][0]["delta"]
+            toks += d["tokens"]
+        assert len(toks) == 5
+        conn.close()
