@@ -37,4 +37,5 @@ def test_two_process_lockstep_serving(tmp_path):
     assert rec["process_count"] == 2
     assert rec["global_devices"] == 4
     assert rec["outputs_identical_across_processes"] is True
-    assert rec["requests_served"] == 8
+    # 2x3 plain + session + 2 dead (cancelled) + continuation + 2 fresh
+    assert rec["requests_served"] == 12
