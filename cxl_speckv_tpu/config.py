@@ -208,8 +208,12 @@ class EngineConfig:
     # Max total length of a streamed sequence; None = bounded by the host
     # pool (num_host_blocks - 2 blocks).
     max_stream_seq_len: int | None = None
-    # Blocks fetched from the host tier per streamed-attention wave.
-    stream_wave: int = 4
+    # Blocks fetched from the host tier per streamed-attention wave. Each
+    # wave is one host-memory gather (a compute_on("device_host") op whose
+    # ROUND TRIPS dominate streamed serving on real hardware — measured
+    # ~3.1s/dispatch at wave=8 on v5e, NOTES_ROUND3); bigger waves trade a
+    # few MB of HBM window for proportionally fewer host ops.
+    stream_wave: int = 32
     # Fold each round's migration batch into the decode/prefill program
     # (one dispatch per round). Off by default: the split pipeline — an
     # async standalone migrate program chained into the round's model
