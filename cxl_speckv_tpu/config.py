@@ -6,10 +6,10 @@ and the runtime-mutable prefetch-depth / compression-scheme knobs flowing to
 FPGA registers via `speckv.h:65-66`). Here everything is a dataclass; the
 runtime-mutable knobs are `Engine.set_prefetch_depth` (mirror of
 `speckv_set_prefetch_depth`) and `Engine.set_kv_dtype` (mirror of
-`speckv_set_compression_scheme`: switches the quantization scheme for
-subsequently allocated blocks among same-storage-width schemes; the storage
-width itself — e.g. INT4's packed layout — is fixed at engine construction,
-like the hardware datapath width).
+`speckv_set_compression_scheme`: same-storage-width schemes switch LIVE —
+subsequently allocated blocks quantize under the new scheme; cross-width
+switches (INT4/BF16 <-> byte schemes) rebuild the pool storage on an idle
+engine, spanning the reference knob's full FP16 <-> INT8_DELTA_RLE range).
 """
 
 from __future__ import annotations
