@@ -64,7 +64,7 @@ def main():
                               kv_dtype=KVDtype.INT8),
             prefetch=PrefetchConfig(enabled=False),
             engine=EngineConfig(max_batch_size=args.lanes, max_seq_len=max_seq,
-                                prefill_chunk=128, stream_wave=64),
+                                prefill_chunk=128, stream_wave=128),
         )
         return Engine(config, sc, params=params, use_pallas=on_tpu,
                       enable_lstm=False, seed=0)
