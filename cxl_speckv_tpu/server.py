@@ -220,6 +220,15 @@ class _Handler(BaseHTTPRequestHandler):
             temperature = float(body.get("temperature", 0.0))
             top_p = float(body.get("top_p", 1.0))
             stream = bool(body.get("stream", False))
+            n = int(body.get("n", 1))
+            if not 1 <= n <= 8:
+                raise ValueError("n must be in [1, 8]")
+            if n > 1 and stream:
+                raise ValueError("n > 1 does not stream (one SSE body "
+                                 "multiplexing choices is not supported)")
+            if n > 1 and temperature <= 0.0:
+                raise ValueError("n > 1 needs temperature > 0 (greedy "
+                                 "choices would be identical)")
             ignore_eos = bool(body.get("ignore_eos", False))
             logprobs = int(body.get("logprobs") or 0)
             prompt_logprobs = bool(body.get("prompt_logprobs", False))
@@ -243,14 +252,35 @@ class _Handler(BaseHTTPRequestHandler):
             return
 
         try:
-            rid, ev = self.loop.submit(prompt, max_tokens, temperature, top_p,
-                                       stop_token_ids=stop_token_ids,
-                                       stop_sequences=stop_sequences,
-                                       ignore_eos=ignore_eos,
-                                       logprobs=logprobs,
-                                       prompt_logprobs=prompt_logprobs)
+            subs = [self.loop.submit(prompt, max_tokens, temperature, top_p,
+                                     stop_token_ids=stop_token_ids,
+                                     stop_sequences=stop_sequences,
+                                     ignore_eos=ignore_eos,
+                                     logprobs=logprobs,
+                                     prompt_logprobs=prompt_logprobs)
+                    for _ in range(n)]
+            rid, ev = subs[0]
         except ValueError as e:   # over-capacity etc. — the engine's probes
             self._error(400, str(e))
+            return
+        if n > 1:
+            # the n choices batch together in the engine like any other
+            # concurrent requests; distinct in-graph rng per request
+            outs = [self.loop.result(r, e, timeout=600) for r, e in subs]
+            if any(o is None for o in outs):
+                self._error(504, "generation timed out")
+                return
+            if chat:
+                merged = self._chat_payload(outs[0])
+                merged["choices"] = [
+                    {**self._chat_payload(o)["choices"][0], "index": i}
+                    for i, o in enumerate(outs)]
+            else:
+                merged = {"id": f"cmpl-{outs[0].req_id}",
+                          "object": "completion",
+                          "choices": [{**self._payload(o), "index": i}
+                                      for i, o in enumerate(outs)]}
+            self._json(200, merged)
             return
         if stream:
             # a matched stop sequence is trimmed from the final result, so

@@ -245,3 +245,27 @@ def test_chat_stream_delta_chunks():
             toks += d["tokens"]
         assert len(toks) == 5
         conn.close()
+
+
+def test_n_choices():
+    """OpenAI `n`: multiple sampled completions batch in the engine and
+    return as a choices list; invalid combinations reject cleanly."""
+    with SpeckvServer(make_engine(), port=0) as srv:
+        code, body = post(srv.port, "/v1/completions",
+                          {"prompt": [3, 5, 7, 9], "max_tokens": 6,
+                           "temperature": 0.9, "n": 3})
+        assert code == 200 and len(body["choices"]) == 3
+        assert [c["index"] for c in body["choices"]] == [0, 1, 2]
+        assert all(len(c["tokens"]) == 6 for c in body["choices"])
+        # sampled choices should not all coincide on a 512-vocab model
+        assert len({tuple(c["tokens"]) for c in body["choices"]}) > 1
+        code, _ = post(srv.port, "/v1/completions",
+                       {"prompt": [1, 2], "n": 2})          # greedy n>1
+        assert code == 400
+        code, _ = post(srv.port, "/v1/completions",
+                       {"prompt": [1, 2], "n": 2, "stream": True,
+                        "temperature": 0.5})
+        assert code == 400
+        code, _ = post(srv.port, "/v1/completions",
+                       {"prompt": [1, 2], "n": 99, "temperature": 0.5})
+        assert code == 400
