@@ -151,3 +151,32 @@ def test_cross_width_switch_rejected_while_busy():
     # same-width switching stays legal mid-serve
     eng.set_kv_dtype(KVDtype.FP8)
     eng.run()
+
+
+def test_cross_width_switch_under_mesh():
+    """Idle cross-width rebuild re-places pools with their mesh shardings
+    (pool_put roles) and serving stays token-identical to a fresh engine."""
+    import jax
+    from cxl_speckv_tpu.config import ParallelConfig
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=32,
+                          num_host_blocks=64, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(depth=2),
+        engine=EngineConfig(max_batch_size=4, max_seq_len=96,
+                            prefill_chunk=32),
+        parallel=ParallelConfig(dp=2, tp=2),
+    )
+    eng = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+    p = prompts(1, seed=21)[0]
+    eng.add_request(p, max_new_tokens=5)
+    eng.run()
+    eng.set_kv_dtype(KVDtype.INT4)
+    from jax.sharding import PartitionSpec as P
+    assert eng.kvc.k_pools.sharding.spec == P(None, None, None, "tp")
+    eng.add_request(p, max_new_tokens=5)
+    got = eng.run()[0].tokens
+    fresh = make_engine(KVDtype.INT4)
+    fresh.add_request(p, max_new_tokens=5)
+    assert got == fresh.run()[0].tokens
