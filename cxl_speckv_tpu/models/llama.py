@@ -595,6 +595,8 @@ def decode_multi(
     key: jax.Array,            # PRNG key for in-graph sampling
     temperatures: jax.Array,   # [B] f32; <= 0 means greedy
     top_ps: jax.Array | None = None,  # [B] f32 nucleus p; 0 / >= 1 = off
+    pen_info: jax.Array | None = None,    # [B, 5] int32 penalty metadata
+    pen_counts: jax.Array | None = None,  # [rows + 1, V] int32 token stats
     *,
     horizon: int = 8,
     use_pallas: bool = False,
@@ -621,31 +623,48 @@ def decode_multi(
     appended instead: chosen-token logprobs [B, horizon] and the top-k
     alternative ids/logprobs [B, horizon, k] (raw-distribution, see
     `_token_logprobs`).
+
+    With pen_info/pen_counts, sampling penalties apply in-graph each step
+    (frequency/presence/repetition — `engine/sampling.py` module comment)
+    and each sampled token scatter-counts into its lane's stats row; the
+    updated pen_counts is appended LAST to the return tuple. Logprobs stay
+    raw-distribution (pre-penalty), consistent with the temperature/top-p
+    choice above.
     """
-    from cxl_speckv_tpu.engine.sampling import sample_tokens
+    from cxl_speckv_tpu.engine.sampling import penalize_and_count, sample_tokens
 
     def step(carry, j):
-        toks, kp, vp, ks, vs, key = carry
+        toks, kp, vp, ks, vs, key, pc = carry
         positions = start_positions + j
         logits, kp, vp, ks, vs = _decode_core(
             params, config, kv_dtype, toks, positions, kp, vp, ks, vs,
             block_table, positions + 1, use_pallas, mesh)
         key, sub = jax.random.split(key)
-        nxt = sample_tokens(logits, temperatures, sub, top_k,
-                            top_ps=top_ps).astype(jnp.int32)
+        if pc is not None:
+            nxt, pc = penalize_and_count(
+                logits, pen_info, pc,
+                lambda lg: sample_tokens(lg, temperatures, sub, top_k,
+                                         top_ps=top_ps))
+            nxt = nxt.astype(jnp.int32)
+        else:
+            nxt = sample_tokens(logits, temperatures, sub, top_k,
+                                top_ps=top_ps).astype(jnp.int32)
         ys = [nxt]
         if logprobs_k:
             ys += list(_token_logprobs(logits, nxt, logprobs_k))
         if return_logits:
             ys.append(logits)
-        return (nxt, kp, vp, ks, vs, key), tuple(ys)
+        return (nxt, kp, vp, ks, vs, key, pc), tuple(ys)
 
-    (_, k_pools, v_pools, k_scales, v_scales, _), ys = jax.lax.scan(
-        step, (first_tokens, k_pools, v_pools, k_scales, v_scales, key),
+    (_, k_pools, v_pools, k_scales, v_scales, _, pen_counts), ys = jax.lax.scan(
+        step, (first_tokens, k_pools, v_pools, k_scales, v_scales, key,
+               pen_counts),
         jnp.arange(horizon))
     # scan stacks on axis 0 (the horizon); callers want batch-major
     out = [ys[0].T, k_pools, v_pools, k_scales, v_scales]
     out += [y.swapaxes(0, 1) for y in ys[1:]]
+    if pen_counts is not None:
+        out.append(pen_counts)
     return tuple(out)
 
 
