@@ -222,6 +222,13 @@ class EngineConfig:
     # remote-dispatch runtimes (480ms fused vs 198ms split per synced
     # round through the axon tunnel).
     fused_rounds: bool = False
+    # Concurrent requests with sampling penalties (frequency / presence /
+    # repetition). Each penalized request owns one row of a device-resident
+    # int32 [penalty_rows + 1, vocab] token-count plane (lazily allocated on
+    # the first penalized request; ~0.5 MB/row at Llama-3 vocab). 0 disables
+    # the feature. Unpenalized requests never pay for it: the plane only
+    # enters the compiled programs once a penalized request has been seen.
+    penalty_rows: int = 16
 
 
 @dataclass

@@ -46,6 +46,18 @@ class Request:
     # semantics.
     logprobs: int = 0
     logprobs_data: list = field(default_factory=list)
+    # sampling penalties (OpenAI frequency/presence semantics over OUTPUT
+    # tokens; HF/vLLM repetition semantics over prompt + output). 0 (and
+    # repetition 1.0) = off. Penalized requests own a row of the engine's
+    # device-resident token-count plane (`engine/sampling.py` module
+    # comment); pen_row is that row (-1 = unpenalized) and pen_reset_gen
+    # records the `restarts` generation whose first prefill chunk already
+    # reset the row (preemption restarts re-reset it in-graph).
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    repetition_penalty: float = 0.0
+    pen_row: int = -1
+    pen_reset_gen: int = -1
     # echo/perplexity surface: per-PROMPT-token logprobs (OpenAI echo —
     # entry 0 is None, token i >= 1 scores log p(prompt[i] | prompt[:i])).
     # Prefill chunks re-feed one boundary token so every position is

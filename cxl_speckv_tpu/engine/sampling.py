@@ -137,7 +137,8 @@ def pen_mark_prompt(pen_info: jax.Array, pen_counts: jax.Array,
     return pen_counts.at[rows, token_ids].max(PEN_PROMPT_BIT, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("top_k",))
+@functools.partial(jax.jit, static_argnames=("top_k",),
+                   donate_argnames=("pen_counts",))
 def sample_tokens_penalized(
     logits: jax.Array,        # [B, V] float32
     temperatures: jax.Array,  # [B] f32

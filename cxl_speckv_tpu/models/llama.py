@@ -672,7 +672,8 @@ def decode_multi(
     jax.jit,
     static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
                      "rng_seed", "return_logits", "logprobs_k", "mesh"),
-    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales",
+                     "pen_counts"),
 )
 def decode_multi_packed(
     params: Params,
@@ -686,6 +687,8 @@ def decode_multi_packed(
     v_pools: jax.Array,
     k_scales: jax.Array,
     v_scales: jax.Array,
+    pen_info: jax.Array | None = None,    # [B, 5] int32 penalty metadata
+    pen_counts: jax.Array | None = None,  # [rows + 1, V] int32 token stats
     *,
     horizon: int = 8,
     use_pallas: bool = False,
@@ -698,7 +701,8 @@ def decode_multi_packed(
     """`decode_multi` with all per-round host inputs packed into ONE array —
     a single host->device transfer per engine round. On remote-dispatch
     runtimes each argument transfer costs a round trip; this is the decode
-    hot path, so everything rides one int32 matrix."""
+    hot path, so everything rides one int32 matrix. With pen_info/pen_counts
+    the updated pen_counts is appended LAST (see `decode_multi`)."""
     from cxl_speckv_tpu.engine.sampling import decode_sampling
 
     first_tokens = packed[:, 0]
@@ -710,7 +714,8 @@ def decode_multi_packed(
     return decode_multi(
         params, config, kv_dtype, first_tokens, start_positions,
         k_pools, v_pools, k_scales, v_scales, block_table, key, temperatures,
-        top_ps, horizon=horizon, use_pallas=use_pallas, top_k=top_k,
+        top_ps, pen_info, pen_counts,
+        horizon=horizon, use_pallas=use_pallas, top_k=top_k,
         return_logits=return_logits, logprobs_k=logprobs_k, mesh=mesh)
 
 
@@ -718,7 +723,8 @@ def decode_multi_packed(
     jax.jit,
     static_argnames=("config", "kv_dtype", "max_blocks", "rng_seed",
                      "use_pallas", "logprobs_k", "prompt_scores", "mesh"),
-    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales",
+                     "pen_counts"),
 )
 def prefill_batch_packed(
     params: Params,
@@ -732,6 +738,8 @@ def prefill_batch_packed(
     v_pools: jax.Array,
     k_scales: jax.Array,
     v_scales: jax.Array,
+    pen_info: jax.Array | None = None,    # [B, 5] int32 penalty metadata
+    pen_counts: jax.Array | None = None,  # [rows + 1, V] int32 token stats
     *,
     max_blocks: int,
     rng_seed: int = 0,
@@ -752,8 +760,19 @@ def prefill_batch_packed(
     log p(token[t+1] | prefix..t) for t < valid-1 (0 elsewhere) — the
     echo/perplexity surface; the cross-chunk boundary is covered by the
     engine re-feeding one token per chunk.
+
+    With pen_info/pen_counts, the penalty hooks run in-graph: rows flagged
+    for reset (first chunk of a request) zero first, this chunk's prompt
+    tokens set their repetition-presence bit, and the sampled token is
+    penalized and (on the prompt-completing chunk only, flag bit 1)
+    counted. The updated pen_counts is appended LAST to the return tuple.
     """
-    from cxl_speckv_tpu.engine.sampling import sample_tokens
+    from cxl_speckv_tpu.engine.sampling import (
+        pen_mark_prompt,
+        pen_reset_rows,
+        penalize_and_count,
+        sample_tokens,
+    )
     from cxl_speckv_tpu.ops.quant import dequantize_kv
 
     _, attend_chunk = _attend_fns(config, use_pallas, mesh)
@@ -840,7 +859,18 @@ def prefill_batch_packed(
                                  .repeat(x.shape[-1], axis=2), axis=1)[:, 0]
     x_last = _norm(x_last, params["final_norm"], c)
     logits = _final_logits(x_last, params, c)             # [B, V]
-    toks = sample_tokens(logits, temps, key, top_ps=top_ps).astype(jnp.int32)
+    if pen_counts is not None:
+        # reset flagged rows, mark this chunk's prompt tokens (repetition
+        # penalty spans the prompt), then sample penalized
+        pen_counts = pen_reset_rows(pen_info, pen_counts)
+        pen_counts = pen_mark_prompt(pen_info, pen_counts, token_ids, valid)
+        toks, pen_counts = penalize_and_count(
+            logits, pen_info, pen_counts,
+            lambda lg: sample_tokens(lg, temps, key, top_ps=top_ps))
+        toks = toks.astype(jnp.int32)
+    else:
+        toks = sample_tokens(logits, temps, key,
+                             top_ps=top_ps).astype(jnp.int32)
     out = [toks, k_pools, v_pools, k_scales, v_scales]
     if logprobs_k:
         out += list(_token_logprobs(logits, toks, logprobs_k))
@@ -853,6 +883,8 @@ def prefill_batch_packed(
             lp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
         # positions >= valid-1 have no in-chunk target
         out.append(jnp.where(t_idx < (valid - 1)[:, None], sc, 0.0))
+    if pen_counts is not None:
+        out.append(pen_counts)
     return tuple(out)
 
 
@@ -910,7 +942,8 @@ def prefill_chunk_packed(
     static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
                      "rng_seed", "store_ops", "mesh", "logprobs_k"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales",
-                     "k_store", "v_store", "ks_store", "vs_store"),
+                     "k_store", "v_store", "ks_store", "vs_store",
+                     "pen_counts"),
 )
 def decode_round_fused(
     params,
@@ -926,6 +959,8 @@ def decode_round_fused(
     v_store: jax.Array,
     ks_store: jax.Array,
     vs_store: jax.Array,
+    pen_info: jax.Array | None = None,
+    pen_counts: jax.Array | None = None,
     *,
     horizon: int = 8,
     use_pallas: bool = False,
@@ -950,10 +985,11 @@ def decode_round_fused(
         (k_pools, v_pools, k_scales, v_scales),
         (k_store, v_store, ks_store, vs_store), mig, store_ops)
     toks, *rest = decode_multi_packed(
-        params, config, kv_dtype, packed, *pools,
+        params, config, kv_dtype, packed, *pools, pen_info, pen_counts,
         horizon=horizon, use_pallas=use_pallas, top_k=top_k,
         rng_seed=rng_seed, mesh=mesh, logprobs_k=logprobs_k)
-    # keep stores at fixed positions: (toks, pools x4, stores x4[, lp x3])
+    # keep stores at fixed positions:
+    # (toks, pools x4, stores x4[, lp x3][, pen_counts])
     return (toks, *rest[:4], *stores, *rest[4:])
 
 
@@ -963,7 +999,8 @@ def decode_round_fused(
                      "use_pallas", "store_ops", "mesh", "logprobs_k",
                      "prompt_scores"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales",
-                     "k_store", "v_store", "ks_store", "vs_store"),
+                     "k_store", "v_store", "ks_store", "vs_store",
+                     "pen_counts"),
 )
 def prefill_round_fused(
     params,
@@ -979,6 +1016,8 @@ def prefill_round_fused(
     v_store: jax.Array,
     ks_store: jax.Array,
     vs_store: jax.Array,
+    pen_info: jax.Array | None = None,
+    pen_counts: jax.Array | None = None,
     *,
     max_blocks: int,
     rng_seed: int = 0,
@@ -996,10 +1035,10 @@ def prefill_round_fused(
         (k_pools, v_pools, k_scales, v_scales),
         (k_store, v_store, ks_store, vs_store), mig, store_ops)
     toks, *rest = prefill_batch_packed(
-        params, config, kv_dtype, packed, *pools,
+        params, config, kv_dtype, packed, *pools, pen_info, pen_counts,
         max_blocks=max_blocks, rng_seed=rng_seed, use_pallas=use_pallas,
         mesh=mesh, logprobs_k=logprobs_k, prompt_scores=prompt_scores)
-    # (toks, pools x4, stores x4[, lp x3][, prompt scores])
+    # (toks, pools x4, stores x4[, lp x3][, prompt scores][, pen_counts])
     return (toks, *rest[:4], *stores, *rest[4:])
 
 
@@ -1019,12 +1058,18 @@ def _stream_lane(
     rng_seed: int,
     store_ops,
     logprobs_k: int = 0,
+    prompt_scores: bool = False,
 ):
     """One host-streamed lane: a prefill chunk (T = chunk) or one decode
     token (T = 1). Shared body of `stream_step` (single dispatch per lane)
     and `stream_step_batched` (lanes scanned inside ONE dispatch).
 
-    Returns (next_token, stores, logprob arrays or None)."""
+    Returns (next_token, stores, logprob arrays or None, prompt scores
+    [T] or None). With prompt_scores, scores[t] = log p(token[t+1] |
+    prefix..t) for t < valid-1 (0 elsewhere) — the same echo surface as
+    `prefill_batch_packed`; the engine covers chunk boundaries by
+    re-feeding one token per chunk (the streamed append's read-modify-write
+    re-stores byte-identical quantized KV for the re-fed position)."""
     from cxl_speckv_tpu.engine.sampling import sample_tokens
     from cxl_speckv_tpu.ops.quant import dequantize_kv
     from cxl_speckv_tpu.ops.stream_attention import (
@@ -1130,13 +1175,22 @@ def _stream_lane(
     tok = sample_tokens(logits, temps, key, top_ps=top_ps)[0].astype(jnp.int32)
     lp = (_token_logprobs(logits[0], tok, logprobs_k)
           if logprobs_k else None)
-    return tok, stores, lp
+    ps = None
+    if prompt_scores:
+        xs = _norm(x, params["final_norm"], c)               # [T, H]
+        lpf = jax.nn.log_softmax(
+            _final_logits(xs, params, c).astype(jnp.float32), axis=-1)
+        targets = jnp.roll(token_ids, -1)                    # target[t] = tok[t+1]
+        sc = jnp.take_along_axis(
+            lpf, targets[:, None].astype(jnp.int32), axis=-1)[:, 0]
+        ps = jnp.where(jnp.arange(T) < valid - 1, sc, 0.0)
+    return tok, stores, lp, ps
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "max_blocks", "wave", "rng_seed",
-                     "store_ops", "logprobs_k"),
+                     "store_ops", "logprobs_k", "prompt_scores"),
     donate_argnames=("k_store", "v_store", "ks_store", "vs_store"),
 )
 def stream_step(
@@ -1157,6 +1211,7 @@ def stream_step(
     rng_seed: int = 0,
     store_ops=None,
     logprobs_k: int = 0,
+    prompt_scores: bool = False,
 ):
     """Process T tokens of a HOST-RESIDENT sequence in one dispatch: a
     prefill chunk (T = chunk) or one decode token (T = 1).
@@ -1169,23 +1224,28 @@ def stream_step(
     limit case (reference `README.md:16-19`, `docs/ARCHITECTURE.md:271`
     32K-128K adaptation; BASELINE config 3).
 
-    Returns (next_token, stores...[, chosen_lp, top_ids, top_lps]). The
-    next token is sampled in-graph from the last valid position.
+    Returns (next_token, stores...[, chosen_lp, top_ids, top_lps]
+    [, prompt scores]). The next token is sampled in-graph from the last
+    valid position.
     """
-    tok, stores, lp = _stream_lane(
+    tok, stores, lp, ps = _stream_lane(
         params, config, kv_dtype, packed,
         (k_store, v_store, ks_store, vs_store),
         max_blocks=max_blocks, wave=wave, rng_seed=rng_seed,
-        store_ops=store_ops, logprobs_k=logprobs_k)
+        store_ops=store_ops, logprobs_k=logprobs_k,
+        prompt_scores=prompt_scores)
+    out = (tok, *stores)
     if logprobs_k:
-        return (tok, *stores, *lp)
-    return (tok, *stores)
+        out += tuple(lp)
+    if prompt_scores:
+        out += (ps,)
+    return out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "max_blocks", "wave", "rng_seed",
-                     "store_ops", "logprobs_k"),
+                     "store_ops", "logprobs_k", "prompt_scores"),
     donate_argnames=("k_store", "v_store", "ks_store", "vs_store"),
 )
 def stream_step_batched(
@@ -1205,6 +1265,7 @@ def stream_step_batched(
     rng_seed: int = 0,
     store_ops=None,
     logprobs_k: int = 0,
+    prompt_scores: bool = False,
 ):
     """B host-streamed lanes in ONE dispatch (VERDICT r2 next-step #4).
 
@@ -1217,7 +1278,8 @@ def stream_step_batched(
     host-bandwidth-bound, so there is no parallel-lanes win to forfeit on
     a single chip.
 
-    Returns (tokens [B], stores...[, chosen_lp [B], ids [B,k], lps [B,k]]).
+    Returns (tokens [B], stores...[, chosen_lp [B], ids [B,k], lps [B,k]]
+    [, prompt scores [B, T]]).
 
     Lanes UNROLL (B is static, small) instead of `lax.scan`: XLA:TPU
     cannot carry pinned-host-memory-space arrays through a scan (layout
@@ -1227,17 +1289,20 @@ def stream_step_batched(
     stores = (k_store, v_store, ks_store, vs_store)
     outs = []
     for b in range(packed.shape[0]):
-        tok, stores, lp = _stream_lane(
+        tok, stores, lp, ps = _stream_lane(
             params, config, kv_dtype, packed[b], stores,
             max_blocks=max_blocks, wave=wave, rng_seed=rng_seed,
-            store_ops=store_ops, logprobs_k=logprobs_k)
-        outs.append((tok, *lp) if logprobs_k else (tok,))
+            store_ops=store_ops, logprobs_k=logprobs_k,
+            prompt_scores=prompt_scores)
+        row = (tok,)
+        if logprobs_k:
+            row += tuple(lp)
+        if prompt_scores:
+            row += (ps,)
+        outs.append(row)
     stacked = tuple(jnp.stack([o[i] for o in outs])
                     for i in range(len(outs[0])))
-    if logprobs_k:
-        toks, chosen, ids, lps = stacked
-        return (toks, *stores, chosen, ids, lps)
-    return (stacked[0], *stores)
+    return (stacked[0], *stores, *stacked[1:])
 
 
 def _solve_chunk_len(rest: int, bs: int) -> int:

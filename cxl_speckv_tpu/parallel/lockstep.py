@@ -83,9 +83,10 @@ class LockstepFrontend:
         """Buffer a generation request; returns a client-local handle.
         The engine req_id exists only after the round commits. Accepts the
         FULL Engine.add_request surface (top_p, session, stop_token_ids,
-        stop_sequences, ignore_eos, eos_token_id, logprobs,
-        prompt_logprobs) — every kwarg replicates through the log, so the
-        multi-host frontend serves the same API as the single-host engine."""
+        stop_sequences, ignore_eos, eos_token_id, logprobs, prompt_logprobs,
+        frequency/presence/repetition penalties) — every kwarg replicates
+        through the log, so the multi-host frontend serves the same API as
+        the single-host engine."""
         return self._push("request",
                           (tuple(prompt),
                            dict(max_new_tokens=max_new_tokens,

@@ -14,7 +14,10 @@ Endpoints:
 - `POST /v1/completions` — body `{"prompt": [token ids] | "text",
   "max_tokens": N, "temperature": t, "top_p": p, "stream": bool,
   "stop": "str" | ["strs"], "stop_token_ids": [ids],
-  "stop_sequences": [[ids]], "ignore_eos": bool}`.
+  "stop_sequences": [[ids]], "ignore_eos": bool,
+  "frequency_penalty": f, "presence_penalty": f,
+  "repetition_penalty": f}` (penalties: OpenAI semantics for
+  frequency/presence, HF/vLLM for repetition).
   A client that disconnects mid-stream cancels its request (the engine
   stops generating and frees the KV).
   String prompts and string `stop` entries require the server to be
@@ -68,7 +71,10 @@ class ServingLoop:
                top_p: float, stop_token_ids=None,
                stop_sequences=None, ignore_eos: bool = False,
                logprobs: int = 0,
-               prompt_logprobs: bool = False) -> tuple[int, threading.Event]:
+               prompt_logprobs: bool = False,
+               frequency_penalty: float = 0.0,
+               presence_penalty: float = 0.0,
+               repetition_penalty: float = 0.0) -> tuple[int, threading.Event]:
         with self._cv:
             rid = self.engine.add_request(
                 prompt, max_new_tokens=max_new_tokens,
@@ -76,7 +82,10 @@ class ServingLoop:
                 stop_token_ids=stop_token_ids,
                 stop_sequences=stop_sequences,
                 ignore_eos=ignore_eos, logprobs=logprobs,
-                prompt_logprobs=prompt_logprobs)
+                prompt_logprobs=prompt_logprobs,
+                frequency_penalty=frequency_penalty,
+                presence_penalty=presence_penalty,
+                repetition_penalty=repetition_penalty)
             ev = threading.Event()
             self._events[rid] = ev
             self._cv.notify()
@@ -232,6 +241,10 @@ class _Handler(BaseHTTPRequestHandler):
             ignore_eos = bool(body.get("ignore_eos", False))
             logprobs = int(body.get("logprobs") or 0)
             prompt_logprobs = bool(body.get("prompt_logprobs", False))
+            # OpenAI sampling penalties + the HF/vLLM repetition extension
+            frequency_penalty = float(body.get("frequency_penalty", 0.0))
+            presence_penalty = float(body.get("presence_penalty", 0.0))
+            repetition_penalty = float(body.get("repetition_penalty", 0.0))
             stop_token_ids = body.get("stop_token_ids") or []
             # OpenAI "stop": string or list of strings (<= 4), excluded
             # from the returned text; needs the tokenizer to become token
@@ -257,7 +270,10 @@ class _Handler(BaseHTTPRequestHandler):
                                      stop_sequences=stop_sequences,
                                      ignore_eos=ignore_eos,
                                      logprobs=logprobs,
-                                     prompt_logprobs=prompt_logprobs)
+                                     prompt_logprobs=prompt_logprobs,
+                                     frequency_penalty=frequency_penalty,
+                                     presence_penalty=presence_penalty,
+                                     repetition_penalty=repetition_penalty)
                     for _ in range(n)]
             rid, ev = subs[0]
         except ValueError as e:   # over-capacity etc. — the engine's probes

@@ -2,26 +2,41 @@
 
 Spawns N actual OS processes, each `jax.distributed.initialize`-d against a
 localhost coordinator (CPU backend, Gloo cross-process collectives), builds
-ONE global dp x tp mesh spanning all processes' devices, and serves a
-lockstep round through `JaxProcessTransport` — the same transport a real
-multi-host TPU pod uses (multihost_utils.process_allgather over DCN).
+ONE global mesh spanning all processes' devices, and serves lockstep rounds
+through `JaxProcessTransport` — the same transport a real multi-host TPU pod
+uses (multihost_utils.process_allgather over DCN).
+
+Two mesh modes, both recorded in the artifact:
+
+- `dptp` (r3): dp=2 x tp=2 with TWO local devices per process — dp crosses
+  the process fabric (the DCN leg), tp stays intra-process (the ICI leg).
+  Exercises lockstep command replication + host_fetch across processes.
+- `tpspan` (r4, VERDICT r3 next-step #7): dp=1 x tp=2 with ONE local device
+  per process — the TP axis itself spans the two processes, so the MODEL
+  PROGRAMS' collectives (the qkv/attention/mlp psums GSPMD inserts for
+  tensor parallelism) cross the process fabric on every dispatch, not just
+  the lockstep allgather. Token identity is asserted two ways: across the
+  two ranks AND against a single-process tp=2 reference run of the same
+  merged command stream (same engines, LocalFabric transport).
 
 This executes the paths a single-process virtual mesh cannot:
   - jax.distributed bring-up (parallel/distributed.py:initialize_multihost)
   - the pickled-command allgather (parallel/lockstep.py:JaxProcessTransport)
   - GSPMD programs whose arrays span non-addressable devices, including the
     replicate-then-fetch host pull (parallel/sharding.py:host_fetch)
+  - (tpspan) tensor-parallel model collectives over the inter-process fabric
 
 Each process submits a DIFFERENT set of client requests in a different
 local order; the lockstep merge must still produce byte-identical engine
 command streams, hence byte-identical generated tokens on every process.
 
 Usage:
-  python scripts/multiproc_serve.py                # launcher: spawn 2 workers
-  python scripts/multiproc_serve.py --nprocs 2 --rank 0 --port 29901  # worker
+  python scripts/multiproc_serve.py                       # both modes
+  python scripts/multiproc_serve.py --mode tpspan         # one mode
+  python scripts/multiproc_serve.py --mode tpspan --rank 0 ...  # worker
 
-The launcher writes MULTIPROC_r03.json at the repo root recording
-process_count, mesh shape, and the cross-process identity check.
+The launcher writes the artifact (default MULTIPROCESS_r04.json at the repo
+root) recording process_count, mesh shape, and the identity checks.
 """
 
 from __future__ import annotations
@@ -35,38 +50,21 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-LOCAL_DEVICES = 2          # per process; nprocs * LOCAL_DEVICES global
-DP, TP = 2, 2              # dp across processes (DCN leg), tp within (ICI leg)
-                           # (tiny_test_config has 2 kv heads -> tp max 2)
+MODES = {
+    # mode: (local_devices_per_process, dp, tp)
+    "dptp": (2, 2, 2),    # dp across processes, tp within
+    "tpspan": (1, 1, 2),  # tp ACROSS processes (1 local device each)
+}
 
 
-def worker(rank: int, nprocs: int, port: int, out_path: str,
-           use_pallas: bool) -> None:
-    # env is prepared by the launcher; assert the platform stuck (the
-    # sitecustomize axon backend must not initialize in workers)
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    sys.path.insert(0, REPO)
-    from cxl_speckv_tpu.parallel.distributed import initialize_multihost
-
-    assert initialize_multihost(f"localhost:{port}", nprocs, rank)
-    assert jax.process_count() == nprocs
-    assert jax.device_count() == nprocs * LOCAL_DEVICES
-    assert jax.local_device_count() == LOCAL_DEVICES
-
-    import numpy as np
-
+def _build_engine(cfg, dp: int, tp: int, use_pallas: bool):
     from cxl_speckv_tpu.config import (CacheConfig, EngineConfig, KVDtype,
                                        ParallelConfig, PrefetchConfig,
                                        SystemConfig)
     from cxl_speckv_tpu.engine.engine import Engine
-    from cxl_speckv_tpu.models.configs import tiny_test_config
     from cxl_speckv_tpu.models.llama import init_params
-    from cxl_speckv_tpu.parallel.lockstep import (JaxProcessTransport,
-                                                  LockstepFrontend)
+    import jax
 
-    cfg = tiny_test_config()
     # identical on every process: same seed -> same jitted init -> same bits
     params = init_params(cfg, jax.random.PRNGKey(7))
     sc = SystemConfig(
@@ -75,17 +73,24 @@ def worker(rank: int, nprocs: int, port: int, out_path: str,
         prefetch=PrefetchConfig(depth=2),
         engine=EngineConfig(max_batch_size=4, max_seq_len=96,
                             prefill_chunk=32, decode_horizon=2),
-        parallel=ParallelConfig(dp=DP, tp=TP),
+        parallel=ParallelConfig(dp=dp, tp=tp),
     )
-    eng = Engine(cfg, sc, params=params, use_pallas=use_pallas,
-                 enable_lstm=False, seed=0)
-    assert eng.mesh is not None and eng.mesh.devices.size == nprocs * LOCAL_DEVICES
+    return Engine(cfg, sc, params=params, use_pallas=use_pallas,
+                  enable_lstm=False, seed=0)
 
-    front = LockstepFrontend(eng, rank, JaxProcessTransport())
 
-    # each process's clients submit DIFFERENT prompts (seeded by rank) in a
-    # different local order, exercising the FULL replicated command surface:
-    # sampling knobs, stops, logprobs, sessions, and cancellation
+def drive(front, eng, cfg, rank: int, result: dict):
+    """The serving script, as a generator that YIELDS at every lockstep
+    round barrier (the caller commits the round however its transport
+    requires — commit_round for real processes, interleaved stage/apply
+    for the in-process reference). Fills `result` with the comparable
+    outputs before finishing.
+
+    Exercises the FULL replicated command surface: sampling knobs, stops,
+    logprobs, sampling penalties, sessions, and cancellation.
+    """
+    import numpy as np
+
     rng = np.random.RandomState(100 + rank)
     for i in range(3):
         prompt = rng.randint(1, cfg.vocab_size, 6 + 3 * rank + i).tolist()
@@ -93,21 +98,26 @@ def worker(rank: int, nprocs: int, port: int, out_path: str,
                      temperature=0.0 if i % 2 == 0 else 0.8,
                      top_p=1.0 if i % 2 == 0 else 0.9,
                      logprobs=2 if i == 0 else 0)
+    # sampling penalties replicate too (r4 surface)
+    front.submit(rng.randint(1, cfg.vocab_size, 7).tolist(),
+                 max_new_tokens=6, frequency_penalty=1.0,
+                 repetition_penalty=1.3)
     h_sess = front.submit(rng.randint(1, cfg.vocab_size, 8).tolist(),
                           max_new_tokens=4, session=True) if rank == 0 else None
+    del h_sess
     h_dead = front.submit([7, 7, 7], max_new_tokens=40, ignore_eos=True)
     front.set_prefetch_depth(3)
-    front.commit_round()          # allgather barrier: the lockstep round
+    yield                     # round 1 barrier
 
     # cancel a committed request mid-serve (replicates the engine req_id)
     for _ in range(2):
         front.step()
     front.cancel(h_dead)
-    front.commit_round()
+    yield                     # round 2 barrier
     res = {o.req_id: (o.tokens, o.finish_reason, o.logprobs)
            for o in front.run()}
 
-    # round 2: a session continuation + fresh submissions
+    # round 3: a session continuation + fresh submissions
     # the session's CLIENT lives on rank 0; every rank's engine knows the
     # session (replicated), but only its owner submits the next turn
     sid = next((o.session_id for o in eng._requests.values()
@@ -117,7 +127,7 @@ def worker(rank: int, nprocs: int, port: int, out_path: str,
     rng2 = np.random.RandomState(200 + rank)
     front.submit(rng2.randint(1, cfg.vocab_size, 10).tolist(),
                  max_new_tokens=6)
-    front.commit_round()
+    yield                     # round 3 barrier
     res.update({o.req_id: (o.tokens, o.finish_reason, o.logprobs)
                 for o in front.run()})
     # fold ALL cancelled requests' terminal state into the digest (every
@@ -126,10 +136,48 @@ def worker(rank: int, nprocs: int, port: int, out_path: str,
     for r in eng._requests.values():
         if r.finish_reason == "cancelled":
             res[r.req_id] = (list(r.output), r.finish_reason, None)
-    outs = res
+    result.update(res)
 
-    digest = hashlib.sha256(
-        repr(sorted(outs.items())).encode()).hexdigest()
+
+def _digest(outs: dict) -> str:
+    return hashlib.sha256(repr(sorted(outs.items())).encode()).hexdigest()
+
+
+def worker(rank: int, nprocs: int, port: int, out_path: str,
+           use_pallas: bool, mode: str) -> None:
+    # env is prepared by the launcher; assert the platform stuck (the
+    # sitecustomize axon backend must not initialize in workers)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, REPO)
+    local_devices, dp, tp = MODES[mode]
+    from cxl_speckv_tpu.models.configs import tiny_test_config
+    from cxl_speckv_tpu.parallel.distributed import initialize_multihost
+    from cxl_speckv_tpu.parallel.lockstep import (JaxProcessTransport,
+                                                  LockstepFrontend)
+
+    assert initialize_multihost(f"localhost:{port}", nprocs, rank)
+    assert jax.process_count() == nprocs
+    assert jax.device_count() == nprocs * local_devices
+    assert jax.local_device_count() == local_devices
+
+    cfg = tiny_test_config()
+    eng = _build_engine(cfg, dp, tp, use_pallas)
+    assert eng.mesh is not None
+    assert eng.mesh.devices.size == nprocs * local_devices
+    tp_axis_procs = {d.process_index for d in eng.mesh.devices.ravel()}
+    if mode == "tpspan":
+        # the whole point: the tp axis must span both OS processes, so the
+        # model programs' TP collectives cross the process fabric
+        assert len(tp_axis_procs) == nprocs, tp_axis_procs
+
+    front = LockstepFrontend(eng, rank, JaxProcessTransport())
+    outs: dict = {}
+    for _ in drive(front, eng, cfg, rank, outs):
+        front.commit_round()
+
+    digest = _digest(outs)
     with open(out_path, "w") as f:
         json.dump({"rank": rank, "process_count": jax.process_count(),
                    "global_devices": jax.device_count(),
@@ -139,48 +187,109 @@ def worker(rank: int, nprocs: int, port: int, out_path: str,
           flush=True)
 
 
-def launch(nprocs: int, port: int, use_pallas: bool,
-           artifact: str | None) -> int:
+def reference(out_path: str, use_pallas: bool, mode: str) -> None:
+    """Single-process reference for `tpspan`: the SAME two client command
+    streams merged through a LocalFabric into two engines on a tp=2 mesh of
+    two LOCAL devices — the model collectives stay intra-process. Its
+    digest must equal the 2-process run's (the fabric is semantically
+    invisible)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, REPO)
+    _, dp, tp = MODES[mode]
+    from cxl_speckv_tpu.models.configs import tiny_test_config
+    from cxl_speckv_tpu.parallel.lockstep import LocalFabric, LockstepFrontend
+
+    assert jax.device_count() == 2
+    cfg = tiny_test_config()
+    fabric = LocalFabric(2)
+    engs = [_build_engine(cfg, dp, tp, use_pallas) for _ in range(2)]
+    fronts = [LockstepFrontend(engs[r], r, fabric) for r in range(2)]
+    results: list[dict] = [{}, {}]
+    gens = [drive(fronts[r], engs[r], cfg, r, results[r]) for r in range(2)]
+    # the drive script has exactly 3 round barriers on every rank
+    for _ in range(3):
+        for g in gens:
+            next(g)
+        for f in fronts:
+            f.stage_round()
+        for f in fronts:
+            f.apply_round()
+    for g in gens:  # run each generator's tail past its last barrier
+        try:
+            next(g)
+        except StopIteration:
+            pass
+    assert _digest(results[0]) == _digest(results[1]), \
+        "reference engines diverged"
+    outs = results[0]
+    with open(out_path, "w") as f:
+        json.dump({"rank": "reference", "digest": _digest(outs),
+                   "outputs": {str(k): v for k, v in sorted(outs.items())}},
+                  f)
+    print(f"reference: digest {_digest(outs)[:16]}", flush=True)
+
+
+def launch_mode(nprocs: int, port: int, use_pallas: bool, mode: str) -> dict:
+    local_devices, dp, tp = MODES[mode]
     procs, outs = [], []
     for rank in range(nprocs):
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = (
-            f"--xla_force_host_platform_device_count={LOCAL_DEVICES}")
+            f"--xla_force_host_platform_device_count={local_devices}")
         env["SPECKV_INTERPRET"] = "1"
-        out_path = f"/tmp/speckv_mp_rank{rank}.json"
+        out_path = f"/tmp/speckv_mp_{mode}_rank{rank}.json"
         outs.append(out_path)
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--rank", str(rank), "--nprocs", str(nprocs),
-             "--port", str(port), "--out", out_path]
+             "--port", str(port), "--out", out_path, "--mode", mode]
             + (["--pallas"] if use_pallas else []),
             env=env, cwd=REPO))
     rcs = [p.wait(timeout=600) for p in procs]
     if any(rcs):
-        print(f"FAIL: worker return codes {rcs}")
-        return 1
+        raise RuntimeError(f"{mode}: worker return codes {rcs}")
     results = [json.load(open(p)) for p in outs]
     digests = {r["digest"] for r in results}
-    identical = len(digests) == 1
     record = {
         "process_count": nprocs,
-        "local_devices_per_process": LOCAL_DEVICES,
+        "local_devices_per_process": local_devices,
         "global_devices": results[0]["global_devices"],
-        "mesh": f"dp={DP} x tp={TP} (dp across processes)",
+        "mesh": (f"dp={dp} x tp={tp} "
+                 + ("(tp ACROSS processes: model-program collectives cross "
+                    "the fabric)" if mode == "tpspan"
+                    else "(dp across processes, tp within)")),
         "transport": "JaxProcessTransport (process_allgather / Gloo-CPU)",
-        "command_surface": "submit(temperature/top_p/logprobs/ignore_eos) "
-                           "+ session + continue_session + cancel + depth",
+        "command_surface": "submit(temperature/top_p/logprobs/ignore_eos/"
+                           "penalties) + session + continue_session + "
+                           "cancel + depth",
         "use_pallas": use_pallas,
         "requests_served": len(results[0]["outputs"]),
-        "outputs_identical_across_processes": identical,
+        "outputs_identical_across_processes": len(digests) == 1,
         "digest": results[0]["digest"],
     }
-    print(json.dumps(record, indent=2))
-    if artifact:
-        with open(artifact, "w") as f:
-            json.dump(record, f, indent=2)
-    return 0 if identical else 1
+    if mode == "tpspan":
+        # single-process tp=2 reference: same merged command stream, local
+        # collectives — the cross-process fabric must be invisible
+        ref_path = f"/tmp/speckv_mp_{mode}_ref.json"
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["SPECKV_INTERPRET"] = "1"
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--reference", "--out", ref_path, "--mode", mode]
+            + (["--pallas"] if use_pallas else []),
+            env=env, cwd=REPO).returncode
+        if rc:
+            raise RuntimeError("tpspan reference run failed")
+        ref = json.load(open(ref_path))
+        record["single_process_reference_digest"] = ref["digest"]
+        record["matches_single_process_reference"] = (
+            ref["digest"] == results[0]["digest"])
+    return record
 
 
 def main() -> int:
@@ -189,16 +298,35 @@ def main() -> int:
     ap.add_argument("--nprocs", type=int, default=2)
     ap.add_argument("--port", type=int, default=29901)
     ap.add_argument("--out", default="/tmp/speckv_mp.json")
+    ap.add_argument("--mode", choices=[*MODES, "all"], default="all")
+    ap.add_argument("--reference", action="store_true",
+                    help="run the single-process tpspan reference")
     ap.add_argument("--pallas", action="store_true",
                     help="serve with the shard-mapped Pallas kernels "
                          "(interpreter mode on CPU)")
     ap.add_argument("--artifact", default=None,
                     help="write the launcher record to this path")
     args = ap.parse_args()
-    if args.rank is None:
-        return launch(args.nprocs, args.port, args.pallas, args.artifact)
-    worker(args.rank, args.nprocs, args.port, args.out, args.pallas)
-    return 0
+    if args.reference:
+        reference(args.out, args.pallas, args.mode if args.mode != "all"
+                  else "tpspan")
+        return 0
+    if args.rank is not None:
+        worker(args.rank, args.nprocs, args.port, args.out, args.pallas,
+               args.mode if args.mode != "all" else "dptp")
+        return 0
+    modes = list(MODES) if args.mode == "all" else [args.mode]
+    record, ok = {}, True
+    for i, mode in enumerate(modes):
+        rec = launch_mode(args.nprocs, args.port + i, args.pallas, mode)
+        record[mode] = rec
+        ok &= rec["outputs_identical_across_processes"]
+        ok &= rec.get("matches_single_process_reference", True)
+    print(json.dumps(record, indent=2))
+    if args.artifact:
+        with open(args.artifact, "w") as f:
+            json.dump(record, f, indent=2)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

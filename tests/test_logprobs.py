@@ -272,3 +272,50 @@ def test_server_returns_logprobs():
         assert len(lp["token_logprobs"]) == n
         assert all(len(t) == 2 for t in lp["top_ids"])
         assert all(len(t) == 2 for t in lp["top_logprobs"])
+
+
+def test_prompt_logprobs_on_streamed_path():
+    """r4 (VERDICT r3 next-step #9): the host-streamed path scores prompt
+    tokens inside each streamed prefill chunk with the same boundary
+    re-feed as the pooled path — every token i >= 1 matches forward_dense
+    within KV-quantization tolerance, across chunk boundaries."""
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=6,
+                          num_host_blocks=64, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(enabled=False),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=48,
+                            prefill_chunk=16),
+    )
+    eng = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+    p = prompt(21, n=50)  # > max_seq_len -> streamed; 4 chunks
+    rid = eng.add_request(p, max_new_tokens=3, prompt_logprobs=True,
+                          logprobs=2)
+    assert len(eng._stream_queue) == 1  # really on the streamed path
+    out = {o.req_id: o for o in eng.run()}[rid]
+    pl = out.prompt_logprobs
+    assert pl is not None and len(pl) == len(p) and pl[0] is None
+    logits = forward_dense(PARAMS, CFG, jnp.asarray([p]))
+    lp = np.asarray(jax.nn.log_softmax(logits[0].astype(jnp.float32), -1))
+    for i in range(1, len(p)):
+        assert pl[i] == pytest.approx(float(lp[i - 1, p[i]]), abs=2e-2), i
+    # per-token logprobs still ride the streamed path alongside
+    assert out.logprobs is not None and len(out.logprobs) == len(out.tokens)
+
+
+def test_streamed_prompt_logprobs_tokens_unchanged():
+    """The boundary re-feed rewrites byte-identical KV: a streamed scoring
+    request generates the same greedy tokens as the same request without
+    scoring."""
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=6,
+                          num_host_blocks=64, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(enabled=False),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=48,
+                            prefill_chunk=16),
+    )
+    p = prompt(22, n=44)
+    eng = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+    plain = run_one(eng, p, max_new_tokens=6)
+    eng2 = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+    scored = run_one(eng2, p, max_new_tokens=6, prompt_logprobs=True)
+    assert plain.tokens == scored.tokens

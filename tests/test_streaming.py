@@ -143,10 +143,12 @@ def test_stream_logprobs():
         assert entry["top_ids"][0] == tok          # greedy = argmax
         assert abs(entry["logprob"] - entry["top_logprobs"][0]) < 1e-5
         assert len(entry["top_ids"]) == 3
-    # prompt_logprobs stays cleanly rejected on the streamed path
-    with pytest.raises(ValueError, match="prompt_logprobs"):
-        eng.add_request(prompt_of(40, seed=8), max_new_tokens=4,
-                        prompt_logprobs=True)
+    # prompt_logprobs rides the streamed path too (lifted in r4 —
+    # dense-validated in tests/test_logprobs.py)
+    rid2 = eng.add_request(prompt_of(40, seed=8), max_new_tokens=4,
+                           prompt_logprobs=True)
+    outs2 = {o.req_id: o for o in eng.run()}
+    assert len(outs2[rid2].prompt_logprobs) == 40
 
 
 def test_stream_capacity_rejection():
