@@ -76,6 +76,68 @@ def run_workload(eng, *, n_requests, prompt_len, gen, seed=0):
     return sum(len(o.tokens) for o in outs), dt
 
 
+# v5e per-chip datasheet numbers (absolute-utilization denominators)
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_GBPS = 819.0
+
+
+def utilization(eng, config, params, st, prompt_len, gen):
+    """Absolute utilization of the DECODE loop (VERDICT r3 next-step #2):
+    derived MFU and effective HBM traffic rate, from first-principles byte
+    and FLOP counts — not ratios.
+
+    Per fused decode round (horizon steps x B lanes, weights re-streamed
+    once per scan step and shared across lanes):
+      weight bytes = horizon x sum(param bytes)
+      kv bytes     = tokens x avg_ctx x L x 2 x Hkv x D x kv_byte_width
+      flops        = tokens x (2 x matmul params + 4 x L x Hq x D x avg_ctx)
+    """
+    import jax
+
+    eng_st = st["engine"]
+    toks = eng_st["tokens_generated"]
+    dt = eng_st["decode_time_s"]
+    if not toks or not dt:
+        return {}
+    c = config
+    leaves = jax.tree_util.tree_leaves(params)
+    param_count = sum(x.size for x in leaves)
+    param_bytes = sum(x.size * x.dtype.itemsize for x in leaves)
+    # matmul-active params: the input-embedding gather is not a matmul;
+    # the logits projection is (tied configs reuse the embedding table —
+    # then it IS matmul-active and already counted once)
+    n_mm = param_count
+    if not getattr(c, "tie_embeddings", False):
+        n_mm -= c.vocab_size * c.hidden_size  # input embedding table only
+    avg_ctx = prompt_len + gen / 2
+    kv_width = {"int8": 1.0, "fp8": 1.0, "mixed8": 1.0, "int4": 0.5,
+                "bf16": 2.0}.get(eng.config.cache.kv_dtype.value, 2.0)
+    kv_bytes_per_tok = (avg_ctx * c.num_layers * 2 * c.num_kv_heads
+                        * c.head_dim * kv_width)
+    flops_per_tok = 2 * n_mm + 4 * c.num_layers * c.num_q_heads * c.head_dim * avg_ctx
+    decode_batches = st["scheduler"]["decode_batches"]
+    h = eng.config.engine.decode_horizon
+    steps = decode_batches * h              # weight streams (shared per lane)
+    weight_bytes = steps * param_bytes
+    kv_bytes = toks * kv_bytes_per_tok
+    phases = st["phases"]
+    prog_s = phases.get("decode.program", {}).get("total_s", 0.0)
+    host_s = phases.get("decode.host", {}).get("total_s", 0.0)
+    return {
+        "mfu": toks * flops_per_tok / dt / V5E_PEAK_BF16_FLOPS,
+        "hbm_bw_eff_gbps": (weight_bytes + kv_bytes) / dt / 1e9,
+        # the same bytes over only the device-synchronized program leg —
+        # what the chip does when the host isn't in the way
+        "hbm_bw_program_gbps": ((weight_bytes + kv_bytes) / prog_s / 1e9
+                                if prog_s else 0.0),
+        "decode_program_s": prog_s,
+        "decode_host_s": host_s,
+        "decode_total_s": dt,
+        "weight_gb": weight_bytes / 1e9,
+        "kv_gb": kv_bytes / 1e9,
+    }
+
+
 def main():
     import jax
 
@@ -136,16 +198,18 @@ def main():
     # vs_baseline is the MEDIAN of per-pair ratios
     oversub = total_demand / hbm_blocks
     pairs = []
-    st = sa = None
+    st = sa = util_t = util_a = None
     for rep in range(5 if on_tpu else 2):
         eng_t = build_engine(config, params, prefetch=True, **geo)
         tok_t, dt_t = run_workload(eng_t, n_requests=n_requests,
                                    prompt_len=prompt_len, gen=gen)
         st = eng_t.get_statistics()
+        util_t = utilization(eng_t, config, params, st, prompt_len, gen)
         eng_a = build_engine(config, params, prefetch=False, **ample_geo)
         tok_a, dt_a = run_workload(eng_a, n_requests=n_requests,
                                    prompt_len=prompt_len, gen=gen)
         sa = eng_a.get_statistics()
+        util_a = utilization(eng_a, config, params, sa, prompt_len, gen)
         pairs.append((tok_t / dt_t, tok_a / dt_a))
         print(f"# pair {rep}: tiered {tok_t}tok/{dt_t:.1f}s = "
               f"{tok_t/dt_t:.1f} tok/s vs ample {tok_a}tok/{dt_a:.1f}s = "
@@ -163,7 +227,28 @@ def main():
         "value": round(tps_t, 2),
         "unit": "tok/s",
         "vs_baseline": round(per_hbm, 3),
+        # absolute utilization of the decode loop (last pair; v5e
+        # denominators: 197 TFLOP/s bf16, 819 GB/s HBM) — see utilization()
+        "mfu": round(util_t.get("mfu", 0.0), 4),
+        "hbm_bw_eff": round(util_t.get("hbm_bw_eff_gbps", 0.0), 1),
+        "mfu_ample": round(util_a.get("mfu", 0.0), 4),
+        "hbm_bw_eff_ample": round(util_a.get("hbm_bw_eff_gbps", 0.0), 1),
     }))
+    for tag, u, s in (("tiered", util_t, st), ("ample", util_a, sa)):
+        if not u:
+            continue
+        ph = s["phases"]
+        breakdown = {k: round(v.get("total_s", 0.0), 2)
+                     for k, v in sorted(ph.items())
+                     if v.get("total_s", 0.0) > 0.005}
+        print(f"# {tag} utilization: mfu={u['mfu']*100:.2f}% "
+              f"hbm_eff={u['hbm_bw_eff_gbps']:.0f} GB/s "
+              f"(program-leg {u['hbm_bw_program_gbps']:.0f} GB/s over "
+              f"{u['decode_program_s']:.1f}s program / "
+              f"{u['decode_host_s']:.1f}s host / "
+              f"{u['decode_total_s']:.1f}s decode total; "
+              f"weights {u['weight_gb']:.0f} GB + kv {u['kv_gb']:.1f} GB) | "
+              f"phase totals(s): {breakdown}", file=sys.stderr)
     d = st["directory"]
     print(
         f"# tiered ({oversub:.1f}x oversub): {tps_t:.1f} tok/s mean | "

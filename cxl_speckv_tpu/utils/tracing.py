@@ -34,6 +34,7 @@ class _Phase:
         n = len(w)
         return {
             "count": self.count,
+            "total_s": self.total_s,
             "avg_ms": (self.total_s / self.count * 1e3) if self.count else 0.0,
             "p50_ms": w[n // 2] * 1e3 if n else 0.0,
             "p95_ms": w[min(n - 1, int(n * 0.95))] * 1e3 if n else 0.0,
