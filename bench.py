@@ -30,13 +30,13 @@ import numpy as np
 
 def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
                  max_seq_len, horizon, quantum, use_pallas, prefetch,
-                 lstm=None):
+                 lstm=None, block_size=32):
     from cxl_speckv_tpu.config import (
         CacheConfig, EngineConfig, KVDtype, PrefetchConfig, SystemConfig)
     from cxl_speckv_tpu.engine.engine import Engine
 
     sc = SystemConfig(
-        cache=CacheConfig(block_size=32, num_hbm_blocks=hbm_blocks,
+        cache=CacheConfig(block_size=block_size, num_hbm_blocks=hbm_blocks,
                           num_host_blocks=host_blocks, kv_dtype=KVDtype.INT8,
                           prefetch_reserve_frac=0.25),
         prefetch=PrefetchConfig(depth=4, min_depth=3, enabled=prefetch,
@@ -155,12 +155,16 @@ def main():
     params = init_params(config, jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
+    import os
     if on_tpu:
         n_requests, prompt_len, gen = 32, 64, 64
         batch, horizon, quantum, bs = 4, 16, 4, 32
     else:
         n_requests, prompt_len, gen = 12, 32, 24
         batch, horizon, quantum, bs = 2, 4, 3, 32
+    # geometry experiments (VERDICT r3 next-step #6): the kernel anatomy
+    # says fewer/bigger blocks sit closer to the per-call floor
+    bs = int(os.environ.get("SPECKV_BENCH_BS", bs))
     max_seq = prompt_len + gen + bs
     blocks_per_seq = -(-max_seq // bs)
     # HBM double-buffers: the pinned active batch + the prefetching next
@@ -170,7 +174,7 @@ def main():
     total_demand = n_requests * blocks_per_seq
     geo = dict(hbm_blocks=hbm_blocks, host_blocks=host_blocks, batch=batch,
                max_seq_len=max_seq, horizon=horizon, quantum=quantum,
-               use_pallas=on_tpu)
+               use_pallas=on_tpu, block_size=bs)
     print(f"# geometry: hbm={hbm_blocks} blocks, live demand={total_demand} "
           f"({total_demand/hbm_blocks:.1f}x oversubscribed), "
           f"{n_requests} seqs x {prompt_len}+{gen} tok", file=sys.stderr)

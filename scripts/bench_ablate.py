@@ -1,7 +1,8 @@
-"""Driver-shape ablation + variance instrumentation (VERDICT r2 #7/#9).
+"""Driver-shape ablation + variance instrumentation (VERDICT r2 #7/#9,
+r3 next-step #1).
 
-Runs the EXACT bench.py workload geometry three ways and dumps per-run
-phase timers, so two questions get measured answers:
+Runs a tiered workload three ways and dumps per-run phase timers, so two
+questions get measured answers:
 
 1. What does the LSTM buy? (weak #8/#7)
      lstm   — tiered serving, prefetch gated+ranked by the LSTM, online
@@ -15,7 +16,19 @@ phase timers, so two questions get measured answers:
      maintain.plan/maintain.train/maintain.kvc p50/p95/total) so a slow
      run names its slow phase instead of "tunnel drift".
 
-Run on TPU:  python scripts/bench_ablate.py [--reps 3]
+Two regimes (r4):
+
+--regime smooth  — the bench.py geometry: sticky quantum (4), short
+    contexts, HBM double-buffered. Here r3 measured demand fetches nearly
+    free (in-graph chaining) and prefetch a net cost.
+--regime thrash  — the stall-prone geometry prefetch exists for: quantum=1
+    (the decode set rotates EVERY round), long contexts (10 blocks/seq),
+    HBM sized to barely double-buffer — every round swaps a whole group
+    in/out, so the demand path pays the migrate program on the round's
+    critical device path while the prefetch path overlaps it with the
+    host's inter-round gap.
+
+Run on TPU:  python scripts/bench_ablate.py [--reps 3] [--regime thrash]
 """
 
 from __future__ import annotations
@@ -31,6 +44,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--regime", choices=("smooth", "thrash"),
+                    default="smooth")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +65,17 @@ def main():
     params = init_params(config, jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
-    if on_tpu:
+    if args.regime == "thrash":
+        # stall-prone regime: every round rotates the decode set (quantum
+        # 1) and each sequence is 10 blocks, so each round must swap a
+        # whole group host<->HBM; HBM barely double-buffers.
+        if on_tpu:
+            n_requests, prompt_len, gen = 16, 224, 32
+            batch, horizon, quantum, bs = 4, 8, 1, 32
+        else:
+            n_requests, prompt_len, gen = 8, 56, 16
+            batch, horizon, quantum, bs = 2, 4, 1, 8
+    elif on_tpu:
         n_requests, prompt_len, gen = 32, 64, 64
         batch, horizon, quantum, bs = 4, 16, 4, 32
     else:
@@ -62,7 +87,10 @@ def main():
     geo = dict(hbm_blocks=hbm_blocks,
                host_blocks=n_requests * blocks_per_seq + 8, batch=batch,
                max_seq_len=max_seq, horizon=horizon, quantum=quantum,
-               use_pallas=on_tpu)
+               use_pallas=on_tpu, block_size=bs)
+    print(f"# regime={args.regime}: {n_requests} seqs x {prompt_len}+{gen}, "
+          f"batch={batch} horizon={horizon} quantum={quantum} "
+          f"hbm={hbm_blocks} blocks ({blocks_per_seq}/seq)", file=sys.stderr)
     modes = {
         "lstm": dict(prefetch=True, lstm=True),
         "nolstm": dict(prefetch=True, lstm=False),
