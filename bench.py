@@ -163,8 +163,11 @@ def main():
         n_requests, prompt_len, gen = 12, 32, 24
         batch, horizon, quantum, bs = 2, 4, 3, 32
     # geometry experiments (VERDICT r3 next-step #6): the kernel anatomy
-    # says fewer/bigger blocks sit closer to the per-call floor
+    # says fewer/bigger blocks sit closer to the per-call floor; more decode
+    # lanes amortize each scan step's weight stream over more tokens
     bs = int(os.environ.get("SPECKV_BENCH_BS", bs))
+    batch = int(os.environ.get("SPECKV_BENCH_BATCH", batch))
+    n_requests = int(os.environ.get("SPECKV_BENCH_N", n_requests))
     max_seq = prompt_len + gen + bs
     blocks_per_seq = -(-max_seq // bs)
     # HBM double-buffers: the pinned active batch + the prefetching next

@@ -1059,6 +1059,10 @@ def _stream_lane(
     store_ops,
     logprobs_k: int = 0,
     prompt_scores: bool = False,
+    stores_read=None,    # read-only store view for context gathers; the
+                         # batched path passes the PRE-dispatch stores so
+                         # lanes' gathers don't serialize behind earlier
+                         # lanes' appends (lanes own disjoint slots)
 ):
     """One host-streamed lane: a prefill chunk (T = chunk) or one decode
     token (T = 1). Shared body of `stream_step` (single dispatch per lane)
@@ -1079,6 +1083,7 @@ def _stream_lane(
 
     c = config
     stores = stores_in
+    stores_read = stores_read if stores_read is not None else stores_in
     bs = stores[0].shape[2]
     L = c.num_layers
     ops = store_ops
@@ -1106,7 +1111,15 @@ def _stream_lane(
     rope_fs = rope_frequency_pair(c)
     x = _embed(params, c, token_ids)  # [T, H]
 
-    def layer(x, lp, li, window):
+    # prefetch pipelining (window-free models only — see
+    # stream_context_attention): the layer scan carries the NEXT layer's
+    # wave-0 slab, fetched while the current layer's matmuls run
+    pipelined = not any(w is not None for w in c.layer_windows())
+    pre0 = (ops.fetch_layer(stores_read, host_row[:wave], jnp.int32(0), L)
+            if pipelined else None)
+
+    def layer(carry, lp, li, window):
+        x, pre = carry if pipelined else (carry, None)
         h = _norm(x, lp["attn_norm"], c)
         q, k, v = _qkv(h, lp, config)
         q = q.reshape(T, c.num_q_heads, c.head_dim)
@@ -1122,27 +1135,41 @@ def _stream_lane(
         k_use = dequantize_kv(kq, ksc, kv_dtype)
         v_use = dequantize_kv(vq, vsc, kv_dtype)
 
-        carry = stream_context_attention(
-            q, stores, host_row, start, li, kv_dtype, ops,
-            num_layers=L, block_size=bs, max_blocks=table_width_ctx,
-            wave=wave, window=window, sm_scale=c.sm_scale,
-            softcap=c.attn_softcap)
-        o = merge_chunk_causal(q, k_use, v_use, carry,
+        npre = None
+        if pipelined:
+            carry_sc, npre = stream_context_attention(
+                q, stores_read, host_row, start, li, kv_dtype, ops,
+                num_layers=L, block_size=bs, max_blocks=table_width_ctx,
+                wave=wave, window=window, sm_scale=c.sm_scale,
+                softcap=c.attn_softcap, pre=pre,
+                next_layer=jnp.minimum(li + 1, L - 1))
+        else:
+            carry_sc = stream_context_attention(
+                q, stores_read, host_row, start, li, kv_dtype, ops,
+                num_layers=L, block_size=bs, max_blocks=table_width_ctx,
+                wave=wave, window=window, sm_scale=c.sm_scale,
+                softcap=c.attn_softcap)
+        o = merge_chunk_causal(q, k_use, v_use, carry_sc,
                                window=window, sm_scale=c.sm_scale,
                                softcap=c.attn_softcap,
                                sinks=lp.get("sinks"))
         x = _block_residuals(x, o.reshape(T, -1), lp, c)
-        return x, (kq, ksc[..., 0], vq, vsc[..., 0])
+        out = (x, npre) if pipelined else x
+        return out, (kq, ksc[..., 0], vq, vsc[..., 0])
 
-    x, (kq_l, ks_l, vq_l, vs_l) = _scan_layers(
-        layer, x, params["layers"], c, with_output=True)
+    carry0 = (x, pre0) if pipelined else x
+    carry_out, (kq_l, ks_l, vq_l, vs_l) = _scan_layers(
+        layer, carry0, params["layers"], c, with_output=True)
+    x = carry_out[0] if pipelined else carry_out
     # kq_l [L, T, Hkv, Dp] -> token-major [T, L, Hkv, Dp]
 
-    # -- append: read-modify-write of the touched blocks --------------------
+    # -- append: read-modify-write of the touched blocks (reads the
+    # pre-dispatch view — this lane owns its slots, so no other lane's
+    # append can have touched them) ------------------------------------------
     b0 = start // bs
     offs_in = start % bs
     touched = jax.lax.dynamic_slice(host_row, (b0,), (nblk,))
-    fk, fv, fks, fvs = ops.fetch_blocks(stores, touched, L)
+    fk, fv, fks, fvs = ops.fetch_blocks(stores_read, touched, L)
     # [nblk, L, Hkv, bs, *] -> token-major [nblk*bs, L, Hkv, *]
     tok_major = lambda a: a.transpose(0, 3, 1, 2, *range(4, a.ndim)).reshape(
         nblk * bs, L, *a.shape[2:3], *a.shape[4:])
@@ -1286,14 +1313,18 @@ def stream_step_batched(
     mismatch "S(5)" at post-optimization, observed on v5e) — the unrolled
     chain is the same dataflow without the loop-carry constraint.
     """
-    stores = (k_store, v_store, ks_store, vs_store)
+    stores = stores_read = (k_store, v_store, ks_store, vs_store)
     outs = []
     for b in range(packed.shape[0]):
+        # every lane's context gathers + RMW reads hit the PRE-dispatch
+        # store view (lanes own disjoint slots), so lane b+1's host
+        # fetches are dataflow-independent of lane b's append scatter —
+        # only the appends chain
         tok, stores, lp, ps = _stream_lane(
             params, config, kv_dtype, packed[b], stores,
             max_blocks=max_blocks, wave=wave, rng_seed=rng_seed,
             store_ops=store_ops, logprobs_k=logprobs_k,
-            prompt_scores=prompt_scores)
+            prompt_scores=prompt_scores, stores_read=stores_read)
         row = (tok,)
         if logprobs_k:
             row += tuple(lp)
