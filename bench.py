@@ -6,8 +6,12 @@ throughput improvement / 2.8x memory cost reduction — pooled memory serves
 the same work with far less expensive fast memory). We measure exactly that:
 
 - treatment: HBM pool sized ~1/4 of live KV demand; host-DRAM tier absorbs
-  the rest; the LSTM-age prefetch controller preloads upcoming decode groups
-  (sticky quantum scheduling) so rotation stalls are hidden.
+  the rest. As of r4 the treatment runs the PRODUCT DEFAULT config:
+  prefetch/LSTM off — demand fetches are in-graph migrate programs that
+  chain ahead of decode, measured faster than proactive prefetch in both
+  smooth and stall-prone regimes (NOTES_ROUND3/4; config.py PrefetchConfig
+  rationale). SPECKV_BENCH_PREFETCH=1 reproduces the r1-r3 reference-parity
+  arm (LSTM-gated Algorithm-1 prefetch live).
 - baseline: ample-HBM engine (everything resident, no tiering) on the same
   workload — the throughput upper bound at ~4x the HBM cost.
 
@@ -168,6 +172,9 @@ def main():
     bs = int(os.environ.get("SPECKV_BENCH_BS", bs))
     batch = int(os.environ.get("SPECKV_BENCH_BATCH", batch))
     n_requests = int(os.environ.get("SPECKV_BENCH_N", n_requests))
+    # treatment arm config: product default (prefetch off) unless the
+    # reference-parity arm is requested
+    prefetch_on = bool(int(os.environ.get("SPECKV_BENCH_PREFETCH", "0")))
     max_seq = prompt_len + gen + bs
     blocks_per_seq = -(-max_seq // bs)
     # HBM double-buffers: the pinned active batch + the prefetching next
@@ -191,7 +198,7 @@ def main():
     # and the remote runtime's per-program execution caches first-touch
     # here, not inside pair 0's timed window
     t0 = time.monotonic()
-    warm = build_engine(config, params, prefetch=True, **geo)
+    warm = build_engine(config, params, prefetch=prefetch_on, **geo)
     run_workload(warm, n_requests=n_requests, prompt_len=prompt_len,
                  gen=gen, seed=99)
     warm_a = build_engine(config, params, prefetch=False, **ample_geo)
@@ -207,7 +214,7 @@ def main():
     pairs = []
     st = sa = util_t = util_a = None
     for rep in range(5 if on_tpu else 2):
-        eng_t = build_engine(config, params, prefetch=True, **geo)
+        eng_t = build_engine(config, params, prefetch=prefetch_on, **geo)
         tok_t, dt_t = run_workload(eng_t, n_requests=n_requests,
                                    prompt_len=prompt_len, gen=gen)
         st = eng_t.get_statistics()

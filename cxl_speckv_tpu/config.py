@@ -130,9 +130,23 @@ class PrefetchConfig:
     `max_depth`), depth-- when < `lower_threshold` (floor `min_depth`);
     LSTM geometry from `lstm_predictor.cpp:14` (2 layers, 128 hidden,
     64-d embedding, history 16).
+
+    Default OFF (r4, measured): on this runtime demand fetches are
+    in-graph migrate programs that chain ahead of decode by dataflow, so
+    a "miss" costs the same device bytes prefetch would move and never
+    stalls the host — prefetch can only hide migrate execution under the
+    host's inter-round gap, which is <1% of round time (bench phase
+    split). Measured in BOTH a smooth round-robin regime (noprefetch
+    ~15% faster, NOTES_ROUND3) and a stall-prone thrash regime
+    (quantum=1 whole-group rotation: schedule-lookahead prefetch 106.1
+    vs noprefetch 105.7 tok/s — a wash — while the LSTM's async worker
+    costs ~9% in host-thread contention; NOTES_ROUND4). Turn it ON for
+    runtimes where a slow-tier fetch genuinely stalls the accelerator
+    (the reference's CXL premise), for EOS-gated traffic savings on
+    bursty chat loads, or to exercise the full Algorithm-1 machinery.
     """
 
-    enabled: bool = True
+    enabled: bool = False
     depth: int = 4                      # initial top-k prediction depth
     min_depth: int = 2
     max_depth: int = 8

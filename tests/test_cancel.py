@@ -32,7 +32,7 @@ def make_engine(hbm_blocks=256, host_blocks=256, max_seq_len=128, seed=0):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm_blocks,
                           num_host_blocks=host_blocks, kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=4, max_seq_len=max_seq_len,
                             prefill_chunk=32),
     )

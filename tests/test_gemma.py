@@ -191,7 +191,7 @@ def _engine(cfg, params, *, hbm=48, host=64):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm,
                           num_host_blocks=host, kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=4, max_seq_len=96,
                             prefill_chunk=32, decode_horizon=2),
     )

@@ -169,7 +169,7 @@ def _engine(cfg, params, *, hbm=48, host=64, pallas=False):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm,
                           num_host_blocks=host, kv_dtype=KVDtype.BF16),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=2, max_seq_len=96,
                             prefill_chunk=16, decode_horizon=2))
     return Engine(cfg, sc, params=params, use_pallas=pallas,
@@ -215,7 +215,7 @@ def test_gpt_oss_engine_ep_tp_mesh_matches_single_device():
         sc = SystemConfig(
             cache=CacheConfig(block_size=8, num_hbm_blocks=48,
                               num_host_blocks=64, kv_dtype=KVDtype.BF16),
-            prefetch=PrefetchConfig(depth=2),
+            prefetch=PrefetchConfig(enabled=True, depth=2),
             engine=EngineConfig(max_batch_size=2, max_seq_len=96,
                                 prefill_chunk=16, decode_horizon=2),
             parallel=ParallelConfig(**par) if par else ParallelConfig())

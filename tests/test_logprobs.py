@@ -29,7 +29,7 @@ def make_engine(horizon=1, kv=KVDtype.BF16, seed=0):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=256,
                           num_host_blocks=256, kv_dtype=kv),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=4, max_seq_len=128,
                             prefill_chunk=32, decode_horizon=horizon),
     )
@@ -136,7 +136,7 @@ def test_spec_engine_logprobs_match_plain():
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=256,
                           num_host_blocks=256, kv_dtype=KVDtype.BF16),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=4, max_seq_len=128,
                             prefill_chunk=32),
     )
@@ -160,7 +160,7 @@ def test_fused_rounds_engine_logprobs():
         sc = SystemConfig(
             cache=CacheConfig(block_size=8, num_hbm_blocks=10,
                               num_host_blocks=64, kv_dtype=KVDtype.INT8),
-            prefetch=PrefetchConfig(depth=2),
+            prefetch=PrefetchConfig(enabled=True, depth=2),
             engine=EngineConfig(max_batch_size=4, max_seq_len=96,
                                 prefill_chunk=32, decode_horizon=2,
                                 fused_rounds=fused),

@@ -25,7 +25,7 @@ def make_engine(kv_dtype, hbm_blocks, host_blocks=512):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm_blocks,
                           num_host_blocks=host_blocks, kv_dtype=kv_dtype),
-        prefetch=PrefetchConfig(depth=4),
+        prefetch=PrefetchConfig(enabled=True, depth=4),
         engine=EngineConfig(max_batch_size=2, max_seq_len=512,
                             prefill_chunk=64, decode_horizon=4),
     )
@@ -77,7 +77,7 @@ def test_context_larger_than_hbm_streams_from_host():
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=16,
                           num_host_blocks=512, kv_dtype=KVDtype.INT4),
-        prefetch=PrefetchConfig(depth=4),
+        prefetch=PrefetchConfig(enabled=True, depth=4),
         engine=EngineConfig(max_batch_size=2, max_seq_len=512,
                             prefill_chunk=64, decode_horizon=4,
                             stream_enabled=False),

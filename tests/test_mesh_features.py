@@ -43,7 +43,7 @@ def make_engine(dp=1, tp=1, hbm=32, host=64, horizon=2, use_pallas=True,
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm,
                           num_host_blocks=host, kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=4, max_seq_len=96,
                             prefill_chunk=32, decode_horizon=horizon),
         parallel=ParallelConfig(dp=dp, tp=tp),

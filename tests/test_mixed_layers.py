@@ -37,7 +37,7 @@ def make_engine(layer_dtypes=None, kv_dtype=KVDtype.INT8, hbm=256, host=256,
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm,
                           num_host_blocks=host, kv_dtype=kv_dtype,
                           layer_kv_dtypes=layer_dtypes),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=2, max_seq_len=128,
                             prefill_chunk=32, decode_horizon=horizon),
     )

@@ -234,7 +234,7 @@ def test_qwen3_engine_matches_dense_greedy():
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=8, num_host_blocks=32,
                           kv_dtype=KVDtype.BF16),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=2, max_seq_len=64,
                             prefill_chunk=16, decode_horizon=2))
     eng = Engine(cfg, sc, params=params, use_pallas=False, enable_lstm=False)
@@ -279,7 +279,7 @@ def _window_engine(hbm_blocks, host_blocks, params, cfg, batch=2):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm_blocks,
                           num_host_blocks=host_blocks, kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=batch, max_seq_len=160,
                             prefill_chunk=32, decode_horizon=1),
     )
@@ -358,7 +358,7 @@ def test_engine_window_spec_decode_identity():
         sc = SystemConfig(
             cache=CacheConfig(block_size=8, num_hbm_blocks=64,
                               num_host_blocks=128, kv_dtype=KVDtype.INT8),
-            prefetch=PrefetchConfig(depth=2),
+            prefetch=PrefetchConfig(enabled=True, depth=2),
             engine=EngineConfig(max_batch_size=2, max_seq_len=160,
                                 prefill_chunk=32),
         )

@@ -219,7 +219,7 @@ def _engine(cfg, params, *, hbm=48, host=64, dp=1, ep=1, tp=1, spec=False):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm,
                           num_host_blocks=host, kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=4, max_seq_len=96,
                             prefill_chunk=32, decode_horizon=2),
         parallel=ParallelConfig(dp=dp, ep=ep, tp=tp),

@@ -36,7 +36,7 @@ def make_engine(native):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=12, num_host_blocks=256,
                           kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=2, max_seq_len=128, prefill_chunk=32),
     )
     eng = Engine.__new__(Engine)

@@ -30,7 +30,7 @@ def make_engine(ngram=False, hbm_blocks=256, gamma=3, seed=0):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm_blocks,
                           num_host_blocks=256, kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=4, max_seq_len=128, prefill_chunk=32),
     )
     return Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False,
@@ -193,7 +193,7 @@ def test_ngram_and_draft_config_mutually_exclusive():
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=32,
                           num_host_blocks=32, kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=2, max_seq_len=64),
     )
     dc = LlamaConfig(vocab_size=CFG.vocab_size, hidden_size=32,
@@ -218,7 +218,7 @@ def test_lstm_seeds_lookup_misses_token_identical():
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=256,
                           num_host_blocks=256, kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2, seed_ngram=True),
+        prefetch=PrefetchConfig(enabled=True, depth=2, seed_ngram=True),
         engine=EngineConfig(max_batch_size=4, max_seq_len=128,
                             prefill_chunk=32),
     )
@@ -235,7 +235,7 @@ def test_seed_ngram_off_keeps_repeat_last_fallback():
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=256,
                           num_host_blocks=256, kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2, seed_ngram=False),
+        prefetch=PrefetchConfig(enabled=True, depth=2, seed_ngram=False),
         engine=EngineConfig(max_batch_size=4, max_seq_len=128,
                             prefill_chunk=32),
     )

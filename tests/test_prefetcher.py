@@ -59,7 +59,7 @@ def demote_all(kvc, seq):
 
 def test_controller_prefetches_upcoming_and_skips_resident():
     kvc = make_kvc()
-    cfg = PrefetchConfig(depth=2)
+    cfg = PrefetchConfig(enabled=True, depth=2)
     ctl = PrefetchController(cfg, kvc)
     s1, s2, s3 = kvc.add_seq(), kvc.add_seq(), kvc.add_seq()
     for s in (s1, s2, s3):
@@ -80,7 +80,7 @@ def test_controller_eos_gating():
     kvc = make_kvc()
     # train_async=False: the gate must reflect THIS plan's prediction
     # synchronously for a deterministic assertion
-    ctl = PrefetchController(PrefetchConfig(depth=4, train_async=False), kvc,
+    ctl = PrefetchController(PrefetchConfig(enabled=True, depth=4, train_async=False), kvc,
                              predictor=LSTMPredictor(vocab_size=16, seed=0),
                              eos_token_id=0)
     s = kvc.add_seq()
@@ -98,7 +98,7 @@ def test_controller_eos_gating():
 
 def test_adaptive_depth_port():
     kvc = make_kvc()
-    cfg = PrefetchConfig(depth=4, accuracy_window=20)
+    cfg = PrefetchConfig(enabled=True, depth=4, accuracy_window=20)
     ctl = PrefetchController(cfg, kvc)
     st = kvc.directory.stats
     # simulate 20 hits -> accuracy 1.0 > 0.95 -> depth++
@@ -118,7 +118,7 @@ def test_adaptive_depth_port():
 
 def test_inflight_budget_respected():
     kvc = make_kvc(hbm=16, host=64)
-    cfg = PrefetchConfig(depth=8, max_inflight=3)
+    cfg = PrefetchConfig(enabled=True, depth=8, max_inflight=3)
     ctl = PrefetchController(cfg, kvc)
     seqs = []
     for _ in range(4):
@@ -134,7 +134,7 @@ def test_online_training_learns_pattern():
     """Controller-driven online training: a periodic token stream becomes
     predictable (the reference's training path was a no-op stub)."""
     kvc = make_kvc()
-    cfg = PrefetchConfig(depth=2, train_online=True, train_async=False,
+    cfg = PrefetchConfig(enabled=True, depth=2, train_online=True, train_async=False,
                          train_interval=1,
                          train_batch=64, history_len=8)
     ctl = PrefetchController(cfg, kvc,
@@ -170,7 +170,7 @@ def test_engine_loads_pretrained_predictor(tmp_path):
     src.save(path)
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=32, num_host_blocks=32),
-        prefetch=PrefetchConfig(depth=2, predictor_path=path),
+        prefetch=PrefetchConfig(enabled=True, depth=2, predictor_path=path),
         engine=EngineConfig(max_batch_size=2, max_seq_len=64, prefill_chunk=16))
     eng = Engine(cfg, sc, params=init_params(cfg, jax.random.PRNGKey(0)),
                  use_pallas=False, enable_lstm=True)
@@ -185,7 +185,7 @@ def test_async_training_off_critical_path():
     import time
 
     kvc = make_kvc()
-    cfg = PrefetchConfig(depth=2, train_online=True, train_async=True,
+    cfg = PrefetchConfig(enabled=True, depth=2, train_online=True, train_async=True,
                          train_interval=1, train_batch=32, history_len=8)
     ctl = PrefetchController(cfg, kvc,
                              predictor=LSTMPredictor(vocab_size=16,
@@ -214,7 +214,7 @@ def test_controller_eos_gating_async_installs_next_tick():
     import time
 
     kvc = make_kvc()
-    ctl = PrefetchController(PrefetchConfig(depth=4), kvc,
+    ctl = PrefetchController(PrefetchConfig(enabled=True, depth=4), kvc,
                              predictor=LSTMPredictor(vocab_size=16, seed=0),
                              eos_token_id=0)
     s = kvc.add_seq()
@@ -241,7 +241,7 @@ def test_pcont_priority_orders_budget(monkeypatch):
     RANKS, it doesn't just gate)."""
     kvc = make_kvc(hbm=8, host=32)
     ctl = PrefetchController(
-        PrefetchConfig(depth=4, max_inflight=2, train_async=False), kvc,
+        PrefetchConfig(enabled=True, depth=4, max_inflight=2, train_async=False), kvc,
         predictor=LSTMPredictor(vocab_size=16, seed=0), eos_token_id=0)
     s_lo, s_hi = kvc.add_seq(), kvc.add_seq()
     for s in (s_lo, s_hi):

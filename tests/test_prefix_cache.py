@@ -42,7 +42,7 @@ def make_engine(prefix_cache=True, hbm=64, host=64, batch=2, spec=False):
         cache=CacheConfig(block_size=BS, num_hbm_blocks=hbm,
                           num_host_blocks=host, kv_dtype=KVDtype.INT8,
                           enable_prefix_cache=prefix_cache),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=batch, max_seq_len=128,
                             prefill_chunk=64, decode_horizon=2),
     )

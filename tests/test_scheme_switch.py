@@ -33,7 +33,7 @@ def make_engine(kv_dtype=KVDtype.INT8, hbm=32, host=64, horizon=2):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm,
                           num_host_blocks=host, kv_dtype=kv_dtype),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=4, max_seq_len=96,
                             prefill_chunk=32, decode_horizon=horizon),
     )
@@ -163,7 +163,7 @@ def test_cross_width_switch_under_mesh():
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=32,
                           num_host_blocks=64, kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=4, max_seq_len=96,
                             prefill_chunk=32),
         parallel=ParallelConfig(dp=2, tp=2),

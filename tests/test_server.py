@@ -34,7 +34,7 @@ def make_engine():
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=64, num_host_blocks=64,
                           kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=4, max_seq_len=128,
                             prefill_chunk=32, decode_horizon=2),
     )

@@ -31,7 +31,7 @@ def make_engine(hbm_blocks=256, host_blocks=256, batch=2, horizon=1):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm_blocks,
                           num_host_blocks=host_blocks, kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=batch, max_seq_len=128,
                             prefill_chunk=32, decode_horizon=horizon),
     )

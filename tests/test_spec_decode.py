@@ -42,7 +42,7 @@ def make_engine(spec=False, hbm_blocks=256, gamma=3, seed=0):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=hbm_blocks,
                           num_host_blocks=256, kv_dtype=KVDtype.INT8),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=4, max_seq_len=128, prefill_chunk=32),
     )
     kw = {}
@@ -132,7 +132,7 @@ def test_spec_self_draft_accepts_everything():
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=256,
                           num_host_blocks=256, kv_dtype=KVDtype.BF16),
-        prefetch=PrefetchConfig(depth=2),
+        prefetch=PrefetchConfig(enabled=True, depth=2),
         engine=EngineConfig(max_batch_size=4, max_seq_len=128, prefill_chunk=32),
     )
     eng2 = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False,
