@@ -199,8 +199,12 @@ def main():
     # here, not inside pair 0's timed window
     t0 = time.monotonic()
     warm = build_engine(config, params, prefetch=prefetch_on, **geo)
+    print(f"# warm tiered engine built {time.monotonic()-t0:.0f}s",
+          file=sys.stderr, flush=True)
     run_workload(warm, n_requests=n_requests, prompt_len=prompt_len,
                  gen=gen, seed=99)
+    print(f"# warm tiered workload done {time.monotonic()-t0:.0f}s",
+          file=sys.stderr, flush=True)
     warm_a = build_engine(config, params, prefetch=False, **ample_geo)
     run_workload(warm_a, n_requests=2, prompt_len=prompt_len,
                  gen=horizon, seed=98)
@@ -213,7 +217,8 @@ def main():
     oversub = total_demand / hbm_blocks
     pairs = []
     st = sa = util_t = util_a = None
-    for rep in range(5 if on_tpu else 2):
+    reps = int(os.environ.get("SPECKV_BENCH_REPS", 5 if on_tpu else 2))
+    for rep in range(reps):
         eng_t = build_engine(config, params, prefetch=prefetch_on, **geo)
         tok_t, dt_t = run_workload(eng_t, n_requests=n_requests,
                                    prompt_len=prompt_len, gen=gen)
