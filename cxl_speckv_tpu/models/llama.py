@@ -1113,8 +1113,11 @@ def _stream_lane(
 
     # prefetch pipelining (window-free models only — see
     # stream_context_attention): the layer scan carries the NEXT layer's
-    # wave-0 slab, fetched while the current layer's matmuls run
-    pipelined = not any(w is not None for w in c.layer_windows())
+    # wave-0 slab, fetched while the current layer's matmuls run.
+    # SPECKV_STREAM_PIPELINE=0 is the A/B escape hatch (process-static).
+    import os
+    pipelined = (not any(w is not None for w in c.layer_windows())
+                 and os.environ.get("SPECKV_STREAM_PIPELINE", "1") != "0")
     pre0 = (ops.fetch_layer(stores_read, host_row[:wave], jnp.int32(0), L)
             if pipelined else None)
 
