@@ -228,6 +228,15 @@ class EngineConfig:
     # ~3.1s/dispatch at wave=8 on v5e, NOTES_ROUND3); bigger waves trade a
     # few MB of HBM window for proportionally fewer host ops.
     stream_wave: int = 32
+    # Staged-gather budget per streamed lane (MB of HBM). When > 0 and the
+    # model's attention windows are uniform, each lane's context KV is
+    # gathered in ONE host op per layer GROUP (G layers sized to this
+    # budget) into device slabs consumed by the attention wave loop —
+    # measured on v5e (scripts/hostop_probe.py) host-op cost is ~5 ms per
+    # op nearly independent of bytes, so op count IS the streamed path's
+    # wall clock: fewer, fatter gathers. 0 falls back to per-(layer, wave)
+    # host fetches. The budget bounds peak staging HBM per lane.
+    stream_stage_mb: int = 256
     # Fold each round's migration batch into the decode/prefill program
     # (one dispatch per round). Off by default: the split pipeline — an
     # async standalone migrate program chained into the round's model

@@ -1046,6 +1046,39 @@ def prefill_round_fused(
 # streamed step: serve a sequence whose KV exceeds HBM from the host tier
 # ---------------------------------------------------------------------------
 
+def _stream_append_rmw(fetched, chunks, offs_in, valid, *, kv_dtype,
+                       nblk: int, bs: int, T: int):
+    """Insert a lane's fresh chunk KV into its fetched touched-block slabs
+    (the read-modify-write half of the streamed append). `fetched` is
+    (fk, fv, fks, fvs) [nblk, L, Hkv, bs, *]; `chunks` is the per-layer
+    quantized chunk KV (kq, vq, ks, vs) [L, T, Hkv, *] aligned to the
+    fetched order. Returns the RMW'd slabs for `stash_blocks`. vmap-safe
+    over a leading lane axis (the batched wrapper consolidates all lanes
+    into one fetch + one scatter)."""
+    L = fetched[0].shape[1]
+    # [nblk, L, Hkv, bs, *] -> token-major [nblk*bs, L, Hkv, *]
+    tok_major = lambda a: a.transpose(0, 3, 1, 2, *range(4, a.ndim)).reshape(
+        nblk * bs, L, *a.shape[2:3], *a.shape[4:])
+
+    def insert(flat, chunk):
+        # flat [nblk*bs, L, Hkv, *]; chunk [L, T, Hkv, *] -> [T, L, Hkv, *]
+        t_idx = offs_in + jnp.arange(T)
+        idx = jnp.where(jnp.arange(T) < valid, t_idx, nblk * bs)
+        chunk = chunk.swapaxes(0, 1)
+        if chunk.dtype != jnp.float32:  # kv values (not the f32 scales)
+            chunk = encode_for_pool(chunk, kv_dtype)
+        return flat.at[idx].set(chunk.astype(flat.dtype), mode="drop")
+
+    def back(flat, ref):
+        # [nblk*bs, L, Hkv, *] -> [nblk, L, Hkv, bs, *]
+        a = flat.reshape(nblk, bs, *flat.shape[1:])
+        perm = (0, 2, 3, 1) + tuple(range(4, a.ndim))
+        return a.transpose(perm).astype(ref.dtype)
+
+    return tuple(back(insert(tok_major(f), ch), f)
+                 for f, ch in zip(fetched, chunks))
+
+
 def _stream_lane(
     params: Params,
     config: LlamaConfig,
@@ -1063,10 +1096,27 @@ def _stream_lane(
                          # batched path passes the PRE-dispatch stores so
                          # lanes' gathers don't serialize behind earlier
                          # lanes' appends (lanes own disjoint slots)
+    stage_mb: int = 0,   # staged-gather budget (MB); 0 = per-wave fetches
+    ctx_waves: int | None = None,  # static bound on context waves actually
+                         # gathered by the staged path (engine-computed,
+                         # pow2-bucketed); None = full table width
+    defer_append: bool = False,  # return the append payload instead of
+                         # stashing (the batched wrapper consolidates all
+                         # lanes' RMW into ONE fetch + ONE scatter)
 ):
     """One host-streamed lane: a prefill chunk (T = chunk) or one decode
     token (T = 1). Shared body of `stream_step` (single dispatch per lane)
     and `stream_step_batched` (lanes scanned inside ONE dispatch).
+
+    Staged-gather mode (r4, VERDICT r3 next-step #4): with stage_mb > 0 and
+    uniform attention windows, context KV is gathered from the host store in
+    ONE host op per LAYER GROUP (G layers sized to the staging budget) into
+    device slabs, and attention consumes cheap device slices
+    (`stream_context_attention_slab`). Measured on v5e (hostop_probe): host
+    op cost is ~5 ms per `compute_on` block + ~1 ms per array, nearly
+    independent of bytes — so op count, not byte volume, is the streamed
+    path's wall clock. Group gathers are issued OUTSIDE loop carries, so
+    they are dataflow-independent and the runtime overlaps them (probe D).
 
     Returns (next_token, stores, logprob arrays or None, prompt scores
     [T] or None). With prompt_scores, scores[t] = log p(token[t+1] |
@@ -1111,18 +1161,28 @@ def _stream_lane(
     rope_fs = rope_frequency_pair(c)
     x = _embed(params, c, token_ids)  # [T, H]
 
+    import os
+    wins = c.layer_windows()
+    uniform_windows = len(set(wins)) <= 1
+    staged = (stage_mb > 0 and uniform_windows and ctx_waves is not None
+              and os.environ.get("SPECKV_STREAM_STAGE", "1") != "0")
     # prefetch pipelining (window-free models only — see
     # stream_context_attention): the layer scan carries the NEXT layer's
     # wave-0 slab, fetched while the current layer's matmuls run.
     # SPECKV_STREAM_PIPELINE=0 is the A/B escape hatch (process-static).
-    import os
-    pipelined = (not any(w is not None for w in c.layer_windows())
+    # Superseded by staged gathers; kept as the fallback path's variant.
+    pipelined = (not staged
+                 and not any(w is not None for w in wins)
                  and os.environ.get("SPECKV_STREAM_PIPELINE", "1") != "0")
     pre0 = (ops.fetch_layer(stores_read, host_row[:wave], jnp.int32(0), L)
             if pipelined else None)
 
-    def layer(carry, lp, li, window):
-        x, pre = carry if pipelined else (carry, None)
+    def layer_core(x, lp, window, *, slab=None, pre=None, li=None):
+        """Shared per-layer math; context attention reads either a staged
+        device slab or the host store (wave-by-wave, optionally pipelined).
+        Returns (x, next_pre, per-layer quantized chunk KV)."""
+        from cxl_speckv_tpu.ops.stream_attention import (
+            stream_context_attention_slab)
         h = _norm(x, lp["attn_norm"], c)
         q, k, v = _qkv(h, lp, config)
         q = q.reshape(T, c.num_q_heads, c.head_dim)
@@ -1139,7 +1199,11 @@ def _stream_lane(
         v_use = dequantize_kv(vq, vsc, kv_dtype)
 
         npre = None
-        if pipelined:
+        if slab is not None:
+            carry_sc = stream_context_attention_slab(
+                q, slab, start, kv_dtype, block_size=bs, wave=wave,
+                window=window, sm_scale=c.sm_scale, softcap=c.attn_softcap)
+        elif pre is not None:
             carry_sc, npre = stream_context_attention(
                 q, stores_read, host_row, start, li, kv_dtype, ops,
                 num_layers=L, block_size=bs, max_blocks=table_width_ctx,
@@ -1157,13 +1221,50 @@ def _stream_lane(
                                softcap=c.attn_softcap,
                                sinks=lp.get("sinks"))
         x = _block_residuals(x, o.reshape(T, -1), lp, c)
-        out = (x, npre) if pipelined else x
-        return out, (kq, ksc[..., 0], vq, vsc[..., 0])
+        return x, npre, (kq, ksc[..., 0], vq, vsc[..., 0])
 
-    carry0 = (x, pre0) if pipelined else x
-    carry_out, (kq_l, ks_l, vq_l, vs_l) = _scan_layers(
-        layer, carry0, params["layers"], c, with_output=True)
-    x = carry_out[0] if pipelined else carry_out
+    if staged:
+        import numpy as _np
+        window = wins[0] if wins else None
+        Wb = min(ctx_waves, n_waves) * wave       # staged block rows / layer
+        row_bytes = sum(int(_np.prod(a.shape[1:])) * a.dtype.itemsize
+                        for a in stores_read)
+        G = max(1, min(L, int(stage_mb * (1 << 20)) // max(Wb * row_bytes, 1)))
+        slots_ctx = host_row[:Wb]
+        ys = []
+        for l0 in range(0, L, G):
+            g = min(G, L - l0)
+            # ONE host op stages g layers x Wb context blocks; successive
+            # group gathers carry no dataflow between them, so the runtime
+            # overlaps them (hostop_probe case D)
+            rows = (slots_ctx[None, :] * L
+                    + (l0 + jnp.arange(g, dtype=slots_ctx.dtype))[:, None])
+            slabs = ops.gather_rows(stores_read, rows.reshape(-1))
+            slabs = tuple(a.reshape(g, Wb, *a.shape[1:]) for a in slabs)
+            lps = jax.tree.map(lambda a: a[l0:l0 + g], params["layers"])
+
+            def body(x, xs):
+                lp, sk, sv, sks, svs = xs
+                x, _, ykv = layer_core(x, lp, window,
+                                       slab=(sk, sv, sks, svs))
+                return x, ykv
+
+            x, y = jax.lax.scan(body, x, (lps, *slabs))
+            ys.append(y)
+        kq_l, ks_l, vq_l, vs_l = (
+            jnp.concatenate([y[i] for y in ys]) if len(ys) > 1 else ys[0][i]
+            for i in range(4))
+    else:
+        def layer(carry, lp, li, window):
+            x, pre = carry if pipelined else (carry, None)
+            x, npre, ykv = layer_core(x, lp, window, pre=pre, li=li)
+            out = (x, npre) if pipelined else x
+            return out, ykv
+
+        carry0 = (x, pre0) if pipelined else x
+        carry_out, (kq_l, ks_l, vq_l, vs_l) = _scan_layers(
+            layer, carry0, params["layers"], c, with_output=True)
+        x = carry_out[0] if pipelined else carry_out
     # kq_l [L, T, Hkv, Dp] -> token-major [T, L, Hkv, Dp]
 
     # -- append: read-modify-write of the touched blocks (reads the
@@ -1172,31 +1273,17 @@ def _stream_lane(
     b0 = start // bs
     offs_in = start % bs
     touched = jax.lax.dynamic_slice(host_row, (b0,), (nblk,))
-    fk, fv, fks, fvs = ops.fetch_blocks(stores_read, touched, L)
-    # [nblk, L, Hkv, bs, *] -> token-major [nblk*bs, L, Hkv, *]
-    tok_major = lambda a: a.transpose(0, 3, 1, 2, *range(4, a.ndim)).reshape(
-        nblk * bs, L, *a.shape[2:3], *a.shape[4:])
-
-    def insert(flat, chunk):
-        # flat [nblk*bs, L, Hkv, *]; chunk [L, T, Hkv, *] -> [T, L, Hkv, *]
-        t_idx = offs_in + jnp.arange(T)
-        idx = jnp.where(jnp.arange(T) < valid, t_idx, nblk * bs)
-        chunk = chunk.swapaxes(0, 1)
-        if chunk.dtype != jnp.float32:  # kv values (not the f32 scales)
-            chunk = encode_for_pool(chunk, kv_dtype)
-        return flat.at[idx].set(chunk.astype(flat.dtype), mode="drop")
-
-    def back(flat, ref):
-        # [nblk*bs, L, Hkv, *] -> [nblk, L, Hkv, bs, *]
-        a = flat.reshape(nblk, bs, *flat.shape[1:])
-        perm = (0, 2, 3, 1) + tuple(range(4, a.ndim))
-        return a.transpose(perm).astype(ref.dtype)
-
-    fk2 = back(insert(tok_major(fk), kq_l), fk)
-    fv2 = back(insert(tok_major(fv), vq_l), fv)
-    fks2 = back(insert(tok_major(fks), ks_l), fks)
-    fvs2 = back(insert(tok_major(fvs), vs_l), fvs)
-    stores = ops.stash_blocks(stores, (fk2, fv2, fks2, fvs2), touched, L)
+    chunks = (kq_l, vq_l, ks_l, vs_l)
+    if defer_append:
+        # batched wrapper consolidates every lane's RMW into one
+        # fetch + one scatter (2 host ops total instead of 2 per lane)
+        append_payload = (touched, chunks, offs_in, valid)
+    else:
+        fetched = ops.fetch_blocks(stores_read, touched, L)
+        rmw = _stream_append_rmw(fetched, chunks, offs_in, valid,
+                                 kv_dtype=kv_dtype, nblk=nblk, bs=bs, T=T)
+        stores = ops.stash_blocks(stores, rmw, touched, L)
+        append_payload = None
 
     last = jnp.clip(valid - 1, 0, T - 1)
     x_last = jax.lax.dynamic_slice_in_dim(x, last, 1, axis=0)
@@ -1214,7 +1301,7 @@ def _stream_lane(
         sc = jnp.take_along_axis(
             lpf, targets[:, None].astype(jnp.int32), axis=-1)[:, 0]
         ps = jnp.where(jnp.arange(T) < valid - 1, sc, 0.0)
-    return tok, stores, lp, ps
+    return tok, stores, lp, ps, append_payload
 
 
 @functools.partial(
@@ -1258,7 +1345,7 @@ def stream_step(
     [, prompt scores]). The next token is sampled in-graph from the last
     valid position.
     """
-    tok, stores, lp, ps = _stream_lane(
+    tok, stores, lp, ps, _ = _stream_lane(
         params, config, kv_dtype, packed,
         (k_store, v_store, ks_store, vs_store),
         max_blocks=max_blocks, wave=wave, rng_seed=rng_seed,
@@ -1275,7 +1362,8 @@ def stream_step(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "max_blocks", "wave", "rng_seed",
-                     "store_ops", "logprobs_k", "prompt_scores"),
+                     "store_ops", "logprobs_k", "prompt_scores", "stage_mb",
+                     "ctx_waves"),
     donate_argnames=("k_store", "v_store", "ks_store", "vs_store"),
 )
 def stream_step_batched(
@@ -1296,17 +1384,19 @@ def stream_step_batched(
     store_ops=None,
     logprobs_k: int = 0,
     prompt_scores: bool = False,
+    stage_mb: int = 0,   # staged-gather budget per lane (MB); 0 = legacy
+    ctx_waves: int | None = None,  # static context-wave bound for staging
 ):
     """B host-streamed lanes in ONE dispatch (VERDICT r2 next-step #4).
 
-    Lanes run as a `lax.scan` carrying the shared host store: each lane's
-    append read-modify-writes the store the previous lane produced, so the
-    result is identical to B sequential `stream_step` dispatches — but the
-    per-dispatch overhead (remote dispatch, host packing, store
-    donation/rebinding) is paid ONCE per engine round instead of once per
-    stream. Per-lane compute is serial either way: streamed attention is
-    host-bandwidth-bound, so there is no parallel-lanes win to forfeit on
-    a single chip.
+    Per-lane compute runs unrolled; the result is identical to B sequential
+    `stream_step` dispatches (lanes own disjoint slots) — but per-dispatch
+    overhead is paid ONCE per engine round, every lane's context gathers
+    read the PRE-dispatch store view (dataflow-independent of other lanes'
+    appends), and (r4) ALL lanes' append read-modify-writes consolidate
+    into ONE fetch + ONE scatter — with staged context gathers
+    (stage_mb > 0) the whole dispatch costs ~B*ceil(L/G) + 2 host ops
+    instead of B*(L*waves + 2).
 
     Returns (tokens [B], stores...[, chosen_lp [B], ids [B,k], lps [B,k]]
     [, prompt scores [B, T]]).
@@ -1317,23 +1407,40 @@ def stream_step_batched(
     chain is the same dataflow without the loop-carry constraint.
     """
     stores = stores_read = (k_store, v_store, ks_store, vs_store)
-    outs = []
+    L = config.num_layers
+    outs, payloads = [], []
     for b in range(packed.shape[0]):
-        # every lane's context gathers + RMW reads hit the PRE-dispatch
-        # store view (lanes own disjoint slots), so lane b+1's host
-        # fetches are dataflow-independent of lane b's append scatter —
-        # only the appends chain
-        tok, stores, lp, ps = _stream_lane(
+        tok, _, lp, ps, payload = _stream_lane(
             params, config, kv_dtype, packed[b], stores,
             max_blocks=max_blocks, wave=wave, rng_seed=rng_seed,
             store_ops=store_ops, logprobs_k=logprobs_k,
-            prompt_scores=prompt_scores, stores_read=stores_read)
+            prompt_scores=prompt_scores, stores_read=stores_read,
+            stage_mb=stage_mb, ctx_waves=ctx_waves, defer_append=True)
+        payloads.append(payload)
         row = (tok,)
         if logprobs_k:
             row += tuple(lp)
         if prompt_scores:
             row += (ps,)
         outs.append(row)
+    # consolidated append: one RMW fetch + one scatter for ALL lanes.
+    # Lanes own disjoint slots; only dead/padded lanes share the guard
+    # slot, whose contents are don't-care (their inserts drop).
+    B = packed.shape[0]
+    nblk = payloads[0][0].shape[0]
+    touched_all = jnp.concatenate([p[0] for p in payloads])      # [B*nblk]
+    chunks = tuple(jnp.stack([p[1][i] for p in payloads])
+                   for i in range(4))                            # [B, L, T, ...]
+    offs = jnp.stack([p[2] for p in payloads])
+    valids = jnp.stack([p[3] for p in payloads])
+    fetched = store_ops.fetch_blocks(stores_read, touched_all, L)
+    fetched = tuple(a.reshape(B, nblk, *a.shape[1:]) for a in fetched)
+    T = chunks[0].shape[2]
+    rmw = jax.vmap(functools.partial(_stream_append_rmw, kv_dtype=kv_dtype,
+                                     nblk=nblk, bs=stores[0].shape[2], T=T))
+    slabs = rmw(fetched, chunks, offs, valids)
+    slabs = tuple(a.reshape(B * nblk, *a.shape[2:]) for a in slabs)
+    stores = store_ops.stash_blocks(stores, slabs, touched_all, L)
     stacked = tuple(jnp.stack([o[i] for o in outs])
                     for i in range(len(outs[0])))
     return (stacked[0], *stores, *stacked[1:])

@@ -31,6 +31,98 @@ from cxl_speckv_tpu.ops.paged_attention_ref import _dequant_block
 NEG_INF = -1e30
 
 
+def _make_wave_attend(qg, num_kv_heads, wave, block_size, head_dim,
+                      kv_dtype, start_pos, sm_scale, window, softcap, T):
+    """Shared online-softmax wave update used by both the host-fetching
+    path (`stream_context_attention`) and the staged device-slab path
+    (`stream_context_attention_slab`). Identical accumulate order keeps the
+    two paths FP-identical for the same wave sequence."""
+
+    def attend(w, acc, slab):
+        m_acc, l_acc, o_acc = acc
+        kblk, vblk, ksb, vsb = slab
+        # [W, Hkv, bs, Dp] -> [Hkv, W*bs, D]
+        kblk = _dequant_block(kblk, kv_dtype)
+        vblk = _dequant_block(vblk, kv_dtype)
+        kc = kblk.transpose(1, 0, 2, 3).reshape(num_kv_heads, wave * block_size, head_dim)
+        vc = vblk.transpose(1, 0, 2, 3).reshape(num_kv_heads, wave * block_size, head_dim)
+        ks = ksb.transpose(1, 0, 2).reshape(num_kv_heads, wave * block_size)
+        vs = vsb.transpose(1, 0, 2).reshape(num_kv_heads, wave * block_size)
+
+        s = jnp.einsum("thgd,hsd->hgts", qg, kc) * ks[:, None, None, :] * sm_scale
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+        pos = w * wave * block_size + jnp.arange(wave * block_size)
+        valid = pos[None, :] < start_pos                       # [1|T, S]
+        if window is not None:
+            # query t sits at absolute position start_pos + t
+            t_idx = jnp.arange(T)
+            valid = valid & (pos[None, :] > start_pos + t_idx[:, None] - window)
+        s = jnp.where(valid[None, None], s, NEG_INF)
+
+        m_new = jnp.maximum(m_acc, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_acc - m_new)
+        l_acc = l_acc * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        o_acc = o_acc * alpha + jnp.einsum(
+            "hgts,hsd->hgtd", p * vs[:, None, None, :], vc)
+        return (m_new, l_acc, o_acc)
+
+    return attend
+
+
+def stream_context_attention_slab(
+    q: jax.Array,             # [T, Hq, D] fresh queries (rope applied)
+    slab,                     # (k [Wb,Hkv,bs,Dp], v, ks [Wb,Hkv,bs], vs)
+                              # DEVICE-resident staged context rows
+    start_pos: jax.Array,     # scalar int32: pool tokens < start_pos are context
+    kv_dtype: KVDtype,
+    block_size: int,
+    wave: int,
+    sm_scale: float | None = None,
+    window: int | None = None,
+    softcap: float | None = None,
+):
+    """Online-softmax context attention over a PRE-STAGED device slab.
+
+    The r4 staged-gather path (VERDICT r3 next-step #4): the host gathers
+    happen once per LAYER GROUP outside the model math (measured ~5 ms per
+    `compute_on` host op + ~1 ms per array on the v5e remote runtime —
+    `scripts/hostop_probe.py` — so one fat gather beats per-wave fetches by
+    the op-count ratio), and attention here runs the IDENTICAL wave loop as
+    `stream_context_attention` over cheap device slices. Returns (m, l, o)
+    accumulators for `merge_chunk_causal`."""
+    T, num_q_heads, head_dim = q.shape
+    num_kv_heads = slab[0].shape[1]
+    group = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    qg = q.reshape(T, num_kv_heads, group, head_dim).astype(jnp.float32)
+    n_waves = slab[0].shape[0] // wave
+    n_used = jnp.minimum(
+        (start_pos + wave * block_size - 1) // (wave * block_size), n_waves)
+
+    attend = _make_wave_attend(qg, num_kv_heads, wave, block_size, head_dim,
+                               kv_dtype, start_pos, sm_scale, window,
+                               softcap, T)
+
+    def wave_step(w, acc):
+        sl = tuple(jax.lax.dynamic_slice_in_dim(a, w * wave, wave, axis=0)
+                   for a in slab)
+        return attend(w, acc, sl)
+
+    shape = (num_kv_heads, group, T)
+    init = (
+        jnp.full((*shape, 1), NEG_INF),
+        jnp.zeros((*shape, 1)),
+        jnp.zeros((*shape, head_dim)),
+    )
+    w0 = jnp.int32(0)
+    if window is not None:
+        w0 = jnp.clip((start_pos - window) // (wave * block_size), 0, n_used)
+    return jax.lax.fori_loop(w0, n_used, wave_step, init)
+
+
 def stream_context_attention(
     q: jax.Array,             # [T, Hq, D] fresh queries (rope applied), f32-able
     stores,                   # (k, v, ks, vs) flat-row host store arrays
@@ -79,35 +171,9 @@ def stream_context_attention(
         slots = jax.lax.dynamic_slice(host_row, (w * wave,), (wave,))
         return ops.fetch_layer(stores, slots, lyr, num_layers)
 
-    def attend(w, acc, slab):
-        m_acc, l_acc, o_acc = acc
-        kblk, vblk, ksb, vsb = slab
-        # [W, Hkv, bs, Dp] -> [Hkv, W*bs, D]
-        kblk = _dequant_block(kblk, kv_dtype)
-        vblk = _dequant_block(vblk, kv_dtype)
-        kc = kblk.transpose(1, 0, 2, 3).reshape(num_kv_heads, wave * block_size, head_dim)
-        vc = vblk.transpose(1, 0, 2, 3).reshape(num_kv_heads, wave * block_size, head_dim)
-        ks = ksb.transpose(1, 0, 2).reshape(num_kv_heads, wave * block_size)
-        vs = vsb.transpose(1, 0, 2).reshape(num_kv_heads, wave * block_size)
-
-        s = jnp.einsum("thgd,hsd->hgts", qg, kc) * ks[:, None, None, :] * sm_scale
-        if softcap is not None:
-            s = softcap * jnp.tanh(s / softcap)
-        pos = w * wave * block_size + jnp.arange(wave * block_size)
-        valid = pos[None, :] < start_pos                       # [1|T, S]
-        if window is not None:
-            # query t sits at absolute position start_pos + t
-            t_idx = jnp.arange(T)
-            valid = valid & (pos[None, :] > start_pos + t_idx[:, None] - window)
-        s = jnp.where(valid[None, None], s, NEG_INF)
-
-        m_new = jnp.maximum(m_acc, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_acc - m_new)
-        l_acc = l_acc * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        o_acc = o_acc * alpha + jnp.einsum(
-            "hgts,hsd->hgtd", p * vs[:, None, None, :], vc)
-        return (m_new, l_acc, o_acc)
+    attend = _make_wave_attend(qg, num_kv_heads, wave, block_size, head_dim,
+                               kv_dtype, start_pos, sm_scale, window,
+                               softcap, T)
 
     shape = (num_kv_heads, group, T)
     init = (

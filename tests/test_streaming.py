@@ -90,6 +90,38 @@ def test_stream_eos_and_temperature_paths():
     assert len(outs) == 1 and len(outs[0].tokens) == 6
 
 
+def test_stream_staged_paths_match():
+    """The r4 staged-gather path (one host op per layer group) must be
+    token-identical to the legacy per-(layer, wave) fetch path and to the
+    ample-HBM pooled engine — including when the staging budget forces
+    MULTIPLE layer groups (stage_mb=1 at a 1024-block wave makes
+    G=1 < num_layers for the tiny config's 640 B block rows)."""
+    prompt = prompt_of(40, seed=7)
+    gen = 8
+    results = {}
+    for label, stage_mb, wave in (("legacy", 0, 16), ("staged", 256, 16),
+                                  ("staged-grouped", 1, 1024)):
+        sc = SystemConfig(
+            cache=CacheConfig(block_size=8, num_hbm_blocks=6,
+                              num_host_blocks=1100, kv_dtype=KVDtype.INT8),
+            prefetch=PrefetchConfig(enabled=False),
+            engine=EngineConfig(max_batch_size=2, max_seq_len=64,
+                                prefill_chunk=16, max_stream_seq_len=8192,
+                                stream_wave=wave, stream_stage_mb=stage_mb),
+        )
+        eng = Engine(CFG, sc, params=PARAMS, use_pallas=False,
+                     enable_lstm=False)
+        eng.add_request(prompt, max_new_tokens=gen)
+        outs = eng.run()
+        assert len(outs) == 1 and len(outs[0].tokens) == gen
+        results[label] = outs[0].tokens
+    eng_a = make_engine(hbm=64, host=64, max_seq=64)
+    eng_a.add_request(prompt, max_new_tokens=gen)
+    results["ample"] = eng_a.run()[0].tokens
+    ref = results["ample"]
+    assert all(t == ref for t in results.values()), results
+
+
 def test_stream_mixed_with_normal_traffic():
     """Streamed and pooled requests interleave in the same engine run."""
     eng = make_engine(hbm=8, host=64, max_seq=64)
