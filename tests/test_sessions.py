@@ -124,6 +124,92 @@ def test_session_capacity_gating_reclaims_idle():
     assert not eng.get_session(sid).live  # reclaimed
 
 
+def stream_engine(hbm=6, host=256, max_seq=64):
+    """Engine where a 40-token prompt exceeds the pooled path's capacity
+    (routes host-streamed)."""
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=hbm,
+                          num_host_blocks=host, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(enabled=False),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=max_seq,
+                            prefill_chunk=16),
+    )
+    return Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+
+
+def test_stream_session_restore_matches_fresh():
+    """A session whose KV lives as host-tier STREAM blocks (r4): each
+    continuation appends to the stream blocks and must match a fresh
+    full-history request on an ample pooled engine token-for-token."""
+    t1, t2, t3 = turn_tokens(11, 40), turn_tokens(12, 9), turn_tokens(13, 7)
+
+    eng = stream_engine()
+    sid = eng.add_request(t1, max_new_tokens=8, session=True)
+    assert sid in {r.req_id for r in eng._stream_queue}
+    got1 = {o.req_id: o for o in eng.run()}[sid].tokens
+    sess = eng.get_session(sid)
+    assert sess.live and sess.stream_bids, "session should be stream-resident"
+    rid2 = eng.continue_session(sid, t2, max_new_tokens=8)
+    got2 = {o.req_id: o for o in eng.run()}[rid2].tokens
+    assert sess.restores == 1 and sess.reprefills == 0
+    rid3 = eng.continue_session(sid, t3, max_new_tokens=8)
+    got3 = {o.req_id: o for o in eng.run()}[rid3].tokens
+    assert sess.tokens == t1 + got1 + t2 + got2 + t3 + got3
+
+    # ground truth: each turn as a fresh full-history request, ample pooled
+    ample = make_engine()
+    a1 = ample.add_request(t1, max_new_tokens=8)
+    want1 = {o.req_id: o for o in ample.run()}[a1].tokens
+    a2 = ample.add_request(t1 + want1 + t2, max_new_tokens=8)
+    want2 = {o.req_id: o for o in ample.run()}[a2].tokens
+    a3 = ample.add_request(t1 + want1 + t2 + want2 + t3, max_new_tokens=8)
+    want3 = {o.req_id: o for o in ample.run()}[a3].tokens
+    assert (got1, got2, got3) == (want1, want2, want3)
+
+
+def test_stream_session_reclaim_reprefills_streamed():
+    """A reclaimed stream session re-prefills through the streamed path
+    (its history exceeds the pooled capacity) and still matches."""
+    t1, t2 = turn_tokens(14, 40), turn_tokens(15, 6)
+    eng = stream_engine()
+    sid = eng.add_request(t1, max_new_tokens=6, session=True)
+    got1 = {o.req_id: o for o in eng.run()}[sid].tokens
+    free_before = eng.kvc.directory.host_free
+    assert eng._reclaim_idle_session()
+    sess = eng.get_session(sid)
+    assert not sess.live and sess.stream_bids is None
+    assert eng.kvc.directory.host_free > free_before
+    rid2 = eng.continue_session(sid, t2, max_new_tokens=6)
+    got2 = {o.req_id: o for o in eng.run()}[rid2].tokens
+    assert sess.reprefills == 1 and sess.live and sess.stream_bids
+
+    ample = make_engine()
+    a2 = ample.add_request(t1 + got1 + t2, max_new_tokens=6)
+    want2 = {o.req_id: o for o in ample.run()}[a2].tokens
+    assert got2 == want2
+
+
+def test_stream_session_end_frees_and_cancel():
+    eng = stream_engine(host=64)
+    sid = eng.add_request(turn_tokens(16, 40), max_new_tokens=4, session=True)
+    eng.run()
+    sess = eng.get_session(sid)
+    held = len(sess.stream_bids)
+    assert held > 0 and eng.kvc.directory.host_free == 64 - held
+    # cancel of a QUEUED continuation leaves the session KV intact
+    rid = eng.continue_session(sid, [5, 6], max_new_tokens=4)
+    out = eng.cancel(rid)
+    assert out.finish_reason == "cancelled" and sess.live and not sess.busy
+    assert len(sess.stream_bids) == held
+    eng.end_session(sid)
+    assert eng.kvc.directory.host_free == 64
+    try:
+        eng.continue_session(sid, [1, 2])
+        assert False, "continue after end_session should fail"
+    except (ValueError, KeyError):
+        pass
+
+
 def test_end_session_frees():
     eng = make_engine()
     sid = eng.add_request(turn_tokens(9, 10), max_new_tokens=4, session=True)
