@@ -34,7 +34,7 @@ import numpy as np
 
 def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
                  max_seq_len, horizon, quantum, use_pallas, prefetch,
-                 lstm=None, block_size=32):
+                 lstm=None, block_size=32, weight_dtype="native"):
     from cxl_speckv_tpu.config import (
         CacheConfig, EngineConfig, KVDtype, PrefetchConfig, SystemConfig)
     from cxl_speckv_tpu.engine.engine import Engine
@@ -47,7 +47,7 @@ def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
                                 train_online=prefetch),
         engine=EngineConfig(max_batch_size=batch, max_seq_len=max_seq_len,
                             prefill_chunk=128, decode_horizon=horizon,
-                            sched_quantum=quantum),
+                            sched_quantum=quantum, weight_dtype=weight_dtype),
     )
     # the LSTM predictor runs on the host CPU device (never costs a TPU
     # dispatch) and gates prefetch by continuation probability while
@@ -85,7 +85,7 @@ V5E_PEAK_BF16_FLOPS = 197e12
 V5E_HBM_GBPS = 819.0
 
 
-def utilization(eng, config, params, st, prompt_len, gen):
+def utilization(eng, config, st, prompt_len, gen):
     """Absolute utilization of the DECODE loop (VERDICT r3 next-step #2):
     derived MFU and effective HBM traffic rate, from first-principles byte
     and FLOP counts — not ratios.
@@ -103,10 +103,19 @@ def utilization(eng, config, params, st, prompt_len, gen):
     dt = eng_st["decode_time_s"]
     if not toks or not dt:
         return {}
+    from cxl_speckv_tpu.ops.wquant import QuantizedTensor
+
     c = config
-    leaves = jax.tree_util.tree_leaves(params)
+    # eng.params, not the caller's fp copy: under weight_dtype="int8" the
+    # engine streams 1 weight byte/elem plus the small per-channel scale
+    # planes; FLOPs are dtype-independent (the matmul still runs bf16)
+    leaves = jax.tree_util.tree_leaves(
+        eng.params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
     param_count = sum(x.size for x in leaves)
-    param_bytes = sum(x.size * x.dtype.itemsize for x in leaves)
+    param_bytes = sum(
+        x.q.size * x.q.dtype.itemsize + x.s.size * x.s.dtype.itemsize
+        if isinstance(x, QuantizedTensor) else x.size * x.dtype.itemsize
+        for x in leaves)
     # matmul-active params: the input-embedding gather is not a matmul;
     # the logits projection is (tied configs reuse the embedding table —
     # then it IS matmul-active and already counted once)
@@ -161,8 +170,13 @@ def main():
 
     import os
     if on_tpu:
-        n_requests, prompt_len, gen = 32, 64, 64
-        batch, horizon, quantum, bs = 4, 16, 4, 32
+        # r4 geometry sweep (NOTES_ROUND4): decode is weight-bound at this
+        # model scale, so LANES PER WEIGHT STREAM is the lever — batch=8 with
+        # demand-matched N=64 serves +64% throughput AND a better per-HBM
+        # ratio (3.75x vs 3.63x) than the old batch=4 default, at the same
+        # ~4x oversubscription. Block size was a measured no-op here.
+        n_requests, prompt_len, gen = 64, 64, 64
+        batch, horizon, quantum, bs = 8, 16, 4, 32
     else:
         n_requests, prompt_len, gen = 12, 32, 24
         batch, horizon, quantum, bs = 2, 4, 3, 32
@@ -175,6 +189,11 @@ def main():
     # treatment arm config: product default (prefetch off) unless the
     # reference-parity arm is requested
     prefetch_on = bool(int(os.environ.get("SPECKV_BENCH_PREFETCH", "0")))
+    # W8A16 weight quantization (ops/wquant.py): decode is weight-bound at
+    # this scale, so halving the weight stream is the big absolute lever;
+    # applied to BOTH arms (the headline ratio stays apples-to-apples)
+    weight_dtype = "int8" if int(os.environ.get("SPECKV_BENCH_WQ", "0")) \
+        else "native"
     max_seq = prompt_len + gen + bs
     blocks_per_seq = -(-max_seq // bs)
     # HBM double-buffers: the pinned active batch + the prefetching next
@@ -184,7 +203,7 @@ def main():
     total_demand = n_requests * blocks_per_seq
     geo = dict(hbm_blocks=hbm_blocks, host_blocks=host_blocks, batch=batch,
                max_seq_len=max_seq, horizon=horizon, quantum=quantum,
-               use_pallas=on_tpu, block_size=bs)
+               use_pallas=on_tpu, block_size=bs, weight_dtype=weight_dtype)
     print(f"# geometry: hbm={hbm_blocks} blocks, live demand={total_demand} "
           f"({total_demand/hbm_blocks:.1f}x oversubscribed), "
           f"{n_requests} seqs x {prompt_len}+{gen} tok", file=sys.stderr)
@@ -223,12 +242,12 @@ def main():
         tok_t, dt_t = run_workload(eng_t, n_requests=n_requests,
                                    prompt_len=prompt_len, gen=gen)
         st = eng_t.get_statistics()
-        util_t = utilization(eng_t, config, params, st, prompt_len, gen)
+        util_t = utilization(eng_t, config, st, prompt_len, gen)
         eng_a = build_engine(config, params, prefetch=False, **ample_geo)
         tok_a, dt_a = run_workload(eng_a, n_requests=n_requests,
                                    prompt_len=prompt_len, gen=gen)
         sa = eng_a.get_statistics()
-        util_a = utilization(eng_a, config, params, sa, prompt_len, gen)
+        util_a = utilization(eng_a, config, sa, prompt_len, gen)
         pairs.append((tok_t / dt_t, tok_a / dt_a))
         print(f"# pair {rep}: tiered {tok_t}tok/{dt_t:.1f}s = "
               f"{tok_t/dt_t:.1f} tok/s vs ample {tok_a}tok/{dt_a:.1f}s = "

@@ -252,6 +252,20 @@ class EngineConfig:
     # the feature. Unpenalized requests never pay for it: the plane only
     # enters the compiled programs once a penalized request has been seen.
     penalty_rows: int = 16
+    # Weight storage for the model's matmul weights. "int8" stores every
+    # matmul weight (+ the embedding) as int8 with per-output-channel f32
+    # scales (W8A16, `ops/wquant.py`): matmuls still run bf16 on the MXU,
+    # but the HBM weight stream — which the r4 utilization split shows is
+    # what bounds decode (NOTES_ROUND4.md) — halves. "native" leaves the
+    # params as given. Pre-quantized params passed to Engine are respected
+    # either way.
+    weight_dtype: str = "native"
+
+    def __post_init__(self):
+        if self.weight_dtype not in ("native", "int8"):
+            raise ValueError(
+                f"weight_dtype must be 'native' or 'int8', "
+                f"got {self.weight_dtype!r}")
 
 
 @dataclass

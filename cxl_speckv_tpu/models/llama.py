@@ -34,6 +34,7 @@ from cxl_speckv_tpu.ops.quant import (
     quantize_kv_dual,
     scheme_id_table,
 )
+from cxl_speckv_tpu.ops.wquant import mm, take_rows
 
 Params = dict[str, Any]
 
@@ -221,7 +222,7 @@ def _soft_cap(x: jax.Array, cap: float | None) -> jax.Array:
 
 
 def _embed(params: Params, config: LlamaConfig, token_ids: jax.Array):
-    x = params["embed"][token_ids]
+    x = take_rows(params["embed"], token_ids, dtype=jnp.dtype(config.dtype))
     if config.embed_scale:
         x = x * jnp.asarray(config.hidden_size**0.5, x.dtype)
     return x
@@ -229,7 +230,7 @@ def _embed(params: Params, config: LlamaConfig, token_ids: jax.Array):
 
 def _final_logits(x: jax.Array, params: Params, config: LlamaConfig):
     head = params["embed"].T if config.tie_embeddings else params["lm_head"]
-    return _soft_cap((x @ head).astype(jnp.float32), config.final_softcap)
+    return _soft_cap(mm(x, head).astype(jnp.float32), config.final_softcap)
 
 
 def _scan_layers(step, carry, layers, config: LlamaConfig,
@@ -377,8 +378,8 @@ def _act(config):
 
 
 def _mlp(x, gate, up, down, act=jax.nn.silu):
-    h = act(x @ gate) * (x @ up)
-    return h @ down
+    h = act(mm(x, gate)) * mm(x, up)
+    return mm(h, down)
 
 
 def _ffn(x, lp, config):
@@ -399,7 +400,7 @@ def _qkv(h, lp, config: LlamaConfig = None):
     per-head q/k RMSNorm when present (key existence checks are static —
     resolved at trace time from the pytree). The qk-norm runs BEFORE RoPE,
     matching HF Qwen3Attention."""
-    q, k, v = h @ lp["q"], h @ lp["k"], h @ lp["v"]
+    q, k, v = mm(h, lp["q"]), mm(h, lp["k"]), mm(h, lp["v"])
     if "q_bias" in lp:
         q = q + lp["q_bias"]
         k = k + lp["k_bias"]
@@ -423,7 +424,7 @@ def _qkv(h, lp, config: LlamaConfig = None):
 def _block_residuals(x, o_flat, lp, config):
     """Shared residual structure after attention: o-projection (+ Gemma-2
     post-attention norm), then the MLP block (+ post-MLP norm)."""
-    att = o_flat.astype(x.dtype) @ lp["o"]
+    att = mm(o_flat.astype(x.dtype), lp["o"])
     if "o_bias" in lp:
         att = att + lp["o_bias"]
     if "post_attn_norm" in lp:

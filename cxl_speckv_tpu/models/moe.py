@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from cxl_speckv_tpu.models.configs import LlamaConfig
+from cxl_speckv_tpu.ops.wquant import mm, qeinsum
 
 
 def router_combine_weights(
@@ -74,8 +75,8 @@ def _shared_expert(x2d: jax.Array, lp) -> jax.Array:
     the params carry no shared-expert leaves."""
     if "shared_gate" not in lp:
         return jnp.zeros_like(x2d)
-    h = jax.nn.silu(x2d @ lp["shared_gate"]) * (x2d @ lp["shared_up"])
-    out = h @ lp["shared_down"]
+    h = jax.nn.silu(mm(x2d, lp["shared_gate"])) * mm(x2d, lp["shared_up"])
+    out = mm(h, lp["shared_down"])
     scale = jax.nn.sigmoid(
         (x2d.astype(jnp.float32) @ lp["shared_expert_gate"]
          .astype(jnp.float32))[:, None])
@@ -90,17 +91,17 @@ def _expert_ffn(xe: jax.Array, lp, style: str) -> jax.Array:
     """Batched-over-experts gated MLP. xe [E, C, H] -> [E, C, H].
     "mixtral": SwiGLU; "gpt_oss": biased projections + the clamped gated
     activation (HF GptOssExperts, alpha=1.702, limit=7.0)."""
-    g = jnp.einsum("ech,ehi->eci", xe, lp["gate"])
-    u = jnp.einsum("ech,ehi->eci", xe, lp["up"])
+    g = qeinsum("ech,ehi->eci", xe, lp["gate"])
+    u = qeinsum("ech,ehi->eci", xe, lp["up"])
     if style == "gpt_oss":
         g = g + lp["gate_bias"][:, None, :]
         u = u + lp["up_bias"][:, None, :]
         g = jnp.minimum(g, _GPT_OSS_LIMIT)
         u = jnp.clip(u, -_GPT_OSS_LIMIT, _GPT_OSS_LIMIT)
         h = (u + 1.0) * (g * jax.nn.sigmoid(g * _GPT_OSS_ALPHA))
-        return (jnp.einsum("eci,eih->ech", h, lp["down"])
+        return (qeinsum("eci,eih->ech", h, lp["down"])
                 + lp["down_bias"][:, None, :])
-    return jnp.einsum("eci,eih->ech", jax.nn.silu(g) * u, lp["down"])
+    return qeinsum("eci,eih->ech", jax.nn.silu(g) * u, lp["down"])
 
 
 def moe_ffn(

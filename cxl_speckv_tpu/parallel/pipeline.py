@@ -38,6 +38,7 @@ from cxl_speckv_tpu.models.llama import (
     pick_rope,
     rope_frequency_pair,
 )
+from cxl_speckv_tpu.ops.wquant import act_dtype, mm, take_rows
 
 
 def _dense_layer(x, lp, config, positions, causal, window=None):
@@ -162,7 +163,8 @@ def pipeline_forward(
             x_recv, logits_buf = carry
             # stage 0 injects microbatch t (clamped; ticks past M feed a
             # dummy that never reaches the output buffer)
-            inject = embed[mbs[jnp.clip(t, 0, M - 1)]]
+            inject = take_rows(embed, mbs[jnp.clip(t, 0, M - 1)],
+                               dtype=jnp.dtype(c.dtype))
             if c.embed_scale:
                 inject = inject * jnp.asarray(c.hidden_size**0.5, inject.dtype)
             x_in = jnp.where(stage == 0, inject.astype(x_recv.dtype), x_recv)
@@ -170,7 +172,7 @@ def pipeline_forward(
             # last stage finalizes microbatch t-(S-1)
             out_idx = t - (S - 1)
             xf = _norm(y, final_norm, c)
-            logits = _soft_cap((xf @ head).astype(jnp.float32),
+            logits = _soft_cap(mm(xf, head).astype(jnp.float32),
                                c.final_softcap)
             valid = (stage == S - 1) & (out_idx >= 0)
             logits_buf = jax.lax.dynamic_update_index_in_dim(
@@ -184,7 +186,7 @@ def pipeline_forward(
                 y, "pp", [(i, i + 1) for i in range(S - 1)])
             return (x_next, logits_buf), None
 
-        x0 = jnp.zeros((mb, T, H), embed.dtype)
+        x0 = jnp.zeros((mb, T, H), act_dtype(embed, c.dtype))
         buf0 = jnp.zeros((M, mb, T, V), jnp.float32)
         (_, logits_buf), _ = jax.lax.scan(
             tick, (x0, buf0), jnp.arange(S + M - 1))

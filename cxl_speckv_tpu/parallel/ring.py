@@ -34,6 +34,7 @@ from cxl_speckv_tpu.models.llama import (
     pick_rope,
     rope_frequency_pair,
 )
+from cxl_speckv_tpu.ops.wquant import mm, take_rows
 
 _NEG = -1e30
 
@@ -127,7 +128,8 @@ def sp_forward_dense(
         # tokens arrives sequence-sharded: [B, Tl]
         idx = jax.lax.axis_index("sp")
         q_pos = idx * Tl + jnp.arange(Tl)
-        x = embed[tokens]                                    # [B, Tl, H]
+        x = take_rows(embed, tokens,
+                      dtype=jnp.dtype(c.dtype))              # [B, Tl, H]
         if c.embed_scale:
             x = x * jnp.asarray(c.hidden_size**0.5, x.dtype)
 
@@ -160,7 +162,7 @@ def sp_forward_dense(
                 return x, None
             x, _ = jax.lax.scan(layer, x, grouped)
         x = _norm(x, final_norm, c)
-        return _soft_cap((x @ head).astype(jnp.float32),
+        return _soft_cap(mm(x, head).astype(jnp.float32),
                          c.final_softcap)                    # [B, Tl, V]
 
     sharded = jax.shard_map(

@@ -103,9 +103,17 @@ def pool_specs() -> tuple:
     return kt, kv, sc, sc
 
 
-def param_shardings(config: LlamaConfig, mesh: Mesh):
+def param_shardings(config: LlamaConfig, mesh: Mesh, params=None):
+    """NamedSharding tree for the params. Pass the actual `params` when they
+    may be weight-quantized (`ops.wquant`): QuantizedTensor leaves get a
+    matching (q, s) sharding node — q keeps the weight's spec, s keeps it
+    with the reduced axis unsharded."""
+    specs = param_specs(config)
+    if params is not None:
+        from cxl_speckv_tpu.ops.wquant import quantize_specs
+        specs = quantize_specs(specs, params)
     return jax.tree.map(
-        lambda spec: NamedSharding(mesh, spec), param_specs(config),
+        lambda spec: NamedSharding(mesh, spec), specs,
         is_leaf=lambda x: isinstance(x, P))
 
 
@@ -114,7 +122,7 @@ def pool_shardings(mesh: Mesh):
 
 
 def shard_params(params, config: LlamaConfig, mesh: Mesh):
-    return jax.device_put(params, param_shardings(config, mesh))
+    return jax.device_put(params, param_shardings(config, mesh, params))
 
 
 def shard_pools(pools, mesh: Mesh):
