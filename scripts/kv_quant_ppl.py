@@ -41,14 +41,14 @@ COMPRESSION = {KVDtype.BF16: 1.0, KVDtype.INT8: 2.0, KVDtype.FP8: 2.0,
                KVDtype.INT4: 4.0}
 
 
-def mean_nll(cfg, params, scheme, prompts, chunk):
+def mean_nll(cfg, params, scheme, prompts, chunk, weight_dtype="native"):
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=512,
                           num_host_blocks=512, kv_dtype=scheme),
         prefetch=PrefetchConfig(depth=2),
         engine=EngineConfig(max_batch_size=4,
                             max_seq_len=max(len(p) for p in prompts) + 8,
-                            prefill_chunk=chunk),
+                            prefill_chunk=chunk, weight_dtype=weight_dtype),
     )
     eng = Engine(cfg, sc, params=params, use_pallas=False, enable_lstm=False)
     ids = [eng.add_request(p, max_new_tokens=1, prompt_logprobs=True)
@@ -87,6 +87,16 @@ def main():
         print(f"{scheme.value:5s}  nll/token {nll:.5f}  ppl {ppl:.2f}  "
               f"delta vs bf16 {100 * (ppl - base) / base:+.3f}%  "
               f"compression {COMPRESSION[scheme]:.0f}x")
+    # weight-stream quantization (ops/wquant.py): same harness, isolating
+    # the W8A16 effect at the bf16 KV baseline and at the product default
+    # (int8 KV) — the cross-term matters for the shipped configuration
+    for scheme in (KVDtype.BF16, KVDtype.INT8):
+        nll = mean_nll(cfg, params, scheme, prompts, args.chunk,
+                       weight_dtype="int8")
+        ppl = math.exp(nll)
+        print(f"{scheme.value:5s}+W8A16  nll/token {nll:.5f}  ppl {ppl:.2f}  "
+              f"delta vs bf16 {100 * (ppl - base) / base:+.3f}%  "
+              f"(weights 2x smaller)")
 
 
 if __name__ == "__main__":
