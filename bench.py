@@ -103,6 +103,8 @@ def utilization(eng, config, st, prompt_len, gen):
     dt = eng_st["decode_time_s"]
     if not toks or not dt:
         return {}
+    import jax.numpy as jnp
+
     from cxl_speckv_tpu.ops.wquant import QuantizedTensor
 
     c = config
@@ -111,11 +113,16 @@ def utilization(eng, config, st, prompt_len, gen):
     # planes; FLOPs are dtype-independent (the matmul still runs bf16)
     leaves = jax.tree_util.tree_leaves(
         eng.params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+    def leaf_bytes(x):
+        if isinstance(x, QuantizedTensor):
+            # jax reports int4 itemsize as 1 (unpacked view); the HBM
+            # stream is nibble-packed
+            qb = 0.5 if x.q.dtype == jnp.int4 else x.q.dtype.itemsize
+            return x.q.size * qb + x.s.size * x.s.dtype.itemsize
+        return x.size * x.dtype.itemsize
+
     param_count = sum(x.size for x in leaves)
-    param_bytes = sum(
-        x.q.size * x.q.dtype.itemsize + x.s.size * x.s.dtype.itemsize
-        if isinstance(x, QuantizedTensor) else x.size * x.dtype.itemsize
-        for x in leaves)
+    param_bytes = sum(leaf_bytes(x) for x in leaves)
     # matmul-active params: the input-embedding gather is not a matmul;
     # the logits projection is (tied configs reuse the embedding table —
     # then it IS matmul-active and already counted once)
@@ -196,8 +203,8 @@ def main():
     # (the recommended serving config); SPECKV_BENCH_WQ=0 runs native
     # weights. Applied to BOTH arms (the headline ratio stays
     # apples-to-apples).
-    weight_dtype = "int8" if int(os.environ.get("SPECKV_BENCH_WQ", "1")) \
-        else "native"
+    weight_dtype = {"0": "native", "1": "int8", "int8": "int8",
+                    "int4": "int4"}[os.environ.get("SPECKV_BENCH_WQ", "1")]
     max_seq = prompt_len + gen + bs
     blocks_per_seq = -(-max_seq // bs)
     # HBM double-buffers: the pinned active batch + the prefetching next

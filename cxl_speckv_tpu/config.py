@@ -256,15 +256,22 @@ class EngineConfig:
     # matmul weight (+ the embedding) as int8 with per-output-channel f32
     # scales (W8A16, `ops/wquant.py`): matmuls still run bf16 on the MXU,
     # but the HBM weight stream — which the r4 utilization split shows is
-    # what bounds decode (NOTES_ROUND4.md) — halves. "native" leaves the
-    # params as given. Pre-quantized params passed to Engine are respected
-    # either way.
+    # what bounds decode (NOTES_ROUND4.md) — halves (measured +27% serving
+    # throughput on v5e at +0.03% ppl). "int4" (W4A16) nibble-packs the
+    # matmul weights for another 2x (the embedding stays int8 — it is
+    # gathered, not streamed); costs more accuracy (+2.1% ppl at random
+    # weights), worth it only when the round is still weight-bound after
+    # W8A16. NOTE: int4 needs an XLA backend with native S4 arrays — the
+    # current remote TPU runtime rejects S4 outright ("Unimplemented",
+    # probed in NOTES_ROUND4); CPU and standard TPU backends work.
+    # "native" leaves the params as given. Pre-quantized params passed to
+    # Engine are respected either way.
     weight_dtype: str = "native"
 
     def __post_init__(self):
-        if self.weight_dtype not in ("native", "int8"):
+        if self.weight_dtype not in ("native", "int8", "int4"):
             raise ValueError(
-                f"weight_dtype must be 'native' or 'int8', "
+                f"weight_dtype must be 'native', 'int8' or 'int4', "
                 f"got {self.weight_dtype!r}")
 
 

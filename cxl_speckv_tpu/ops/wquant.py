@@ -104,13 +104,22 @@ class QuantizedTensor:
                 f"s={getattr(self.s, 'shape', self.s)}, axis={self.axis})")
 
 
-def quantize_tensor(w: jax.Array, axis: int = -2) -> QuantizedTensor:
-    """Symmetric per-channel int8: s = amax/127 over `axis`, q = round(w/s)."""
+def quantize_tensor(w: jax.Array, axis: int = -2,
+                    bits: int = 8) -> QuantizedTensor:
+    """Symmetric per-channel intN: s = amax/qmax over `axis`, q = round(w/s).
+
+    bits=8 stores jnp.int8; bits=4 stores jnp.int4 (XLA packs two values
+    per HBM byte on TPU — the jax-level `nbytes` reports unpacked, but the
+    on-device weight stream is nibble-packed, which is the point)."""
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    qmax = 127 if bits == 8 else 7
+    dt = jnp.int8 if bits == 8 else jnp.int4
     axis = axis if axis < 0 else axis - w.ndim
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
-    s = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    s = jnp.maximum(amax, 1e-8) / qmax
+    q = jnp.clip(jnp.round(wf / s), -qmax, qmax).astype(dt)
     return QuantizedTensor(q, s, axis)
 
 
@@ -127,24 +136,29 @@ _SKIP_LAYER_KEYS = frozenset({
 })
 
 
-def quantize_weights(params):
-    """Quantize a `models.llama.init_params`-layout tree to W8A16.
+def quantize_weights(params, bits: int = 8):
+    """Quantize a `models.llama.init_params`-layout tree to W8A16/W4A16.
 
-    embed / lm_head / every dense + expert matmul weight become
-    QuantizedTensors; norms, biases, and the MoE router stay as-is.
+    Every dense + expert matmul weight (and lm_head) becomes a
+    QuantizedTensor; norms, biases, and the MoE router stay as-is.
+    The EMBEDDING stays int8 even at bits=4: the table is read by gather
+    (one row per token, not a stream) and tied-head logits are the last
+    projection before sampling — int4 there costs accuracy for no
+    measurable bandwidth (the lm_head matmul is 1 of 7L+1 matmuls).
     Idempotent on already-quantized leaves.
     """
     out = dict(params)
     if not isinstance(params.get("embed"), QuantizedTensor):
-        out["embed"] = quantize_tensor(params["embed"], axis=-1)  # per-row
+        out["embed"] = quantize_tensor(params["embed"], axis=-1,
+                                       bits=8)  # per-row
     layers = dict(params["layers"])
     for k, w in layers.items():
         if k in _LAYER_MM_KEYS and not isinstance(w, QuantizedTensor):
-            layers[k] = quantize_tensor(w, axis=-2)
+            layers[k] = quantize_tensor(w, axis=-2, bits=bits)
     out["layers"] = layers
     if "lm_head" in params and not isinstance(params["lm_head"],
                                               QuantizedTensor):
-        out["lm_head"] = quantize_tensor(params["lm_head"], axis=-2)
+        out["lm_head"] = quantize_tensor(params["lm_head"], axis=-2, bits=bits)
     return out
 
 

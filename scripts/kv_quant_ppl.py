@@ -88,15 +88,17 @@ def main():
               f"delta vs bf16 {100 * (ppl - base) / base:+.3f}%  "
               f"compression {COMPRESSION[scheme]:.0f}x")
     # weight-stream quantization (ops/wquant.py): same harness, isolating
-    # the W8A16 effect at the bf16 KV baseline and at the product default
-    # (int8 KV) — the cross-term matters for the shipped configuration
-    for scheme in (KVDtype.BF16, KVDtype.INT8):
-        nll = mean_nll(cfg, params, scheme, prompts, args.chunk,
-                       weight_dtype="int8")
-        ppl = math.exp(nll)
-        print(f"{scheme.value:5s}+W8A16  nll/token {nll:.5f}  ppl {ppl:.2f}  "
-              f"delta vs bf16 {100 * (ppl - base) / base:+.3f}%  "
-              f"(weights 2x smaller)")
+    # the W8A16/W4A16 effect at the bf16 KV baseline and at the product
+    # default (int8 KV) — the cross-term matters for the shipped config
+    for wq, ratio in (("int8", "2x"), ("int4", "4x")):
+        for scheme in (KVDtype.BF16, KVDtype.INT8):
+            nll = mean_nll(cfg, params, scheme, prompts, args.chunk,
+                           weight_dtype=wq)
+            ppl = math.exp(nll)
+            print(f"{scheme.value:5s}+W{wq[3]}A16  nll/token {nll:.5f}  "
+                  f"ppl {ppl:.2f}  "
+                  f"delta vs bf16 {100 * (ppl - base) / base:+.3f}%  "
+                  f"(weights {ratio} smaller)")
 
 
 if __name__ == "__main__":

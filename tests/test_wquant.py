@@ -280,6 +280,49 @@ def test_pipeline_and_ring_quantized_match_dense():
 
 
 # ---------------------------------------------------------------------------
+# W4A16 (int4 weights; embedding stays int8 — gathered, not streamed)
+# ---------------------------------------------------------------------------
+
+def test_int4_mm_matches_dequantized():
+    w = jax.random.normal(jax.random.PRNGKey(0), (32, 48))
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 32))
+    qt = quantize_tensor(w, axis=-2, bits=4)
+    assert qt.q.dtype == jnp.int4
+    got = mm(x, qt)
+    want = x @ qt.dequantize()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # 4-bit per-channel error bound: looser than int8 but bounded
+    rel = np.abs(np.asarray(got) - np.asarray(x @ w)).max() / \
+        np.abs(np.asarray(x @ w)).std()
+    assert rel < 0.6, rel
+
+
+def test_int4_selective_and_forward():
+    qparams = quantize_weights(PARAMS, bits=4)
+    assert qparams["layers"]["q"].q.dtype == jnp.int4
+    assert qparams["embed"].q.dtype == jnp.int8  # gathered, stays int8
+    toks = jnp.asarray(
+        np.random.RandomState(0).randint(1, CFG.vocab_size, (2, 12)),
+        jnp.int32)
+    got = forward_dense(qparams, CFG, toks)
+    want = forward_dense(dequantize_tree(qparams), CFG, toks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_engine_int4_serves_and_is_deterministic():
+    ps = _prompts(4, seed=3)
+    a = _run_all(Engine(CFG, _sys(wq="int4"), params=PARAMS, use_pallas=False,
+                        enable_lstm=False), ps)
+    pre = jax.jit(lambda p: quantize_weights(p, bits=4))(PARAMS)
+    b = _run_all(Engine(CFG, _sys(wq="native"), params=pre, use_pallas=False,
+                        enable_lstm=False), ps)
+    assert a == b
+    assert all(len(t) == 8 for t in a)
+
+
+# ---------------------------------------------------------------------------
 # persistence
 # ---------------------------------------------------------------------------
 
