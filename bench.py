@@ -193,6 +193,9 @@ def main():
     bs = int(os.environ.get("SPECKV_BENCH_BS", bs))
     batch = int(os.environ.get("SPECKV_BENCH_BATCH", batch))
     n_requests = int(os.environ.get("SPECKV_BENCH_N", n_requests))
+    # round_anatomy (r4): 25 ms of every decode round is PER-DISPATCH
+    # overhead on this runtime — horizon is the amortization knob
+    horizon = int(os.environ.get("SPECKV_BENCH_HORIZON", horizon))
     # treatment arm config: product default (prefetch off) unless the
     # reference-parity arm is requested
     prefetch_on = bool(int(os.environ.get("SPECKV_BENCH_PREFETCH", "0")))
