@@ -182,8 +182,13 @@ def main():
         # demand-matched N=64 serves +64% throughput AND a better per-HBM
         # ratio (3.75x vs 3.63x) than the old batch=4 default, at the same
         # ~4x oversubscription. Block size was a measured no-op here.
+        # horizon=32 (r4 round_anatomy): 25 ms of every dispatch is
+        # per-dispatch overhead on this runtime; 32 fused steps amortize it
+        # while KEEPING the tiering machinery live (13 migrations/run,
+        # hit 0.959). horizon=64 is +33% more again but degenerates the
+        # benchmark: groups run to completion and migrations drop to zero.
         n_requests, prompt_len, gen = 64, 64, 64
-        batch, horizon, quantum, bs = 8, 16, 4, 32
+        batch, horizon, quantum, bs = 8, 32, 4, 32
     else:
         n_requests, prompt_len, gen = 12, 32, 24
         batch, horizon, quantum, bs = 2, 4, 3, 32

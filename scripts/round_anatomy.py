@@ -39,6 +39,13 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny config CPU smoke (mechanics only)")
+    ap.add_argument("--slots", type=int, default=0,
+                    help="override pool slot count (isolates the pool-size "
+                         "effect: a pool that fits VMEM decodes faster)")
+    ap.add_argument("--horizons", default="",
+                    help="comma-separated horizon override, e.g. 16,32,64")
+    ap.add_argument("--arms", default="bf16,int8",
+                    help="weight arms to run (comma-separated)")
     args = ap.parse_args()
 
     import os
@@ -65,8 +72,11 @@ def main():
     kv_dtype = KVDtype.INT8
     B, bs = (2, 8) if args.smoke else (8, 32)
     max_blocks = 16
-    num_slots = B * max_blocks + 1
+    num_slots = args.slots or B * max_blocks + 1
+    assert num_slots > B * max_blocks, "slots must cover B*max_blocks + guard"
     horizons = (1, 2) if args.smoke else (1, 4, 16)
+    if args.horizons:
+        horizons = tuple(int(h) for h in args.horizons.split(","))
     ctxs = (1, 2) if args.smoke else (2, 8)  # context blocks per lane
 
     params = init_params(config, jax.random.PRNGKey(0))
@@ -115,7 +125,8 @@ def main():
                 * config.num_kv_heads * config.head_dim) / 1e9  # int8 = 1B
 
     arms = {"bf16": params, "int8": jax.jit(quantize_weights)(params)}
-    jax.block_until_ready(jax.tree.leaves(arms["int8"]))
+    arms = {k: v for k, v in arms.items() if k in args.arms.split(",")}
+    jax.block_until_ready(jax.tree.leaves(arms))
 
     def run(p, horizon, ctx_blocks, reps):
         pk = packed_for(ctx_blocks, horizon)
@@ -144,6 +155,8 @@ def main():
                       f"{t * 1e3:8.1f} ms", flush=True)
 
     # ---- decomposition ---------------------------------------------------
+    if len(horizons) < 2 or set(arms) != {"bf16", "int8"}:
+        return  # single-axis probe (e.g. --slots pool-size experiment)
     hi, lo = max(horizons), min(horizons)
     cb_hi, cb_lo = max(ctxs), min(ctxs)
     slope = {}
