@@ -207,7 +207,15 @@ class EngineConfig:
     eos_token_id: int | None = None     # overrides model config when set
     # decode steps fused into one device program (in-graph sampling);
     # amortizes per-step dispatch overhead — tokens generated past a stop
-    # condition are discarded host-side
+    # condition are discarded host-side. Sizing (r4 round_anatomy, v5e
+    # through a remote-dispatch runtime): ~25 ms of EVERY dispatch is
+    # runtime overhead vs ~3.1 ms per fused step, so throughput rises
+    # steeply with horizon (16 -> 32 measured +40% serving throughput)
+    # until it collides with scheduling granularity: stop/cancel latency,
+    # overshoot waste at finish boundaries, and rotation cadence
+    # (sched_quantum counts ROUNDS, so a group holds its slot for
+    # quantum x horizon tokens). Local runtimes have a far smaller
+    # dispatch constant and want a shorter horizon.
     decode_horizon: int = 1
     # scheduling quantum: a decode group keeps its slot for this many engine
     # steps before the round-robin rotates — batches stay stable long enough
