@@ -314,6 +314,7 @@ def main():
         f"prefetch_acc={d['prefetch_accuracy']:.2f} "
         f"up/down={st['transfer']['up_transfers']}/{st['transfer']['down_transfers']} "
         f"p50_tpot={st['engine']['p50_tpot_ms']:.0f}ms "
+        f"p50_ttft={st['engine']['p50_ttft_ms']:.0f}ms "
         f"lstm_train_steps={st['prefetch']['train_steps']} || "
         f"ample-HBM ({ample_geo['hbm_blocks']} blocks): "
         f"{sum(p[1] for p in pairs)/len(pairs):.1f} tok/s mean "

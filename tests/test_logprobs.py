@@ -235,9 +235,19 @@ def test_prompt_logprobs_survive_preemption():
 
 
 def test_prompt_logprobs_validation():
-    eng = make_engine()
-    with pytest.raises(ValueError):
-        eng.add_request(prompt(), session=True, prompt_logprobs=True)
+    # r4 lifted the blanket session rejection (first turns prefill fully —
+    # see test_prompt_logprobs_on_session_first_turn); what remains is the
+    # structural requirement: chunks must be >= 2 for the boundary re-feed
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=256,
+                          num_host_blocks=256, kv_dtype=KVDtype.BF16),
+        prefetch=PrefetchConfig(enabled=False),
+        engine=EngineConfig(max_batch_size=4, max_seq_len=128,
+                            prefill_chunk=1),
+    )
+    eng = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+    with pytest.raises(ValueError, match="prefill_chunk"):
+        eng.add_request(prompt(), prompt_logprobs=True)
 
 
 def test_server_returns_prompt_logprobs():
@@ -319,3 +329,53 @@ def test_streamed_prompt_logprobs_tokens_unchanged():
     eng2 = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
     scored = run_one(eng2, p, max_new_tokens=6, prompt_logprobs=True)
     assert plain.tokens == scored.tokens
+
+
+def test_prompt_logprobs_on_session_first_turn():
+    """r4: the FIRST turn of a session prefills its whole prompt, so
+    prompt_logprobs is available there (the old blanket session rejection
+    only belongs on restored turns — continue_session has no
+    prompt_logprobs parameter). Scores match a non-session request, and
+    the session continues normally afterwards."""
+    p = prompt(31, n=12)
+    plain = run_one(make_engine(), p, max_new_tokens=4, prompt_logprobs=True)
+    eng = make_engine()
+    rid = eng.add_request(p, max_new_tokens=4, prompt_logprobs=True,
+                          session=True)
+    out = {o.req_id: o for o in eng.run()}[rid]
+    assert out.session_id is not None
+    assert out.prompt_logprobs == plain.prompt_logprobs
+    assert out.tokens == plain.tokens
+    # the session keeps working: next turn continues from live KV
+    r2 = eng.continue_session(out.session_id, [5, 6, 7], max_new_tokens=3)
+    out2 = {o.req_id: o for o in eng.run()}[r2]
+    assert len(out2.tokens) == 3
+    assert out2.prompt_logprobs is None  # restored turns don't score
+
+
+def test_prompt_logprobs_on_streamed_session_first_turn():
+    """Session + over-capacity prompt: the first turn runs host-streamed
+    AND scores its prompt (both r4 lifts composed)."""
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=6,
+                          num_host_blocks=64, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(enabled=False),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=48,
+                            prefill_chunk=16),
+    )
+    eng = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+    p = prompt(33, n=50)  # > max_seq_len -> streamed
+    rid = eng.add_request(p, max_new_tokens=3, prompt_logprobs=True,
+                          session=True)
+    assert len(eng._stream_queue) == 1
+    out = {o.req_id: o for o in eng.run()}[rid]
+    pl = out.prompt_logprobs
+    assert pl is not None and len(pl) == len(p) and pl[0] is None
+    logits = forward_dense(PARAMS, CFG, jnp.asarray([p]))
+    lp = np.asarray(jax.nn.log_softmax(logits[0].astype(jnp.float32), -1))
+    for i in range(1, len(p)):
+        assert pl[i] == pytest.approx(float(lp[i - 1, p[i]]), abs=2e-2), i
+    # streamed session stays continuable
+    r2 = eng.continue_session(out.session_id, [9, 8], max_new_tokens=2)
+    out2 = {o.req_id: o for o in eng.run()}[r2]
+    assert len(out2.tokens) == 2

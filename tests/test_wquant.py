@@ -311,6 +311,30 @@ def test_int4_selective_and_forward():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_spec_ngram_greedy_identity_under_wq():
+    # greedy speculative == plain greedy holds with quantized weights
+    # (draft-free n-gram proposer; the verify program runs the W8A16 model)
+    ps = [p * 3 for p in _prompts(3, seed=5)]  # repetition gives ngram hits
+    plain = _run_all(Engine(CFG, _sys(), params=PARAMS, use_pallas=False,
+                            enable_lstm=False), ps)
+    spec = _run_all(Engine(CFG, _sys(), params=PARAMS, use_pallas=False,
+                           enable_lstm=False, spec_ngram=True), ps)
+    assert plain == spec
+
+
+def test_spec_draft_quantized_with_target():
+    # a draft-model spec engine under weight_dtype="int8" quantizes BOTH
+    # models and stays token-identical to plain greedy
+    draft_cfg = dataclasses.replace(tiny_test_config(), num_layers=1)
+    ps = _prompts(3, seed=6)
+    plain = _run_all(Engine(CFG, _sys(), params=PARAMS, use_pallas=False,
+                            enable_lstm=False), ps)
+    eng = Engine(CFG, _sys(), params=PARAMS, use_pallas=False,
+                 enable_lstm=False, draft_config=draft_cfg, spec_gamma=3)
+    assert is_quantized(eng.spec.params)
+    assert plain == _run_all(eng, ps)
+
+
 def test_engine_int4_serves_and_is_deterministic():
     ps = _prompts(4, seed=3)
     a = _run_all(Engine(CFG, _sys(wq="int4"), params=PARAMS, use_pallas=False,
