@@ -34,7 +34,8 @@ import numpy as np
 
 def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
                  max_seq_len, horizon, quantum, use_pallas, prefetch,
-                 lstm=None, block_size=32, weight_dtype="native"):
+                 lstm=None, block_size=32, weight_dtype="native",
+                 prefill_lanes=0):
     from cxl_speckv_tpu.config import (
         CacheConfig, EngineConfig, KVDtype, PrefetchConfig, SystemConfig)
     from cxl_speckv_tpu.engine.engine import Engine
@@ -47,7 +48,8 @@ def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
                                 train_online=prefetch),
         engine=EngineConfig(max_batch_size=batch, max_seq_len=max_seq_len,
                             prefill_chunk=128, decode_horizon=horizon,
-                            sched_quantum=quantum, weight_dtype=weight_dtype),
+                            sched_quantum=quantum, weight_dtype=weight_dtype,
+                            prefill_lanes=prefill_lanes),
     )
     # the LSTM predictor runs on the host CPU device (never costs a TPU
     # dispatch) and gates prefetch by continuation probability while
@@ -201,6 +203,9 @@ def main():
     # round_anatomy (r4): 25 ms of every decode round is PER-DISPATCH
     # overhead on this runtime — horizon is the amortization knob
     horizon = int(os.environ.get("SPECKV_BENCH_HORIZON", horizon))
+    # prefill dispatches cost the same ~25 ms constant; wider prefill
+    # programs amortize it across more queued prompts
+    prefill_lanes = int(os.environ.get("SPECKV_BENCH_PFLANES", "0"))
     # treatment arm config: product default (prefetch off) unless the
     # reference-parity arm is requested
     prefetch_on = bool(int(os.environ.get("SPECKV_BENCH_PREFETCH", "0")))
@@ -222,7 +227,8 @@ def main():
     total_demand = n_requests * blocks_per_seq
     geo = dict(hbm_blocks=hbm_blocks, host_blocks=host_blocks, batch=batch,
                max_seq_len=max_seq, horizon=horizon, quantum=quantum,
-               use_pallas=on_tpu, block_size=bs, weight_dtype=weight_dtype)
+               use_pallas=on_tpu, block_size=bs, weight_dtype=weight_dtype,
+               prefill_lanes=prefill_lanes)
     print(f"# geometry: hbm={hbm_blocks} blocks, live demand={total_demand} "
           f"({total_demand/hbm_blocks:.1f}x oversubscribed), "
           f"{n_requests} seqs x {prompt_len}+{gen} tok", file=sys.stderr)

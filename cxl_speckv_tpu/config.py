@@ -260,6 +260,18 @@ class EngineConfig:
     # the feature. Unpenalized requests never pay for it: the plane only
     # enters the compiled programs once a penalized request has been seen.
     penalty_rows: int = 16
+    # Lanes per prefill dispatch. 0 = max_batch_size (the decode width).
+    # Prefill lanes don't hold decode slots, so a wider prefill program can
+    # chunk MORE queued prompts per dispatch than decode serves — on
+    # remote-dispatch runtimes each dispatch costs ~25 ms (round_anatomy),
+    # so fewer prefill dispatches is a direct TTFT win. MEASURED TRADEOFF
+    # (NOTES_ROUND4): with ample HBM, prefill_lanes=2x batch cut prefill
+    # wall time 38%; under tight tiering the same setting REGRESSED the
+    # whole bench 38% — the wide wave's working set evicts the decode
+    # groups' residency (hit 0.96 -> 0.86). Use only when the HBM pool has
+    # headroom beyond ~2x the decode working set. Bounded at dispatch time
+    # by the working-set cap; must divide by dp under a mesh.
+    prefill_lanes: int = 0
     # Weight storage for the model's matmul weights. "int8" stores every
     # matmul weight (+ the embedding) as int8 with per-output-channel f32
     # scales (W8A16, `ops/wquant.py`): matmuls still run bf16 on the MXU,

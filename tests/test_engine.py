@@ -194,3 +194,33 @@ def test_runtime_prefetch_depth_knob():
     assert eng.prefetcher.depth == 6
     eng.set_prefetch_depth(100)
     assert eng.prefetcher.depth == eng.config.prefetch.max_depth
+
+
+def test_prefill_lanes_widens_dispatch_token_identical():
+    """r4: prefill_lanes > max_batch_size chunks more queued prompts per
+    prefill dispatch (fewer dispatches — each costs ~25 ms on remote
+    runtimes, round_anatomy) without changing a single token."""
+    def build(pfl):
+        sc = SystemConfig(
+            cache=CacheConfig(block_size=8, num_hbm_blocks=64,
+                              num_host_blocks=128, kv_dtype=KVDtype.INT8),
+            prefetch=PrefetchConfig(enabled=False),
+            engine=EngineConfig(max_batch_size=2, max_seq_len=96,
+                                prefill_chunk=32, decode_horizon=2,
+                                prefill_lanes=pfl),
+        )
+        return Engine(CFG, sc, params=PARAMS, use_pallas=False,
+                      enable_lstm=False)
+
+    ps = prompts(8, rng_seed=3)
+
+    def run(eng):
+        ids = [eng.add_request(p, max_new_tokens=6) for p in ps]
+        outs = {o.req_id: o for o in eng.run()}
+        return ([outs[i].tokens for i in ids],
+                eng.get_statistics()["engine"]["prefill_dispatches"])
+
+    narrow_toks, narrow_n = run(build(0))
+    wide_toks, wide_n = run(build(8))
+    assert narrow_toks == wide_toks
+    assert wide_n < narrow_n, (wide_n, narrow_n)
