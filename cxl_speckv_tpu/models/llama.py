@@ -1427,7 +1427,19 @@ def stream_step_batched(
     # consolidated append: one RMW fetch + one scatter for ALL lanes.
     # Lanes own disjoint slots; only dead/padded lanes share the guard
     # slot, whose contents are don't-care (their inserts drop).
-    B = packed.shape[0]
+    stores = _consolidated_append(payloads, stores, stores_read, store_ops,
+                                  kv_dtype, L)
+    stacked = tuple(jnp.stack([o[i] for o in outs])
+                    for i in range(len(outs[0])))
+    return (stacked[0], *stores, *stacked[1:])
+
+
+def _consolidated_append(payloads, stores, stores_read, store_ops, kv_dtype,
+                         L: int):
+    """One RMW fetch + one scatter inserting EVERY lane's fresh chunk KV
+    (2 host ops total, not 2 per lane). payloads[b] = (touched [nblk],
+    chunks (kq, ks, vq, vs) each [L, T, ...], offs_in, valid)."""
+    B = len(payloads)
     nblk = payloads[0][0].shape[0]
     touched_all = jnp.concatenate([p[0] for p in payloads])      # [B*nblk]
     chunks = tuple(jnp.stack([p[1][i] for p in payloads])
@@ -1441,10 +1453,7 @@ def stream_step_batched(
                                      nblk=nblk, bs=stores[0].shape[2], T=T))
     slabs = rmw(fetched, chunks, offs, valids)
     slabs = tuple(a.reshape(B * nblk, *a.shape[2:]) for a in slabs)
-    stores = store_ops.stash_blocks(stores, slabs, touched_all, L)
-    stacked = tuple(jnp.stack([o[i] for o in outs])
-                    for i in range(len(outs[0])))
-    return (stacked[0], *stores, *stacked[1:])
+    return store_ops.stash_blocks(stores, slabs, touched_all, L)
 
 
 def _solve_chunk_len(rest: int, bs: int) -> int:
@@ -1453,6 +1462,180 @@ def _solve_chunk_len(rest: int, bs: int) -> int:
         if t + t // bs + 1 == rest:
             return t
     raise ValueError(f"no chunk length solves rest={rest} bs={bs}")
+
+
+def stream_decode_nblk(horizon: int, bs: int) -> int:
+    """Touched-block count for a fused streamed-decode span: `horizon`
+    tokens starting at any in-block offset (worst case offset bs-1)."""
+    return (horizon + bs - 2) // bs + 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "max_blocks", "wave", "horizon",
+                     "rng_seed", "store_ops", "logprobs_k", "ctx_waves"),
+    donate_argnames=("k_store", "v_store", "ks_store", "vs_store"),
+)
+def stream_decode_multi_batched(
+    params: Params,
+    config: LlamaConfig,
+    kv_dtype: KVDtype,
+    packed: jax.Array,   # int32 [B, 4 + table_width + 1]: col 0 = start,
+                         # 1 = valid steps (appends masked past it),
+                         # 2 = sampling metadata, 3 = rng counter,
+                         # 4:4+tw = host-slot row, last = seed token
+    k_store: jax.Array,
+    v_store: jax.Array,
+    ks_store: jax.Array,
+    vs_store: jax.Array,
+    *,
+    max_blocks: int,
+    wave: int,
+    horizon: int,        # fused decode steps per dispatch
+    rng_seed: int = 0,
+    store_ops=None,
+    logprobs_k: int = 0,
+    ctx_waves: int | None = None,  # static context-wave bound; must cover
+                                   # (start + horizon) tokens of table
+):
+    """`horizon` streamed-decode steps for B host-resident lanes in ONE
+    dispatch — the streamed analog of `decode_multi` (r4).
+
+    Why this exists: a streamed decode step's host gathers (the whole
+    context, one fat op) and the dispatch constant (~25 ms measured,
+    scripts/round_anatomy.py) are both PER-DISPATCH costs, while the
+    context slab itself is LOOP-INVARIANT across consecutive decode steps.
+    So: gather each lane's context into a device slab ONCE, scan `horizon`
+    steps against it — each step writes its freshly quantized KV into the
+    slab at its position, making step j+1's context attention read exactly
+    the bytes a separate dispatch would have re-fetched (the math is
+    FP-IDENTICAL to `horizon` sequential `stream_step_batched` T=1
+    dispatches: same wave order, same quantized values, same merges) —
+    and consolidate ALL lanes' `horizon`-token appends into one RMW at
+    the end. Host ops per dispatch: B gathers + 2, amortized over
+    B*horizon tokens.
+
+    Requires uniform attention windows (the staged-gather precondition).
+    Returns (tokens [B, horizon], stores...
+    [, chosen_lp [B, horizon], top_ids [B, horizon, k], top_lps]).
+    """
+    from cxl_speckv_tpu.engine.sampling import decode_sampling, sample_tokens
+    from cxl_speckv_tpu.ops.quant import (
+        dequantize_kv, encode_for_pool, quantize_kv)
+    from cxl_speckv_tpu.ops.stream_attention import (
+        merge_chunk_causal, stream_context_attention_slab)
+
+    c = config
+    stores = stores_read = (k_store, v_store, ks_store, vs_store)
+    L, bs = c.num_layers, k_store.shape[2]
+    ops = store_ops
+    wins = c.layer_windows()
+    if len(set(wins)) > 1:
+        raise ValueError("fused streamed decode needs uniform attention "
+                         "windows (same precondition as staged gathers)")
+    window = wins[0] if wins else None
+    n_waves = -(-max_blocks // wave)
+    table_width_ctx = n_waves * wave
+    nblk = stream_decode_nblk(horizon, bs)
+    rope_fs = rope_frequency_pair(c)
+    Wb = min(ctx_waves if ctx_waves is not None else n_waves, n_waves) * wave
+
+    B = packed.shape[0]
+    outs, payloads = [], []
+    for b in range(B):
+        lane = packed[b]
+        start, valid = lane[0], lane[1]
+        temps, top_ps = decode_sampling(lane[2][None])
+        ctr = lane[3].astype(jnp.uint32)
+        host_row = lane[4:4 + table_width_ctx + nblk]
+        tok0 = lane[-1]
+
+        # ONE gather stages every layer's context rows (host-op cost is
+        # per-op, bytes nearly free — scripts/hostop_probe.py case C);
+        # issued outside any loop carry, so lanes' gathers overlap (case D)
+        slots_ctx = host_row[:Wb]
+        rows = (slots_ctx[None, :] * L
+                + jnp.arange(L, dtype=slots_ctx.dtype)[:, None])
+        slabs = ops.gather_rows(stores_read, rows.reshape(-1))
+        slabs = tuple(a.reshape(L, Wb, *a.shape[1:]) for a in slabs)
+
+        def step(carry, j, *, start=start, temps=temps, top_ps=top_ps,
+                 ctr=ctr):
+            tok, slabs = carry
+            pos = start + j
+            x = _embed(params, c, tok[None])                  # [1, H]
+
+            def layer(x, xs):
+                lp, sk, sv, sks, svs = xs
+                h = _norm(x, lp["attn_norm"], c)
+                q, k, v = _qkv(h, lp, c)
+                q = q.reshape(1, c.num_q_heads, c.head_dim)
+                k = k.reshape(1, c.num_kv_heads, c.head_dim)
+                v = v.reshape(1, c.num_kv_heads, c.head_dim)
+                inv_freq = pick_rope(rope_fs, window)
+                q = apply_rope(q, pos[None], inv_freq)
+                k = apply_rope(k, pos[None], inv_freq)
+                kq, ksc = quantize_kv(k, kv_dtype)
+                vq, vsc = quantize_kv(v, kv_dtype)
+                k_use = dequantize_kv(kq, ksc, kv_dtype)
+                v_use = dequantize_kv(vq, vsc, kv_dtype)
+                carry_sc = stream_context_attention_slab(
+                    q, (sk, sv, sks, svs), pos, kv_dtype, block_size=bs,
+                    wave=wave, window=window, sm_scale=c.sm_scale,
+                    softcap=c.attn_softcap)
+                o = merge_chunk_causal(q, k_use, v_use, carry_sc,
+                                       window=window, sm_scale=c.sm_scale,
+                                       softcap=c.attn_softcap,
+                                       sinks=lp.get("sinks"))
+                x = _block_residuals(x, o.reshape(1, -1), lp, c)
+                # write this token's store-encoded KV into the slab at its
+                # position: step j+1 then reads exactly the bytes a fresh
+                # dispatch would have gathered ("drop" covers overshoot
+                # steps past the lane's allocated blocks)
+                brow, offs = pos // bs, pos % bs
+                sk = sk.at[brow, :, offs, :].set(
+                    encode_for_pool(kq, kv_dtype)[0].astype(sk.dtype),
+                    mode="drop")
+                sv = sv.at[brow, :, offs, :].set(
+                    encode_for_pool(vq, kv_dtype)[0].astype(sv.dtype),
+                    mode="drop")
+                sks = sks.at[brow, :, offs].set(ksc[0, :, 0], mode="drop")
+                svs = svs.at[brow, :, offs].set(vsc[0, :, 0], mode="drop")
+                return x, ((sk, sv, sks, svs),
+                           (kq[0], vq[0], ksc[0, :, 0], vsc[0, :, 0]))
+
+            x, (new_slabs, kv_rows) = jax.lax.scan(
+                layer, x, (params["layers"], *slabs))
+            x = _norm(x, params["final_norm"], c)
+            logits = _final_logits(x, params, c)
+            key = (jnp.array([rng_seed, 0], jnp.uint32)
+                   + jnp.array([1, 0], jnp.uint32) * j.astype(jnp.uint32)
+                   + jnp.array([0, 1], jnp.uint32) * ctr)
+            nxt = sample_tokens(logits, temps, key,
+                                top_ps=top_ps)[0].astype(jnp.int32)
+            ys = (nxt, kv_rows)
+            if logprobs_k:
+                ys += (_token_logprobs(logits[0], nxt, logprobs_k),)
+            return (nxt, new_slabs), ys
+
+        (_, _), ys = jax.lax.scan(step, (tok0, slabs),
+                                  jnp.arange(horizon, dtype=jnp.int32))
+        toks = ys[0]                                          # [h]
+        kv_rows = ys[1]       # tuple of [h, L, ...] (kq, vq, ks, vs)
+        chunks = tuple(a.swapaxes(0, 1) for a in kv_rows)     # [L, h, ...]
+        b0 = start // bs
+        touched = jax.lax.dynamic_slice(host_row, (b0,), (nblk,))
+        payloads.append((touched, chunks, start % bs, valid))
+        row = (toks,)
+        if logprobs_k:
+            row += tuple(ys[2])
+        outs.append(row)
+
+    stores = _consolidated_append(payloads, stores, stores_read, ops,
+                                  kv_dtype, L)
+    stacked = tuple(jnp.stack([o[i] for o in outs])
+                    for i in range(len(outs[0])))
+    return (stacked[0], *stores, *stacked[1:])
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--prompt", type=int, default=2048)
     ap.add_argument("--gen", type=int, default=32)
     ap.add_argument("--lanes", type=int, default=2)
+    ap.add_argument("--horizon", type=int, default=1,
+                    help="fused decode steps per dispatch (r4: the streamed "
+                         "path stages context once and scans horizon steps)")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +67,8 @@ def main():
                               kv_dtype=KVDtype.INT8),
             prefetch=PrefetchConfig(enabled=False),
             engine=EngineConfig(max_batch_size=args.lanes, max_seq_len=max_seq,
-                                prefill_chunk=128, stream_wave=128),
+                                prefill_chunk=128, stream_wave=128,
+                                decode_horizon=args.horizon),
         )
         return Engine(config, sc, params=params, use_pallas=on_tpu,
                       enable_lstm=False, seed=0)

@@ -207,3 +207,87 @@ def test_128k_shaped_config():
     eng_a.add_request(prompt, max_new_tokens=8)
     outs_a = eng_a.run()
     assert outs[0].tokens == outs_a[0].tokens
+
+
+def _horizon_engine(h, stage_mb=256, logprobs_ok=True):
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=6,
+                          num_host_blocks=64, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(enabled=False),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=64,
+                            prefill_chunk=16, decode_horizon=h,
+                            stream_stage_mb=stage_mb),
+    )
+    return Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+
+
+def test_stream_fused_decode_matches_per_token():
+    """r4 fused streamed decode (stream_decode_multi_batched): horizon
+    steps against a once-staged context slab whose in-graph writes
+    reproduce exactly the bytes separate dispatches would re-fetch —
+    greedy tokens must be IDENTICAL to the per-token path, including
+    across block boundaries and for multiple concurrent lanes."""
+    ps = [prompt_of(90, seed=3), prompt_of(75, seed=4)]
+
+    def run(h, gen=21):
+        eng = _horizon_engine(h)
+        ids = [eng.add_request(p, max_new_tokens=gen) for p in ps]
+        assert len(eng._stream_queue) == 2
+        outs = {o.req_id: o for o in eng.run()}
+        return [outs[i].tokens for i in ids]
+
+    base = run(1)       # per-token dispatches
+    # 21 % 4 != 0: the final round overshoots, exercising valid masking
+    assert run(4) == base
+
+
+def test_stream_fused_decode_logprobs_and_stops():
+    p = prompt_of(90, seed=5)
+    base_eng = _horizon_engine(1)
+    rid = base_eng.add_request(p, max_new_tokens=12, logprobs=2)
+    base = {o.req_id: o for o in base_eng.run()}[rid]
+    eng = _horizon_engine(4)
+    rid = eng.add_request(p, max_new_tokens=12, logprobs=2)
+    out = {o.req_id: o for o in eng.run()}[rid]
+    assert out.tokens == base.tokens
+    assert len(out.logprobs) == len(out.tokens)
+    for a, b in zip(out.logprobs, base.logprobs):
+        assert a["top_ids"] == b["top_ids"]
+        assert abs(a["logprob"] - b["logprob"]) < 1e-5
+    # stop token mid-horizon: emission truncates at the stop
+    stop_tok = base.tokens[5]
+    eng = _horizon_engine(4)
+    rid = eng.add_request(p, max_new_tokens=12, stop_token_ids=[stop_tok])
+    out = {o.req_id: o for o in eng.run()}[rid]
+    assert out.finish_reason == "stop"
+    assert out.tokens == base.tokens[:6]
+
+
+def test_stream_fused_decode_budget_fallback():
+    """When the all-layers slab exceeds the fused budget the dispatch
+    falls back to the per-token path — same tokens either way."""
+    base = None
+    for stage in (256, 0):
+        eng = _horizon_engine(4, stage_mb=stage)
+        rid = eng.add_request(prompt_of(90, seed=6), max_new_tokens=10)
+        toks = {o.req_id: o for o in eng.run()}[rid].tokens
+        if base is None:
+            base = toks
+        else:
+            assert toks == base
+
+
+def test_stream_fused_session_continues():
+    """A streamed session served with fused decode keeps the session
+    identity invariant: continuation matches a fresh full-history run."""
+    p = prompt_of(90, seed=7)
+    eng = _horizon_engine(4)
+    rid = eng.add_request(p, max_new_tokens=6, session=True)
+    out = {o.req_id: o for o in eng.run()}[rid]
+    sid = out.session_id
+    r2 = eng.continue_session(sid, [11, 12, 13], max_new_tokens=6)
+    out2 = {o.req_id: o for o in eng.run()}[r2]
+    fresh = _horizon_engine(4)
+    rf = fresh.add_request(p + out.tokens + [11, 12, 13], max_new_tokens=6)
+    want = {o.req_id: o for o in fresh.run()}[rf].tokens
+    assert out2.tokens == want
