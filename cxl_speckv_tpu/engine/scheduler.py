@@ -186,6 +186,17 @@ class Scheduler:
             r.last_scheduled_step = self._step
         return batch
 
+    def held_batch_slots(self) -> list[int]:
+        """Seq slots of the decode group currently holding the batch slot
+        (sticky under sched_quantum). These are the blocks whose HBM
+        residency is on the decode critical path RIGHT NOW — the engine's
+        prefill tick treats them as a protected residency class (the
+        reference's hot/pinned eviction classes,
+        `cxl_memory_manager.cpp:245-293`)."""
+        return [self.running[rid].seq_slot for rid in self._batch_ids
+                if rid in self.running
+                and self.running[rid].state == RequestState.RUNNING]
+
     def upcoming_groups(self, n_groups: int, exclude: set[int]) -> list[list[int]]:
         """Future schedule (seq slots), nearest group first, for the
         prefetcher. `exclude` holds req_ids already in this step's batch."""

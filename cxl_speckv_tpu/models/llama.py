@@ -197,6 +197,88 @@ def param_count(params: Params) -> int:
     return sum(x.size for x in jax.tree.leaves(params))
 
 
+def init_params_quantized(config: LlamaConfig, key: jax.Array,
+                          bits: int = 8) -> Params:
+    """Random-init directly into W8A16/W4A16 `QuantizedTensor` storage,
+    never materializing the full-precision tree.
+
+    Why this exists: the north-star model scale (BASELINE.md, Llama-3-8B)
+    has ~16 GB of bf16 params — `init_params` + `quantize_weights` would
+    need full-precision AND quantized copies live at once, which cannot fit
+    a 16 GB v5e HBM. Here the layer stack is built by `jax.lax.map` over
+    layer indices: each iteration draws ONE layer's weights in f32
+    (~0.9 GB peak at 8B), quantizes them in-register, and writes only the
+    int8 (+ per-out-channel f32 scale) slices into the stacked output
+    buffers — peak HBM = quantized tree + one layer of f32 intermediates.
+    `QuantizedTensor` is a pytree node with a NEGATIVE scale axis, so
+    scan-stacking its (q, s) children yields exactly the stacked-layer
+    quantized layout `quantize_weights` produces.
+
+    Same tree layout as `init_params` (different random draws — both are
+    random-weight inits). Dense + attn_bias + qk_norm configs only; MoE
+    trees stay on the `init_params` -> `quantize_weights` path (expert
+    leaves are the model's whole size — quantize them at conversion time).
+    """
+    from cxl_speckv_tpu.ops.wquant import quantize_tensor
+
+    c = config
+    if c.num_experts > 0:
+        raise NotImplementedError(
+            "init_params_quantized covers dense configs; quantize MoE "
+            "params at conversion time (ops/wquant.quantize_weights)")
+    dtype = jnp.dtype(c.dtype)
+    L, H, I, V = c.num_layers, c.hidden_size, c.intermediate_size, c.vocab_size
+    qd, kvd = c.num_q_heads * c.head_dim, c.num_kv_heads * c.head_dim
+
+    @functools.partial(jax.jit, static_argnames=("shape", "axis", "b"))
+    def _qw(k, shape, fan_in, axis=-2, b=bits):
+        wf = jax.random.normal(k, shape, jnp.float32) * fan_in**-0.5
+        return quantize_tensor(wf, axis=axis, bits=b)
+
+    @jax.jit
+    def _layers(key):
+        def one(i):
+            lk = jax.random.fold_in(key, i)
+            ks = iter(jax.random.split(lk, 8))
+            def w(shape, fan_in):
+                wf = (jax.random.normal(next(ks), shape, jnp.float32)
+                      * fan_in**-0.5)
+                return quantize_tensor(wf, axis=-2, bits=bits)
+            out = {
+                "q": w((H, qd), H), "k": w((H, kvd), H), "v": w((H, kvd), H),
+                "o": w((qd, H), qd), "gate": w((H, I), H), "up": w((H, I), H),
+                "down": w((I, H), I),
+            }
+            if c.attn_bias:
+                bk = iter(jax.random.split(jax.random.fold_in(lk, 1), 3))
+                for name, width in (("q_bias", qd), ("k_bias", kvd),
+                                    ("v_bias", kvd)):
+                    out[name] = (jax.random.normal(next(bk), (width,),
+                                 jnp.float32) * 0.02).astype(dtype)
+            if c.qk_norm:
+                nk = iter(jax.random.split(jax.random.fold_in(lk, 2), 2))
+                for name in ("q_norm", "k_norm"):
+                    out[name] = (1.0 + jax.random.normal(
+                        next(nk), (c.head_dim,), jnp.float32) * 0.1
+                    ).astype(dtype)
+            return out
+        stacked = jax.lax.map(one, jnp.arange(L))
+        stacked["attn_norm"] = jnp.ones((L, H), dtype)
+        stacked["mlp_norm"] = jnp.ones((L, H), dtype)
+        return stacked
+
+    params: Params = {
+        # embedding: per-ROW int8 (serves gather + tied head; stays int8
+        # even at bits=4 — see quantize_weights)
+        "embed": _qw(jax.random.fold_in(key, 101), (V, H), H, axis=-1, b=8),
+        "layers": _layers(key),
+        "final_norm": jnp.ones((H,), dtype),
+    }
+    if not c.tie_embeddings:
+        params["lm_head"] = _qw(jax.random.fold_in(key, 102), (H, V), H)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # building blocks
 # ---------------------------------------------------------------------------
@@ -1512,8 +1594,18 @@ def stream_decode_multi_batched(
     FP-IDENTICAL to `horizon` sequential `stream_step_batched` T=1
     dispatches: same wave order, same quantized values, same merges) —
     and consolidate ALL lanes' `horizon`-token appends into one RMW at
-    the end. Host ops per dispatch: B gathers + 2, amortized over
-    B*horizon tokens.
+    the end. Host ops per dispatch: 1 consolidated gather + 2, amortized
+    over B*horizon tokens.
+
+    GREEDY lanes are token-identical to the per-step path. Sampled lanes
+    (temperature > 0) draw from the same exact distribution but along a
+    DIFFERENT key sequence: this path derives per-step keys as
+    (rng_seed + j, ctr) from one counter per lane per dispatch, while the
+    per-step path draws a fresh engine counter per dispatch — the
+    interleaving of the engine's global counter across lanes cannot be
+    reproduced inside a fused program. Keys remain unique per
+    (lane, step), so sampling stays valid; only greedy is pinned
+    token-identical by tests.
 
     Requires uniform attention windows (the staged-gather precondition).
     Returns (tokens [B, horizon], stores...
@@ -1541,6 +1633,23 @@ def stream_decode_multi_batched(
     Wb = min(ctx_waves if ctx_waves is not None else n_waves, n_waves) * wave
 
     B = packed.shape[0]
+    expect = 4 + table_width_ctx + nblk + 1
+    if packed.shape[1] != expect:
+        raise ValueError(
+            f"stream_decode_multi_batched packed width {packed.shape[1]} != "
+            f"4 + {table_width_ctx} (table) + {nblk} (touched) + 1 (seed) = "
+            f"{expect} — caller packed the per-token layout?")
+
+    # ONE gather stages every lane x layer context row (host-op cost is
+    # per-op, bytes nearly free — scripts/hostop_probe.py case C): B*L*Wb
+    # rows in a single op, so padded dead lanes (pow2 compile bucketing)
+    # add guard-row bytes but ZERO host ops
+    slots_ctx = packed[:, 4:4 + Wb]                              # [B, Wb]
+    rows = (slots_ctx[:, None, :] * L
+            + jnp.arange(L, dtype=slots_ctx.dtype)[None, :, None])
+    all_slabs = ops.gather_rows(stores_read, rows.reshape(-1))
+    all_slabs = tuple(a.reshape(B, L, Wb, *a.shape[1:]) for a in all_slabs)
+
     outs, payloads = [], []
     for b in range(B):
         lane = packed[b]
@@ -1549,15 +1658,7 @@ def stream_decode_multi_batched(
         ctr = lane[3].astype(jnp.uint32)
         host_row = lane[4:4 + table_width_ctx + nblk]
         tok0 = lane[-1]
-
-        # ONE gather stages every layer's context rows (host-op cost is
-        # per-op, bytes nearly free — scripts/hostop_probe.py case C);
-        # issued outside any loop carry, so lanes' gathers overlap (case D)
-        slots_ctx = host_row[:Wb]
-        rows = (slots_ctx[None, :] * L
-                + jnp.arange(L, dtype=slots_ctx.dtype)[:, None])
-        slabs = ops.gather_rows(stores_read, rows.reshape(-1))
-        slabs = tuple(a.reshape(L, Wb, *a.shape[1:]) for a in slabs)
+        slabs = tuple(a[b] for a in all_slabs)
 
         def step(carry, j, *, start=start, temps=temps, top_ps=top_ps,
                  ctr=ctr):

@@ -147,6 +147,8 @@ def quantize_weights(params, bits: int = 8):
     measurable bandwidth (the lm_head matmul is 1 of 7L+1 matmuls).
     Idempotent on already-quantized leaves.
     """
+    assert not (_LAYER_MM_KEYS & _SKIP_LAYER_KEYS), (
+        "a layer key cannot be both quantized and skipped")
     out = dict(params)
     if not isinstance(params.get("embed"), QuantizedTensor):
         out["embed"] = quantize_tensor(params["embed"], axis=-1,
@@ -155,6 +157,16 @@ def quantize_weights(params, bits: int = 8):
     for k, w in layers.items():
         if k in _LAYER_MM_KEYS and not isinstance(w, QuantizedTensor):
             layers[k] = quantize_tensor(w, axis=-2, bits=bits)
+        elif (k not in _SKIP_LAYER_KEYS and w.ndim >= 3
+              and not k.endswith(("_norm", "_bias"))
+              and not isinstance(w, QuantizedTensor)):
+            # a >=3-D layer leaf that is neither a known matmul weight nor
+            # a known-skipped key would silently stream full-precision —
+            # surface the drift instead (new layer keys must be classified
+            # into _LAYER_MM_KEYS or _SKIP_LAYER_KEYS)
+            raise ValueError(
+                f"unclassified layer weight {k!r} (shape {w.shape}): add it "
+                "to _LAYER_MM_KEYS or _SKIP_LAYER_KEYS")
     out["layers"] = layers
     if "lm_head" in params and not isinstance(params["lm_head"],
                                               QuantizedTensor):

@@ -111,6 +111,15 @@ class TieredKVCache:
         # groups): eviction takes them only as a last resort, so proactive
         # writebacks don't fight the prefetcher over the same blocks
         self.protected: set[int] = set()
+        # r5 residency classes (VERDICT r4 #3): blocks of the HELD decode
+        # group — the sequences decoding RIGHT NOW. Evicting one puts a
+        # demand fetch on the decode critical path at the very next round,
+        # so eviction takes these strictly after every other candidate
+        # (including `protected`), and the engine's prefill tick sizes its
+        # waves to the HBM this class does not occupy. Analog of the
+        # reference's hot/pinned eviction classes
+        # (`cxl_memory_manager.cpp:245-293`).
+        self.decode_hot: set[int] = set()
         # device backend only: when True, maintain() leaves queued migrations
         # for the engine's next fused round dispatch instead of issuing a
         # standalone migrate program (set by engines using fused rounds)
@@ -557,10 +566,14 @@ class TieredKVCache:
         their writeback on the schedule's critical path). Protected blocks
         (current + upcoming groups) go only as a last resort."""
         cands = self.directory.evict_candidates(
-            n + len(self.protected) + self.config.num_hbm_blocks // 2)
-        unprot = [b for b in cands if b not in self.protected]
+            n + len(self.protected) + len(self.decode_hot)
+            + self.config.num_hbm_blocks // 2)
+        hot = self.decode_hot
+        cool = [b for b in cands if b not in hot]
+        unprot = [b for b in cool if b not in self.protected]
         unprot.sort(key=lambda b: -self.directory.entry(b).last_access)
-        ordered = unprot + [b for b in cands if b in self.protected]
+        ordered = (unprot + [b for b in cool if b in self.protected]
+                   + [b for b in cands if b in hot])
         return ordered[:n]
 
     def _demote(self, bids: list[int]) -> None:

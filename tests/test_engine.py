@@ -224,3 +224,49 @@ def test_prefill_lanes_widens_dispatch_token_identical():
     wide_toks, wide_n = run(build(8))
     assert narrow_toks == wide_toks
     assert wide_n < narrow_n, (wide_n, narrow_n)
+
+
+def test_prefill_wave_cannot_evict_held_decode_residency():
+    """r5 residency classes (VERDICT r4 #3): a wide prefill wave sizes
+    itself into the HBM the held decode group does NOT occupy — the
+    decoding sequences' blocks stay resident across prefill waves instead
+    of being evicted and demand-fetched back at the next decode round
+    (reference hot/pinned eviction classes,
+    `cxl_memory_manager.cpp:245-293`)."""
+    from cxl_speckv_tpu.core.directory import BlockState
+
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=20,
+                          num_host_blocks=128, kv_dtype=KVDtype.INT8),
+        prefetch=PrefetchConfig(enabled=False),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=96,
+                            prefill_chunk=32, decode_horizon=1,
+                            sched_quantum=4, prefill_lanes=8),
+    )
+    eng = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+    rng = np.random.RandomState(7)
+    first = [rng.randint(1, CFG.vocab_size, 32).tolist() for _ in range(2)]
+    for p in first:
+        eng.add_request(p, max_new_tokens=24)
+    # prefill the first pair and start decoding (they become the held group)
+    for _ in range(3):
+        eng.step()
+    held = eng.scheduler.held_batch_slots()
+    assert held, "decode group should be running"
+    # a wide wave of new prompts arrives; without the residency class its
+    # combined working set (8 lanes x 4 blocks = 32 > 18 usable slots)
+    # evicts the held group's blocks
+    for _ in range(8):
+        eng.add_request(rng.randint(1, CFG.vocab_size, 32).tolist(),
+                        max_new_tokens=4)
+    for _ in range(2):
+        eng.step()
+        for s in held:
+            for bid in eng.kvc.pool.seq(s).live_blocks:
+                st = eng.kvc.directory.entry(bid).state
+                assert st != BlockState.HOST, (
+                    f"prefill wave evicted held decode block {bid}")
+    # liveness: everything still completes
+    outs = eng.run()
+    assert len(outs) == 10
+    assert all(o.finish_reason in ("length", "eos") for o in outs)

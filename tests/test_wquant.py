@@ -361,3 +361,45 @@ def test_checkpoint_roundtrip_quantized(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         qparams, back)
+
+
+# ---------------------------------------------------------------------------
+# memory-safe quantized init (the 8B-scale path, r5)
+# ---------------------------------------------------------------------------
+
+def test_init_params_quantized_structure_and_serving():
+    """`init_params_quantized` (models/llama.py): per-layer lax.map init
+    straight into QuantizedTensor storage — the tree structure matches
+    quantize_weights(init_params(...)) exactly, and an engine serves from
+    it without re-quantizing (the full-precision tree never exists; this is
+    how the 8B bench fits 16 GB of bf16-equivalent weights into v5e HBM)."""
+    from cxl_speckv_tpu.models.llama import init_params_quantized
+
+    cfg = dataclasses.replace(tiny_test_config(), attn_bias=True,
+                              qk_norm=True, tie_embeddings=False)
+    p = init_params_quantized(cfg, jax.random.PRNGKey(0))
+    assert is_quantized(p)
+    ref = jax.jit(lambda q: quantize_weights(q))(
+        init_params(cfg, jax.random.PRNGKey(0)))
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(ref))
+    # scale axes line up with the stacked-layer layout
+    assert p["layers"]["gate"].axis == -2
+    assert p["layers"]["gate"].s.shape == ref["layers"]["gate"].s.shape
+    assert p["embed"].axis == -1
+    # engine serves deterministically from the pre-quantized tree
+    eng = Engine(cfg, _sys(), params=p, use_pallas=False, enable_lstm=False)
+    assert eng.params is p or is_quantized(eng.params)
+    outs = _run_all(eng, _prompts(3, seed=9))
+    assert all(len(t) == 8 for t in outs)
+    # MoE trees stay on the conversion-time path
+    moe = dataclasses.replace(tiny_test_config(), num_experts=2)
+    with pytest.raises(NotImplementedError):
+        init_params_quantized(moe, jax.random.PRNGKey(0))
+
+
+def test_quantize_weights_rejects_unclassified_layer_key():
+    p = init_params(CFG, jax.random.PRNGKey(0))
+    p["layers"]["mystery"] = jnp.zeros((CFG.num_layers, 8, 8))
+    with pytest.raises(ValueError, match="unclassified"):
+        quantize_weights(p)
