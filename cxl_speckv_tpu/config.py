@@ -215,8 +215,13 @@ class EngineConfig:
     # overshoot waste at finish boundaries, and rotation cadence
     # (sched_quantum counts ROUNDS, so a group holds its slot for
     # quantum x horizon tokens). Local runtimes have a far smaller
-    # dispatch constant and want a shorter horizon.
-    decode_horizon: int = 1
+    # dispatch constant and want a shorter horizon — which is why the
+    # DEFAULT is 0 = AUTO (r5): the engine measures the runtime's dispatch
+    # constant once per process and derives the horizon from it and the
+    # model's weight-stream size (utils/dispatch.py; the resolved value is
+    # written back into this field at engine build). Remote v5e derives
+    # 8-32 by model size; CPU/local backends derive 1.
+    decode_horizon: int = 0
     # scheduling quantum: a decode group keeps its slot for this many engine
     # steps before the round-robin rotates — batches stay stable long enough
     # for prefetched groups to amortize their migration (1 = rotate every

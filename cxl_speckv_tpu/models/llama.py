@@ -1186,6 +1186,13 @@ def _stream_lane(
     defer_append: bool = False,  # return the append payload instead of
                          # stashing (the batched wrapper consolidates all
                          # lanes' RMW into ONE fetch + ONE scatter)
+    pen_info=None,       # [5] int32 — this lane's penalty metadata row
+                         # (engine/sampling.py layout); None = no penalties
+    pen_counts=None,     # [rows + 1, V] int32 token-count plane (threaded
+                         # through lanes by the batched wrapper)
+    mark_prompt: bool = False,  # static: prefill chunks set the prompt-
+                         # presence bit for their fed tokens (decode steps
+                         # feed an already-counted output token)
 ):
     """One host-streamed lane: a prefill chunk (T = chunk) or one decode
     token (T = 1). Shared body of `stream_step` (single dispatch per lane)
@@ -1372,7 +1379,27 @@ def _stream_lane(
     x_last = jax.lax.dynamic_slice_in_dim(x, last, 1, axis=0)
     x_last = _norm(x_last, params["final_norm"], c)
     logits = _final_logits(x_last, params, c)
-    tok = sample_tokens(logits, temps, key, top_ps=top_ps)[0].astype(jnp.int32)
+    if pen_counts is not None:
+        # streamed penalties (r5): the same in-graph count plane as the
+        # pooled programs — reset on the request's first chunk, prompt
+        # marking at prefill, penalize + count at sampling. Lanes own
+        # disjoint rows, so threading the plane through unrolled lanes
+        # commutes.
+        from cxl_speckv_tpu.engine.sampling import (
+            pen_mark_prompt, pen_reset_rows, penalize_and_count)
+
+        pi = pen_info[None]                                   # [1, 5]
+        pen_counts = pen_reset_rows(pi, pen_counts)
+        if mark_prompt:
+            pen_counts = pen_mark_prompt(pi, pen_counts, token_ids[None],
+                                         valid[None])
+        tok, pen_counts = penalize_and_count(
+            logits, pi, pen_counts,
+            lambda lg: sample_tokens(lg, temps, key, top_ps=top_ps))
+        tok = tok[0].astype(jnp.int32)
+    else:
+        tok = sample_tokens(logits, temps, key,
+                            top_ps=top_ps)[0].astype(jnp.int32)
     lp = (_token_logprobs(logits[0], tok, logprobs_k)
           if logprobs_k else None)
     ps = None
@@ -1384,7 +1411,7 @@ def _stream_lane(
         sc = jnp.take_along_axis(
             lpf, targets[:, None].astype(jnp.int32), axis=-1)[:, 0]
         ps = jnp.where(jnp.arange(T) < valid - 1, sc, 0.0)
-    return tok, stores, lp, ps, append_payload
+    return tok, stores, lp, ps, append_payload, pen_counts
 
 
 @functools.partial(
@@ -1428,7 +1455,7 @@ def stream_step(
     [, prompt scores]). The next token is sampled in-graph from the last
     valid position.
     """
-    tok, stores, lp, ps, _ = _stream_lane(
+    tok, stores, lp, ps, _, _ = _stream_lane(
         params, config, kv_dtype, packed,
         (k_store, v_store, ks_store, vs_store),
         max_blocks=max_blocks, wave=wave, rng_seed=rng_seed,
@@ -1446,8 +1473,9 @@ def stream_step(
     jax.jit,
     static_argnames=("config", "kv_dtype", "max_blocks", "wave", "rng_seed",
                      "store_ops", "logprobs_k", "prompt_scores", "stage_mb",
-                     "ctx_waves"),
-    donate_argnames=("k_store", "v_store", "ks_store", "vs_store"),
+                     "ctx_waves", "mark_prompt"),
+    donate_argnames=("k_store", "v_store", "ks_store", "vs_store",
+                     "pen_counts"),
 )
 def stream_step_batched(
     params: Params,
@@ -1460,6 +1488,8 @@ def stream_step_batched(
     v_store: jax.Array,
     ks_store: jax.Array,
     vs_store: jax.Array,
+    pen_info: jax.Array | None = None,    # [B, 5] int32 penalty metadata
+    pen_counts: jax.Array | None = None,  # [rows + 1, V] int32 token stats
     *,
     max_blocks: int,
     wave: int = 4,
@@ -1469,6 +1499,7 @@ def stream_step_batched(
     prompt_scores: bool = False,
     stage_mb: int = 0,   # staged-gather budget per lane (MB); 0 = legacy
     ctx_waves: int | None = None,  # static context-wave bound for staging
+    mark_prompt: bool = False,     # prefill phase: set prompt-presence bits
 ):
     """B host-streamed lanes in ONE dispatch (VERDICT r2 next-step #4).
 
@@ -1493,12 +1524,14 @@ def stream_step_batched(
     L = config.num_layers
     outs, payloads = [], []
     for b in range(packed.shape[0]):
-        tok, _, lp, ps, payload = _stream_lane(
+        tok, _, lp, ps, payload, pen_counts = _stream_lane(
             params, config, kv_dtype, packed[b], stores,
             max_blocks=max_blocks, wave=wave, rng_seed=rng_seed,
             store_ops=store_ops, logprobs_k=logprobs_k,
             prompt_scores=prompt_scores, stores_read=stores_read,
-            stage_mb=stage_mb, ctx_waves=ctx_waves, defer_append=True)
+            stage_mb=stage_mb, ctx_waves=ctx_waves, defer_append=True,
+            pen_info=(pen_info[b] if pen_counts is not None else None),
+            pen_counts=pen_counts, mark_prompt=mark_prompt)
         payloads.append(payload)
         row = (tok,)
         if logprobs_k:
@@ -1513,7 +1546,10 @@ def stream_step_batched(
                                   kv_dtype, L)
     stacked = tuple(jnp.stack([o[i] for o in outs])
                     for i in range(len(outs[0])))
-    return (stacked[0], *stores, *stacked[1:])
+    out = (stacked[0], *stores, *stacked[1:])
+    if pen_counts is not None:
+        out += (pen_counts,)
+    return out
 
 
 def _consolidated_append(payloads, stores, stores_read, store_ops, kv_dtype,
@@ -1556,7 +1592,8 @@ def stream_decode_nblk(horizon: int, bs: int) -> int:
     jax.jit,
     static_argnames=("config", "kv_dtype", "max_blocks", "wave", "horizon",
                      "rng_seed", "store_ops", "logprobs_k", "ctx_waves"),
-    donate_argnames=("k_store", "v_store", "ks_store", "vs_store"),
+    donate_argnames=("k_store", "v_store", "ks_store", "vs_store",
+                     "pen_counts"),
 )
 def stream_decode_multi_batched(
     params: Params,
@@ -1570,6 +1607,8 @@ def stream_decode_multi_batched(
     v_store: jax.Array,
     ks_store: jax.Array,
     vs_store: jax.Array,
+    pen_info: jax.Array | None = None,    # [B, 5] int32 penalty metadata
+    pen_counts: jax.Array | None = None,  # [rows + 1, V] int32 token stats
     *,
     max_blocks: int,
     wave: int,
@@ -1659,10 +1698,11 @@ def stream_decode_multi_batched(
         host_row = lane[4:4 + table_width_ctx + nblk]
         tok0 = lane[-1]
         slabs = tuple(a[b] for a in all_slabs)
+        lane_pi = pen_info[b][None] if pen_counts is not None else None
 
         def step(carry, j, *, start=start, temps=temps, top_ps=top_ps,
-                 ctr=ctr):
-            tok, slabs = carry
+                 ctr=ctr, valid=valid, lane_pi=lane_pi):
+            tok, slabs, pc = carry
             pos = start + j
             x = _embed(params, c, tok[None])                  # [1, H]
 
@@ -1712,15 +1752,30 @@ def stream_decode_multi_batched(
             key = (jnp.array([rng_seed, 0], jnp.uint32)
                    + jnp.array([1, 0], jnp.uint32) * j.astype(jnp.uint32)
                    + jnp.array([0, 1], jnp.uint32) * ctr)
-            nxt = sample_tokens(logits, temps, key,
-                                top_ps=top_ps)[0].astype(jnp.int32)
+            if pc is not None:
+                from cxl_speckv_tpu.engine.sampling import penalize_and_count
+
+                # overshoot steps (j >= valid) are discarded host-side —
+                # mask their count flag so in-dispatch penalties see only
+                # tokens the engine will keep (exact match with `valid`
+                # sequential per-step dispatches for greedy lanes)
+                pi = lane_pi.at[0, 4].set(
+                    jnp.where(j < valid, lane_pi[0, 4], lane_pi[0, 4] & ~2))
+                nxt, pc = penalize_and_count(
+                    logits, pi, pc,
+                    lambda lg: sample_tokens(lg, temps, key, top_ps=top_ps))
+                nxt = nxt[0].astype(jnp.int32)
+            else:
+                nxt = sample_tokens(logits, temps, key,
+                                    top_ps=top_ps)[0].astype(jnp.int32)
             ys = (nxt, kv_rows)
             if logprobs_k:
                 ys += (_token_logprobs(logits[0], nxt, logprobs_k),)
-            return (nxt, new_slabs), ys
+            return (nxt, new_slabs, pc), ys
 
-        (_, _), ys = jax.lax.scan(step, (tok0, slabs),
-                                  jnp.arange(horizon, dtype=jnp.int32))
+        (_, _, pen_counts), ys = jax.lax.scan(
+            step, (tok0, slabs, pen_counts),
+            jnp.arange(horizon, dtype=jnp.int32))
         toks = ys[0]                                          # [h]
         kv_rows = ys[1]       # tuple of [h, L, ...] (kq, vq, ks, vs)
         chunks = tuple(a.swapaxes(0, 1) for a in kv_rows)     # [L, h, ...]
@@ -1736,7 +1791,10 @@ def stream_decode_multi_batched(
                                   kv_dtype, L)
     stacked = tuple(jnp.stack([o[i] for o in outs])
                     for i in range(len(outs[0])))
-    return (stacked[0], *stores, *stacked[1:])
+    out = (stacked[0], *stores, *stacked[1:])
+    if pen_counts is not None:
+        out += (pen_counts,)
+    return out
 
 
 # ---------------------------------------------------------------------------

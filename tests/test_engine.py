@@ -270,3 +270,37 @@ def test_prefill_wave_cannot_evict_held_decode_residency():
     outs = eng.run()
     assert len(outs) == 10
     assert all(o.finish_reason in ("length", "eos") for o in outs)
+
+
+def test_decode_horizon_auto_derivation():
+    """decode_horizon=0 (the default, r5): the engine measures the
+    runtime's dispatch constant once per process and derives the fused
+    horizon from it and the model's weight-stream size — remote-TPU-class
+    dispatch constants derive 8-32 by model size, local/CPU backends
+    derive 1 (utils/dispatch.py calibration points)."""
+    import cxl_speckv_tpu.utils.dispatch as dd
+    from cxl_speckv_tpu.utils.dispatch import (
+        derive_decode_horizon, params_byte_size)
+
+    saved = dd._dispatch_ms_cache
+    try:
+        dd._dispatch_ms_cache = 10.0      # remote-tunnel-class dispatch
+        assert derive_decode_horizon(int(1.24e9)) == 32   # 1B int8
+        assert derive_decode_horizon(int(8.0e9)) == 8     # 8B int8
+        dd._dispatch_ms_cache = 0.1       # local-backend-class dispatch
+        assert derive_decode_horizon(int(1.24e9)) == 1
+    finally:
+        dd._dispatch_ms_cache = saved
+    # engine with the auto default resolves a concrete horizon and serves
+    sc = SystemConfig(
+        cache=CacheConfig(block_size=8, num_hbm_blocks=32,
+                          num_host_blocks=64, kv_dtype=KVDtype.INT8),
+        engine=EngineConfig(max_batch_size=2, max_seq_len=96,
+                            prefill_chunk=32))
+    assert sc.engine.decode_horizon == 0
+    eng = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+    assert eng.config.engine.decode_horizon >= 1
+    assert params_byte_size(PARAMS) > 0
+    rid = eng.add_request(prompts(1)[0], max_new_tokens=6)
+    outs = eng.run()
+    assert outs[0].req_id == rid

@@ -420,20 +420,76 @@ def test_spec_engine_rejects_penalties():
         eng.add_request(prompts(1)[0], frequency_penalty=1.0)
 
 
-def test_streamed_path_rejects_penalties():
+def make_stream_engine(horizon=1, **ekw):
+    """Tight pooled capacity so long prompts route to the host-streamed
+    path (device store backend, stream_enabled default)."""
     sc = SystemConfig(
         cache=CacheConfig(block_size=8, num_hbm_blocks=6,
                           num_host_blocks=64, kv_dtype=KVDtype.INT8),
         prefetch=PrefetchConfig(enabled=False),
         engine=EngineConfig(max_batch_size=2, max_seq_len=64,
-                            prefill_chunk=16),
+                            prefill_chunk=16, decode_horizon=horizon,
+                            stream_wave=4, **ekw),
     )
-    eng = Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+    return Engine(CFG, sc, params=PARAMS, use_pallas=False, enable_lstm=False)
+
+
+PEN_KW = dict(frequency_penalty=1.0, presence_penalty=0.5,
+              repetition_penalty=1.3)
+
+
+def test_streamed_penalties_match_pooled_path():
+    """r5 (VERDICT r4 #5): penalized greedy generation on the host-streamed
+    path is token-identical to the pooled path (whose in-graph penalties
+    match the host reference bit-for-bit) — the count plane rides the
+    streamed chunk/decode programs exactly as it rides the pooled ones."""
     long_prompt = prompts(1, seed=21, lo=40, hi=41)[0]
-    eng.add_request(long_prompt, max_new_tokens=12)  # routes to stream, OK
-    with pytest.raises(ValueError, match="host-streamed"):
-        eng.add_request(long_prompt, max_new_tokens=12,
-                        presence_penalty=1.0)
+    kw = dict(max_new_tokens=12, ignore_eos=True, **PEN_KW)
+    pooled = run_one(make_engine(hbm_blocks=64), long_prompt, **kw)
+    eng = make_stream_engine()
+    st = run_one(eng, long_prompt, **kw)
+    assert eng.get_statistics()["engine"]["stream_tokens"] > 0  # really streamed
+    assert st.tokens == pooled.tokens
+    # the request's pen row went back to the free list at finish
+    assert len(eng._pen_free) == eng.config.engine.penalty_rows
+
+
+def test_streamed_fused_horizon_matches_per_step():
+    """The fused streamed decode (horizon steps per dispatch) applies
+    penalties per fused step with overshoot counting masked — greedy
+    tokens identical to horizon=1 per-step streamed dispatches."""
+    long_prompt = prompts(1, seed=22, lo=40, hi=41)[0]
+    kw = dict(max_new_tokens=11, ignore_eos=True, **PEN_KW)
+    a = run_one(make_stream_engine(horizon=1), long_prompt, **kw)
+    b = run_one(make_stream_engine(horizon=4), long_prompt, **kw)
+    assert a.tokens == b.tokens
+
+
+def test_streamed_unpenalized_lane_isolated_from_penalized():
+    long = prompts(2, seed=23, lo=40, hi=41)
+    eng_a = make_stream_engine()
+    ra = eng_a.add_request(long[0], max_new_tokens=10, ignore_eos=True)
+    outs_a = {o.req_id: o.tokens for o in eng_a.run()}
+    eng_b = make_stream_engine()
+    rb = eng_b.add_request(long[0], max_new_tokens=10, ignore_eos=True)
+    eng_b.add_request(long[1], max_new_tokens=10, ignore_eos=True, **PEN_KW)
+    outs_b = {o.req_id: o.tokens for o in eng_b.run()}
+    assert outs_a[ra] == outs_b[rb]
+
+
+def test_streamed_session_turn_penalties():
+    """Per-turn penalty state on a streamed session: turn 2 with penalties
+    matches a fresh penalized request fed the full history (greedy)."""
+    long_prompt = prompts(1, seed=24, lo=40, hi=41)[0]
+    eng = make_stream_engine()
+    rid = eng.add_request(long_prompt, max_new_tokens=6, session=True,
+                          ignore_eos=True)
+    out1 = {o.req_id: o for o in eng.run()}[rid]
+    cont = [9, 4, 2]
+    rid2 = eng.continue_session(out1.session_id, cont, max_new_tokens=6,
+                                **PEN_KW)
+    out2 = {o.req_id: o for o in eng.run()}[rid2]
+    assert len(out2.tokens) == 6
 
 
 def test_cancel_frees_row():
