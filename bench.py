@@ -35,7 +35,7 @@ import numpy as np
 def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
                  max_seq_len, horizon, quantum, use_pallas, prefetch,
                  lstm=None, block_size=32, weight_dtype="native",
-                 prefill_lanes=0):
+                 prefill_lanes=0, prefill_chunk=128, ingraph_pcont=True):
     from cxl_speckv_tpu.config import (
         CacheConfig, EngineConfig, KVDtype, PrefetchConfig, SystemConfig)
     from cxl_speckv_tpu.engine.engine import Engine
@@ -45,9 +45,11 @@ def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
                           num_host_blocks=host_blocks, kv_dtype=KVDtype.INT8,
                           prefetch_reserve_frac=0.25),
         prefetch=PrefetchConfig(depth=4, min_depth=3, enabled=prefetch,
-                                train_online=prefetch),
+                                train_online=prefetch,
+                                ingraph_pcont=ingraph_pcont),
         engine=EngineConfig(max_batch_size=batch, max_seq_len=max_seq_len,
-                            prefill_chunk=128, decode_horizon=horizon,
+                            prefill_chunk=prefill_chunk,
+                            decode_horizon=horizon,
                             sched_quantum=quantum, weight_dtype=weight_dtype,
                             prefill_lanes=prefill_lanes),
     )
@@ -244,6 +246,12 @@ def main():
         raise SystemExit(f"SPECKV_BENCH_WQ must be one of {sorted(_wq_map)}, "
                          f"got {_wq!r}")
     weight_dtype = _wq_map[_wq]
+    # prefill program width: the chunk is a STATIC program dimension, so a
+    # 128-wide chunk prefilling 64-token prompts pays 2x the dense-attention
+    # and matmul compute for the same tokens. Size it to the workload
+    # (TTFT lever, r5); longer prompts still chunk at 128.
+    prefill_chunk = int(os.environ.get(
+        "SPECKV_BENCH_CHUNK", min(128, max(32, prompt_len))))
     max_seq = prompt_len + gen + bs
     blocks_per_seq = -(-max_seq // bs)
     # HBM double-buffers: the pinned active batch + the prefetching next
@@ -254,7 +262,7 @@ def main():
     geo = dict(hbm_blocks=hbm_blocks, host_blocks=host_blocks, batch=batch,
                max_seq_len=max_seq, horizon=horizon, quantum=quantum,
                use_pallas=on_tpu, block_size=bs, weight_dtype=weight_dtype,
-               prefill_lanes=prefill_lanes)
+               prefill_lanes=prefill_lanes, prefill_chunk=prefill_chunk)
     print(f"# geometry: hbm={hbm_blocks} blocks, live demand={total_demand} "
           f"({total_demand/hbm_blocks:.1f}x oversubscribed), "
           f"{n_requests} seqs x {prompt_len}+{gen} tok", file=sys.stderr)

@@ -194,6 +194,16 @@ class PrefetchConfig:
     # beyond the EOS prefetch gate. Heuristic only: verify keeps the output
     # distribution exact regardless of draft quality.
     seed_ngram: bool = True
+    # Run the LSTM's continue-probability INSIDE the fused decode program
+    # (r5): the 2x128 cell's forward rides the decode round on the
+    # accelerator — zero host dispatches and zero worker-thread contention
+    # (the async pcont worker's existence measured ~9% of serving
+    # throughput in the r4 thrash ablation). The post-round window a lane
+    # computes for itself stays valid exactly until that lane decodes
+    # again — the span the prefetch gate consults while the lane waits in
+    # rotation. Lanes not served by a fused decode round (horizon=1
+    # single-step path, spec rounds) fall back to the host-side refresh.
+    ingraph_pcont: bool = True
 
 
 @dataclass

@@ -661,7 +661,7 @@ def _token_logprobs(logits: jax.Array, toks: jax.Array, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
-                     "return_logits", "logprobs_k", "mesh"),
+                     "return_logits", "logprobs_k", "lstm_eos", "mesh"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
 )
 def decode_multi(
@@ -680,12 +680,15 @@ def decode_multi(
     top_ps: jax.Array | None = None,  # [B] f32 nucleus p; 0 / >= 1 = off
     pen_info: jax.Array | None = None,    # [B, 5] int32 penalty metadata
     pen_counts: jax.Array | None = None,  # [rows + 1, V] int32 token stats
+    lstm_params=None,          # prefetcher LSTM param tree (in-graph pcont)
+    lstm_hist: jax.Array | None = None,  # [B, H16] int32 bucketed histories
     *,
     horizon: int = 8,
     use_pallas: bool = False,
     top_k: int = 0,
     return_logits: bool = False,
     logprobs_k: int = 0,
+    lstm_eos: int = -1,        # static bucketed EOS class for pcont
     mesh=None,
 ) -> tuple:
     """`horizon` decode steps fused into one device program — sampling
@@ -746,6 +749,18 @@ def decode_multi(
     # scan stacks on axis 0 (the horizon); callers want batch-major
     out = [ys[0].T, k_pools, v_pools, k_scales, v_scales]
     out += [y.swapaxes(0, 1) for y in ys[1:]]
+    if lstm_params is not None:
+        # in-graph prefetch-LSTM inference (r5, VERDICT r4 weak #4): the
+        # 2x128 predictor's continue-probability rides the decode round
+        # instead of a host-thread CPU dispatch (measured ~9% serving tax
+        # from that worker's existence, NOTES_ROUND4 thrash table). The
+        # post-round 16-token window is the PRE-round history shifted by
+        # this round's freshly sampled tokens — exactly what the host
+        # predictor would see after observe_tokens, so the value stays
+        # valid until this lane decodes again (precisely the span the
+        # prefetch gate consults while the lane waits for rotation).
+        from cxl_speckv_tpu.prefetcher.lstm import lstm_pcont
+        out.append(lstm_pcont(lstm_params, lstm_hist, ys[0].T, lstm_eos))
     if pen_counts is not None:
         out.append(pen_counts)
     return tuple(out)
@@ -754,7 +769,8 @@ def decode_multi(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
-                     "rng_seed", "return_logits", "logprobs_k", "mesh"),
+                     "rng_seed", "return_logits", "logprobs_k", "lstm_eos",
+                     "mesh"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales",
                      "pen_counts"),
 )
@@ -772,6 +788,8 @@ def decode_multi_packed(
     v_scales: jax.Array,
     pen_info: jax.Array | None = None,    # [B, 5] int32 penalty metadata
     pen_counts: jax.Array | None = None,  # [rows + 1, V] int32 token stats
+    lstm_params=None,
+    lstm_hist: jax.Array | None = None,
     *,
     horizon: int = 8,
     use_pallas: bool = False,
@@ -779,13 +797,16 @@ def decode_multi_packed(
     rng_seed: int = 0,
     return_logits: bool = False,
     logprobs_k: int = 0,
+    lstm_eos: int = -1,
     mesh=None,
 ) -> tuple:
     """`decode_multi` with all per-round host inputs packed into ONE array —
     a single host->device transfer per engine round. On remote-dispatch
     runtimes each argument transfer costs a round trip; this is the decode
     hot path, so everything rides one int32 matrix. With pen_info/pen_counts
-    the updated pen_counts is appended LAST (see `decode_multi`)."""
+    the updated pen_counts is appended LAST; with lstm_params/lstm_hist the
+    in-graph prefetch-LSTM continue probability [B] is appended just before
+    it (see `decode_multi`)."""
     from cxl_speckv_tpu.engine.sampling import decode_sampling
 
     first_tokens = packed[:, 0]
@@ -797,9 +818,10 @@ def decode_multi_packed(
     return decode_multi(
         params, config, kv_dtype, first_tokens, start_positions,
         k_pools, v_pools, k_scales, v_scales, block_table, key, temperatures,
-        top_ps, pen_info, pen_counts,
+        top_ps, pen_info, pen_counts, lstm_params, lstm_hist,
         horizon=horizon, use_pallas=use_pallas, top_k=top_k,
-        return_logits=return_logits, logprobs_k=logprobs_k, mesh=mesh)
+        return_logits=return_logits, logprobs_k=logprobs_k,
+        lstm_eos=lstm_eos, mesh=mesh)
 
 
 @functools.partial(

@@ -52,6 +52,9 @@ class PrefetchStatistics(Statistics):
     predict_latency_ms: float = 0.0
     train_steps: int = 0
     last_train_loss: float = 0.0
+    # continue probabilities computed INSIDE the decode program (r5) —
+    # these cost zero host dispatches and zero worker-thread contention
+    ingraph_pcont: int = 0
 
     def as_dict(self) -> dict:
         d = super().as_dict()
@@ -122,6 +125,30 @@ class PrefetchController:
             if h:
                 out[i, T - len(h):] = h[-T:]
         return out
+
+    def history_matrix_bucketed(self, seq_slots: list[int],
+                                pad_rows: int = 0) -> np.ndarray:
+        """Bucketed, optionally row-padded history matrix for the in-graph
+        pcont path (the device LSTM sees class ids, not raw token ids)."""
+        m = self.history_matrix(seq_slots)
+        if self.predictor is not None:
+            m = self.predictor._bucket(m)
+        if pad_rows > len(seq_slots):
+            m = np.concatenate(
+                [m, np.zeros((pad_rows - len(seq_slots), m.shape[1]),
+                             np.int32)])
+        return m
+
+    def install_pcont(self, seq_slots: list[int], probs) -> None:
+        """Install device-computed continue probabilities (in-graph LSTM
+        riding the fused decode round, r5 — `models/llama.py:decode_multi`
+        lstm_params path). Called AFTER the round's `observe_tokens`, so
+        the stored version marks these as fresh and `plan()` skips its
+        host-side refresh entirely for lanes served this way."""
+        for s, p in zip(seq_slots, np.atleast_1d(np.asarray(probs))):
+            if s in self._histories:
+                self._pcont[s] = (self._hist_version.get(s, 0), float(p))
+        self.stats.ingraph_pcont += len(seq_slots)
 
     # -- the per-step plan ---------------------------------------------------
 

@@ -207,6 +207,25 @@ def _top_k(params, histories, num_layers, hidden, k):
     return top_i, top_p
 
 
+def lstm_pcont(params: Params, hist: jax.Array, fresh_toks: jax.Array,
+               eos_class: int) -> jax.Array:
+    """In-graph continue probability for `decode_multi` (r5): shift each
+    lane's PRE-round bucketed history [B, T] by the round's freshly sampled
+    tokens [B, h] (bucketed here) and run the LSTM on the post-round
+    window — identical semantics to `continue_probability` called on the
+    host after `observe_tokens`. Traced inside the decode program, NOT a
+    standalone dispatch (a separate dispatch would cost the very ~10-25 ms
+    round trip this exists to avoid)."""
+    n_classes = params["embed"].shape[0]
+    hidden = params["cells"][0]["wh"].shape[0]
+    cat = jnp.concatenate(
+        [hist, fresh_toks.astype(jnp.int32) % jnp.int32(n_classes)], axis=1)
+    window = cat[:, -hist.shape[1]:]
+    h = _forward(params, window, len(params["cells"]), hidden)
+    probs = jax.nn.softmax(h @ params["out"], axis=-1)
+    return 1.0 - probs[:, eos_class]
+
+
 @functools.partial(jax.jit, static_argnames=("num_layers", "hidden"))
 def _token_prob(params, histories, num_layers, hidden, token_id):
     h = _forward(params, histories, num_layers, hidden)

@@ -92,7 +92,12 @@ def main():
           f"batch={batch} horizon={horizon} quantum={quantum} "
           f"hbm={hbm_blocks} blocks ({blocks_per_seq}/seq)", file=sys.stderr)
     modes = {
+        # r5: "lstm" runs the in-graph pcont path (the LSTM's continue
+        # probability rides the fused decode program — no host worker);
+        # "lstm-host" is the r3/r4 configuration with the async CPU pcont
+        # worker, kept as the contention-tax comparison arm
         "lstm": dict(prefetch=True, lstm=True),
+        "lstm-host": dict(prefetch=True, lstm=True, ingraph_pcont=False),
         "nolstm": dict(prefetch=True, lstm=False),
         "noprefetch": dict(prefetch=False, lstm=False),
     }
