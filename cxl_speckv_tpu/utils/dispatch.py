@@ -34,9 +34,19 @@ def measured_dispatch_ms() -> float:
     measured once per process with a trivial jitted program. Synchronizes
     by VALUE FETCH (np.asarray), not block_until_ready — on remote
     runtimes the latter can return before execution completes. The first
-    fetch (which may absorb one-time runtime warmup) is discarded."""
+    fetch (which may absorb one-time runtime warmup) is discarded.
+
+    `SPECKV_DISPATCH_MS` pins the value without measuring — for tests
+    (a loaded CI machine measures an inflated constant and auto-horizon
+    would become nondeterministic) and for deployments that know their
+    runtime."""
     global _dispatch_ms_cache
     if _dispatch_ms_cache is not None:
+        return _dispatch_ms_cache
+    import os
+    pinned = os.environ.get("SPECKV_DISPATCH_MS")
+    if pinned is not None:
+        _dispatch_ms_cache = float(pinned)
         return _dispatch_ms_cache
     import jax
     import jax.numpy as jnp

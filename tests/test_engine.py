@@ -289,6 +289,11 @@ def test_decode_horizon_auto_derivation():
         assert derive_decode_horizon(int(8.0e9)) == 8     # 8B int8
         dd._dispatch_ms_cache = 0.1       # local-backend-class dispatch
         assert derive_decode_horizon(int(1.24e9)) == 1
+        # SPECKV_DISPATCH_MS pins the constant without measuring (the
+        # conftest sets it so a loaded CI machine can't inflate it and
+        # flip scheduling semantics run-to-run)
+        dd._dispatch_ms_cache = None
+        assert dd.measured_dispatch_ms() == 0.05
     finally:
         dd._dispatch_ms_cache = saved
     # engine with the auto default resolves a concrete horizon and serves
