@@ -42,6 +42,20 @@ from cxl_speckv_tpu.ops.pallas_utils import interpret_mode
 
 NEG_INF = -1e30
 
+# Full-matrix fresh-chunk scores above this many bytes switch to the
+# per-head x column-tile shape (see _chunk_and_finalize) — which also
+# skips the (1 - 1/g_h) cross-head-masked share of the full matmul, so
+# engage it as soon as alignment allows a meaningful score matrix.
+# Tests lower it to pin tiled-vs-full parity at small shapes.
+_TILED_FRESH_MIN_BYTES = 2 << 20
+
+# Cap on q rows per grid step (r5): beyond this the kernel's per-step
+# VMEM (unrolled context score temporaries + fresh q/acc) exceeds
+# Mosaic's 16 MB scoped limit (prefill_chunk=256 measured 18.7 MB on
+# v5e); the wrapper splits the chunk's token range over an extra grid
+# axis to stay at the envelope prefill_chunk=128 proved out.
+_ROWS_PER_GRID_TILE = 2048
+
 
 def _chunk_kernel(
     # scalar prefetch
@@ -68,6 +82,7 @@ def _chunk_kernel(
     window=None,    # static sliding window (Mistral family)
     softcap=None,   # static tanh score cap (Gemma family)
     has_sinks=False,  # GPT-OSS learned sink logits operand present
+    tt_count=1,  # query-row grid tiles (r5 — wide chunks; see wrapper)
 ):
     k_refs = rest[0:ppb]
     v_refs = rest[ppb:2 * ppb]
@@ -81,15 +96,23 @@ def _chunk_kernel(
 
     b = pl.program_id(0)
     hg = pl.program_id(1)
-    i = pl.program_id(2)
-    nb = pl.num_programs(2)
+    if tt_count > 1:
+        tt = pl.program_id(2)
+        i = pl.program_id(3)
+        nb = pl.num_programs(3)
+    else:
+        tt = 0       # static: the tile-offset terms below constant-fold,
+        i = pl.program_id(2)     # keeping the untiled program unchanged
+        nb = pl.num_programs(2)
     start = start_ref[b]
     sid = sid_ref[0] if sid_ref is not None else None
     bs = block_size
     T = chunk_t
-    tg = T * group
-    rows = g_h * tg          # group-local query rows (r = h*tg + t*G + g)
+    Tt = T // tt_count       # fresh tokens covered by this row tile
+    tg = Tt * group          # per-head query rows in this tile
+    rows = g_h * tg          # tile rows (r = h*tg + t_local*G + g)
     gcols = g_h * bs         # group-local context columns per page
+    t0 = tt * Tt             # tile's first token, chunk-absolute
 
     @pl.when(i == 0)
     def _init():
@@ -109,8 +132,8 @@ def _chunk_kernel(
         r_head = jax.lax.broadcasted_iota(jnp.int32, (rows, gcols), 0) // tg
         c_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, gcols), 1)
         head_ok = c_idx // bs == r_head
-        row_t = (jax.lax.broadcasted_iota(jnp.int32, (rows, gcols), 0)
-                 % tg) // group
+        row_t = t0 + (jax.lax.broadcasted_iota(jnp.int32, (rows, gcols), 0)
+                      % tg) // group
 
         for j in range(ppb):
             kT = _dequant_tile(k_refs[j][0], kv_dtype, head_dim, sid,
@@ -156,32 +179,95 @@ def _chunk_kernel(
         # decode on the newest tokens (measured on hardware: spec greedy
         # agreement 0.82 vs 0.99). q still rounds through compute_dtype
         # first so its value matches the pool path's q exactly.
-        q = (q_ref[0, 0].astype(compute_dtype)
-             .astype(jnp.float32))                            # [rows, D]
-        k = kn_ref[0, 0].astype(jnp.float32)                  # [g_h*T, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale    # [rows, g_h*T]
-        if softcap is not None:
-            s = softcap * jnp.tanh(s / softcap)
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        c_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        row_t = (r_iota % tg) // group
-        col_t = c_iota % T
-        ok = (c_iota // T == r_iota // tg) & (row_t >= col_t)
-        if window is not None:
-            ok = ok & (row_t - col_t < window)
-        s = jnp.where(ok, s, NEG_INF)
+        #
+        # Two shapes of the same math (r5): the single full matmul
+        # materializes scores [rows, g_h*T] — it grows quadratically with
+        # the chunk and blew Mosaic's 16 MB scoped VMEM at T=256 (17.2 MB
+        # measured), and 1 - 1/g_h of it is cross-head-masked waste. Wide
+        # chunks therefore run a PER-HEAD x COLUMN-TILE loop with online
+        # softmax updates on row slices of the scratch refs — score tiles
+        # are [T*G, <=512], VMEM stays flat in T, and the masked-out
+        # cross-head compute disappears entirely. The full-matrix shape is
+        # kept for small/unaligned chunks (spec verify T = gamma+1 may not
+        # be sublane-aligned; sub-8 MB scores don't need tiling).
+        ct = 0
+        if rows * g_h * T * 4 > _TILED_FRESH_MIN_BYTES and tg % 8 == 0:
+            for c in (512, 256, 128, 64, 32, 16, 8):
+                if T % c == 0:
+                    ct = c
+                    break
 
-        m_prev = m_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = vn_ref[0, 0].astype(jnp.float32)   # f32 like k (see above)
-        acc = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if ct:
+            for h in range(g_h):
+                rs = slice(h * tg, (h + 1) * tg)
+                q_h = (q_ref[0, 0, rs].astype(compute_dtype)
+                       .astype(jnp.float32))                  # [tg, D]
+                for j in range(T // ct):
+                    def _col_tile(h=h, j=j, rs=rs, q_h=q_h):
+                        cs = slice(h * T + j * ct, h * T + (j + 1) * ct)
+                        k_h = kn_ref[0, 0, cs].astype(jnp.float32)
+                        s = jax.lax.dot_general(
+                            q_h, k_h, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+                        if softcap is not None:
+                            s = softcap * jnp.tanh(s / softcap)
+                        row_t = t0 + jax.lax.broadcasted_iota(
+                            jnp.int32, s.shape, 0) // group
+                        col_t = j * ct + jax.lax.broadcasted_iota(
+                            jnp.int32, s.shape, 1)
+                        ok = row_t >= col_t
+                        if window is not None:
+                            ok = ok & (row_t - col_t < window)
+                        s = jnp.where(ok, s, NEG_INF)
+                        m_prev = m_ref[rs]
+                        m_new = jnp.maximum(
+                            m_prev, jnp.max(s, axis=-1, keepdims=True))
+                        p = jnp.exp(s - m_new)
+                        alpha = jnp.exp(m_prev - m_new)
+                        l_ref[rs] = (l_ref[rs] * alpha
+                                     + jnp.sum(p, axis=-1, keepdims=True))
+                        v_h = vn_ref[0, 0, cs].astype(jnp.float32)
+                        acc_ref[rs] = (acc_ref[rs] * alpha
+                                       + jax.lax.dot_general(
+                                           p, v_h, (((1,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32))
+                        m_ref[rs] = m_new
+                    if tt_count > 1:
+                        # col tiles wholly above this row tile's last token
+                        # are fully causal-masked; skip their compute (the
+                        # tile index tt is dynamic, so this is a pl.when,
+                        # not an unrolling decision)
+                        pl.when(j * ct < t0 + Tt)(_col_tile)
+                    else:
+                        _col_tile()
+            m_new, l, acc = m_ref[:], l_ref[:], acc_ref[:]
+        else:
+            q = (q_ref[0, 0].astype(compute_dtype)
+                 .astype(jnp.float32))                        # [rows, D]
+            k = kn_ref[0, 0].astype(jnp.float32)              # [g_h*T, D]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale  # [rows, ghT]
+            if softcap is not None:
+                s = softcap * jnp.tanh(s / softcap)
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            c_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            row_t = t0 + (r_iota % tg) // group
+            col_t = c_iota % T
+            ok = (c_iota // T == r_iota // tg) & (row_t >= col_t)
+            if window is not None:
+                ok = ok & (row_t - col_t < window)
+            s = jnp.where(ok, s, NEG_INF)
+
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            v = vn_ref[0, 0].astype(jnp.float32)   # f32 like k (see above)
+            acc = acc_ref[:] * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         if has_sinks:
             # GPT-OSS sink: one extra per-head logit with no value —
             # joins the global max and the denominator at finalize
@@ -254,28 +340,60 @@ def paged_chunk_attention_pallas(
     while num_kv_heads % g_h:
         g_h -= 1
     hg_count = num_kv_heads // g_h
-    rows = g_h * tg
+    rows_full = g_h * tg
+
+    # r5: query-row grid tiles for wide chunks. Per-grid-step VMEM (the
+    # context loop's unrolled score temporaries + the fresh-part q/acc)
+    # scales with the q rows — prefill_chunk=256 measured 18.7 MB against
+    # Mosaic's 16 MB scoped limit on v5e. Cap rows per grid step at the
+    # proven envelope and split the chunk's token range over an extra
+    # grid axis; context blocks re-stream per row tile (HBM-side traffic
+    # only — the host-side gathers the streamed path cares about are per
+    # DISPATCH, unaffected), and fresh col tiles above a row tile's
+    # causal range skip their compute in-kernel.
+    n_tt = 1
+    if rows_full > _ROWS_PER_GRID_TILE:
+        for d in range(2, T + 1):
+            if T % d or (T // d) * group % 8:
+                continue
+            if rows_full // d <= _ROWS_PER_GRID_TILE:
+                n_tt = d
+                break
+    Tt = T // n_tt
+    rows = g_h * Tt * group
 
     base = functools.partial(
         _chunk_kernel, kv_dtype=kv_dtype, block_size=block_size,
         head_dim=head_dim, group=group, g_h=g_h, chunk_t=T, ppb=ppb,
         sm_scale=float(sm_scale), compute_dtype=compute_dtype, window=window,
-        softcap=softcap, has_sinks=sinks is not None)
+        softcap=softcap, has_sinks=sinks is not None, tt_count=n_tt)
     if mixed:
         def kernel(table_ref, start_ref, sid_ref, *rest):
             base(table_ref, start_ref, *rest, sid_ref=sid_ref)
     else:
         kernel = base
 
-    # [B, T, Hkv, G, D] -> [B, HG, g_h*T*G, D] (row r = h_local*tg + t*G + g)
-    q4 = (q.reshape(B, T, num_kv_heads, group, head_dim)
-          .transpose(0, 2, 1, 3, 4).reshape(B, hg_count, rows, head_dim))
+    if n_tt == 1:
+        # [B, T, Hkv, G, D] -> [B, HG, g_h*T*G, D] (r = h_local*tg + t*G + g)
+        q4 = (q.reshape(B, T, num_kv_heads, group, head_dim)
+              .transpose(0, 2, 1, 3, 4).reshape(B, hg_count, rows, head_dim))
+    else:
+        # row order per (b, hg): (tt, h_local, t_local, g) — tile-major so
+        # the (b, hg, tt) grid block is one contiguous rows-slice
+        q4 = (q.reshape(B, n_tt, Tt, num_kv_heads, group, head_dim)
+              .transpose(0, 3, 1, 2, 4, 5)
+              .reshape(B, hg_count, g_h, n_tt, Tt, group, head_dim)
+              .transpose(0, 1, 3, 2, 4, 5, 6)
+              .reshape(B, hg_count, n_tt * rows, head_dim))
     kn = k_new.transpose(0, 2, 1, 3).reshape(
         B, hg_count, g_h * T, head_dim)   # [B, HG, g_h*T, D] head-major
     vn = v_new.transpose(0, 2, 1, 3).reshape(B, hg_count, g_h * T, head_dim)
 
     def ctx_index(j, mode):
-        def f(b, hg, i, t, s, *_):
+        def f(b, hg, *a):
+            if n_tt > 1:
+                a = a[1:]   # drop the row-tile grid index
+            i, t, s = a[0], a[1], a[2]
             # clamp to the lane's last real context block: trailing grid
             # steps re-address it, so their copies are elided
             last = jnp.maximum((s[b] - 1) // block_size, 0)
@@ -301,23 +419,30 @@ def paged_chunk_attention_pallas(
                            ctx_index(j, "v")) for j in range(ppb)]
     sc_spec = [pl.BlockSpec((1, 1, g_h * block_size),
                             ctx_index(j, "sc")) for j in range(ppb)]
-    sink_spec = ([pl.BlockSpec((1, rows, 1), lambda b, hg, i, *_: (hg, 0, 0))]
+
+    if n_tt == 1:
+        qo_index = lambda b, hg, i, *_: (b, hg, 0, 0)
+        kvn_index = lambda b, hg, i, *_: (b, hg, 0, 0)
+        sink_index = lambda b, hg, i, *_: (hg, 0, 0)
+        grid = (B, hg_count, n_ctx_steps + 1)
+    else:
+        qo_index = lambda b, hg, tt, i, *_: (b, hg, tt, 0)
+        kvn_index = lambda b, hg, tt, i, *_: (b, hg, 0, 0)
+        sink_index = lambda b, hg, tt, i, *_: (hg, tt, 0)
+        grid = (B, hg_count, n_tt, n_ctx_steps + 1)
+    sink_spec = ([pl.BlockSpec((1, rows, 1), sink_index)]
                  if sinks is not None else [])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if mixed else 2,
-        grid=(B, hg_count, n_ctx_steps + 1),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, rows, head_dim),
-                         lambda b, hg, i, *_: (b, hg, 0, 0)),
-            pl.BlockSpec((1, 1, g_h * T, head_dim),
-                         lambda b, hg, i, *_: (b, hg, 0, 0)),
-            pl.BlockSpec((1, 1, g_h * T, head_dim),
-                         lambda b, hg, i, *_: (b, hg, 0, 0)),
+            pl.BlockSpec((1, 1, rows, head_dim), qo_index),
+            pl.BlockSpec((1, 1, g_h * T, head_dim), kvn_index),
+            pl.BlockSpec((1, 1, g_h * T, head_dim), kvn_index),
             *kt_spec, *v_spec, *sc_spec, *sc_spec, *sink_spec,
         ],
-        out_specs=pl.BlockSpec((1, 1, rows, head_dim),
-                               lambda b, hg, i, *_: (b, hg, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, rows, head_dim), qo_index),
         scratch_shapes=[
             pltpu.VMEM((rows, head_dim), jnp.float32),
             pltpu.VMEM((rows, 1), jnp.float32),
@@ -331,17 +456,30 @@ def paged_chunk_attention_pallas(
     operands = (q4, kn, vn) + (k_pool,) * ppb + (v_pool,) * ppb \
         + (k_scale,) * ppb + (v_scale,) * ppb
     if sinks is not None:
-        # per-ROW sink values: row r = h_local*tg + t*G + g carries
-        # sinks[h, g]
-        operands += (jnp.broadcast_to(
+        # per-ROW sink values: row r carries sinks[h, g] (tile-major row
+        # order when n_tt > 1 — same transform as q4)
+        sk = jnp.broadcast_to(
             sinks.reshape(num_kv_heads, 1, group).astype(jnp.float32),
-            (num_kv_heads, T, group)).reshape(hg_count, rows, 1),)
+            (num_kv_heads, T, group))
+        if n_tt == 1:
+            sk = sk.reshape(hg_count, rows, 1)
+        else:
+            sk = (sk.reshape(hg_count, g_h, n_tt, Tt, group)
+                  .transpose(0, 2, 1, 3, 4)
+                  .reshape(hg_count, n_tt * rows, 1))
+        operands += (sk,)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, hg_count, rows, head_dim), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, hg_count, n_tt * rows, head_dim), q.dtype),
         interpret=interpret,
     )(*scalars, *operands)
-    # [B, HG, g_h*T*G, D] -> [B, T, Hq, D]
-    return (out.reshape(B, num_kv_heads, T, group, head_dim)
+    if n_tt == 1:
+        # [B, HG, g_h*T*G, D] -> [B, T, Hq, D]
+        return (out.reshape(B, num_kv_heads, T, group, head_dim)
+                .transpose(0, 2, 1, 3, 4).reshape(B, T, num_q_heads, head_dim))
+    return (out.reshape(B, hg_count, n_tt, g_h, Tt, group, head_dim)
+            .transpose(0, 1, 3, 2, 4, 5, 6)
+            .reshape(B, num_kv_heads, T, group, head_dim)
             .transpose(0, 2, 1, 3, 4).reshape(B, T, num_q_heads, head_dim))

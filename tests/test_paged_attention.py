@@ -148,6 +148,69 @@ def test_chunk_kernel_group1():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("window", [None, 24])
+def test_chunk_kernel_tiled_fresh_matches_ref(window, monkeypatch):
+    """Wide chunks switch the fresh-chunk part to the per-head x
+    column-tile shape (r5 — the full score matrix [rows, g_h*T] blew
+    Mosaic's 16 MB scoped VMEM at prefill_chunk=256 on v5e). Pin the
+    tiled shape against the jnp reference by forcing the threshold to 0
+    at a small T (distinct from other tests' shapes so jit retraces),
+    with and without a sliding window."""
+    import cxl_speckv_tpu.ops.chunk_attention_pallas as cap
+    from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
+
+    monkeypatch.setattr(cap, "_TILED_FRESH_MIN_BYTES", 0)
+    T = 48   # tg = T*G = 96 (sublane-aligned), ct picks 16
+    q, (kp, vp, ks, vs, table, lens, _, _) = setup(
+        KVDtype.INT8, lens=(5, 17, 31), seed=4)
+    B = table.shape[0]
+    rng = jax.random.split(jax.random.PRNGKey(11), 3)
+    qc = jax.random.normal(rng[0], (B, T, HQ, D))
+    kn = jax.random.normal(rng[1], (B, T, HKV, D))
+    vn = jax.random.normal(rng[2], (B, T, HKV, D))
+    start = jnp.asarray([5, 0, 31], jnp.int32)
+    want = paged_chunk_attention(qc, kn, vn, kp, vp, ks, vs, table, start,
+                                 KVDtype.INT8, window=window)
+    got = cap.paged_chunk_attention_pallas(
+        qc, kn, vn, kp, vp, ks, vs, table, start, KVDtype.INT8,
+        interpret=True, window=window)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("window,with_sinks", [(None, False), (24, False),
+                                               (None, True)])
+def test_chunk_kernel_row_tiled_matches_ref(window, with_sinks, monkeypatch):
+    """Grid-level query-row tiling (r5): chunks whose q rows exceed
+    _ROWS_PER_GRID_TILE split the token range over an extra grid axis
+    (per-step VMEM blew Mosaic's 16 MB scoped limit at prefill_chunk=256
+    on v5e). Force a 3-way tile at small T and pin against the jnp
+    reference — plain, windowed, and with GPT-OSS sink logits (the
+    operand whose row layout the tiling reorders)."""
+    import cxl_speckv_tpu.ops.chunk_attention_pallas as cap
+    from cxl_speckv_tpu.ops.chunk_attention import paged_chunk_attention
+
+    monkeypatch.setattr(cap, "_ROWS_PER_GRID_TILE", 64)
+    monkeypatch.setattr(cap, "_TILED_FRESH_MIN_BYTES", 0)
+    T = 48   # rows_full = 192 -> n_tt = 3 (Tt = 16, rows 64)
+    q, (kp, vp, ks, vs, table, lens, _, _) = setup(
+        KVDtype.INT8, lens=(6, 18, 30), seed=6)
+    B = table.shape[0]
+    rng = jax.random.split(jax.random.PRNGKey(13), 4)
+    qc = jax.random.normal(rng[0], (B, T, HQ, D))
+    kn = jax.random.normal(rng[1], (B, T, HKV, D))
+    vn = jax.random.normal(rng[2], (B, T, HKV, D))
+    sinks = (0.5 * jax.random.normal(rng[3], (HQ,)) if with_sinks else None)
+    start = jnp.asarray([6, 0, 30], jnp.int32)
+    want = paged_chunk_attention(qc, kn, vn, kp, vp, ks, vs, table, start,
+                                 KVDtype.INT8, window=window, sinks=sinks)
+    got = cap.paged_chunk_attention_pallas(
+        qc, kn, vn, kp, vp, ks, vs, table, start, KVDtype.INT8,
+        interpret=True, window=window, sinks=sinks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("sid,uni", [(0, KVDtype.INT8), (1, KVDtype.FP8)])
 def test_mixed8_kernel_matches_uniform(sid, uni):
     """MIXED8 (per-layer scheme id as data) must equal the uniform-scheme
