@@ -212,7 +212,16 @@ class EngineConfig:
 
     max_batch_size: int = 8             # concurrent decode slots
     max_seq_len: int = 2048
-    prefill_chunk: int = 256            # chunked-prefill tile (token count)
+    # chunked-prefill tile (token count). A STATIC program width: size it
+    # to the workload — below one chunk of prompt the padding wastes
+    # compute (bench.py sizes it to its 64-token prompts; measured 2x on
+    # the prefill phase), while LONG prompts want 512-1024: each chunk
+    # dispatch pays the dispatch constant, and on the host-streamed path
+    # re-gathers the whole prior context (total gather volume ~
+    # prompt^2/chunk — r5 measured 2 x 2048-token streamed prompts at
+    # chunk 128/256/512/1024: 5.0/3.1/2.1/1.6 s). Wide chunks run the
+    # row-tiled chunk kernel (ops/chunk_attention_pallas.py r5).
+    prefill_chunk: int = 256
     max_queue: int = 1024               # pending-request queue bound
     eos_token_id: int | None = None     # overrides model config when set
     # decode steps fused into one device program (in-graph sampling);

@@ -716,6 +716,11 @@ def decode_multi(
     updated pen_counts is appended LAST to the return tuple. Logprobs stay
     raw-distribution (pre-penalty), consistent with the temperature/top-p
     choice above.
+
+    With lstm_params/lstm_hist, the in-graph prefetch-LSTM continue
+    probability [B] rides home as ONE extra bitcast-f32 column of the
+    tokens array (tokens becomes [B, horizon + 1]) — not a separate
+    output, so the engine's per-round value fetch count stays at one.
     """
     from cxl_speckv_tpu.engine.sampling import penalize_and_count, sample_tokens
 
@@ -759,8 +764,15 @@ def decode_multi(
         # predictor would see after observe_tokens, so the value stays
         # valid until this lane decodes again (precisely the span the
         # prefetch gate consults while the lane waits for rotation).
+        # The probability rides HOME inside the tokens array as one
+        # bitcast f32 column (r5 thrash re-measure: a separate output
+        # means a separate value fetch, and on a remote-dispatch runtime
+        # every fetch is a ~10 ms round trip on the decode hot path).
         from cxl_speckv_tpu.prefetcher.lstm import lstm_pcont
-        out.append(lstm_pcont(lstm_params, lstm_hist, ys[0].T, lstm_eos))
+        pc = lstm_pcont(lstm_params, lstm_hist, ys[0].T, lstm_eos)
+        out[0] = jnp.concatenate(
+            [out[0], jax.lax.bitcast_convert_type(
+                pc.astype(jnp.float32), jnp.int32)[:, None]], axis=1)
     if pen_counts is not None:
         out.append(pen_counts)
     return tuple(out)
@@ -770,7 +782,7 @@ def decode_multi(
     jax.jit,
     static_argnames=("config", "kv_dtype", "use_pallas", "horizon", "top_k",
                      "rng_seed", "return_logits", "logprobs_k", "lstm_eos",
-                     "mesh"),
+                     "lstm_cols", "mesh"),
     donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales",
                      "pen_counts"),
 )
@@ -789,7 +801,6 @@ def decode_multi_packed(
     pen_info: jax.Array | None = None,    # [B, 5] int32 penalty metadata
     pen_counts: jax.Array | None = None,  # [rows + 1, V] int32 token stats
     lstm_params=None,
-    lstm_hist: jax.Array | None = None,
     *,
     horizon: int = 8,
     use_pallas: bool = False,
@@ -798,15 +809,18 @@ def decode_multi_packed(
     return_logits: bool = False,
     logprobs_k: int = 0,
     lstm_eos: int = -1,
+    lstm_cols: int = 0,   # trailing packed columns = bucketed histories
     mesh=None,
 ) -> tuple:
     """`decode_multi` with all per-round host inputs packed into ONE array —
     a single host->device transfer per engine round. On remote-dispatch
     runtimes each argument transfer costs a round trip; this is the decode
-    hot path, so everything rides one int32 matrix. With pen_info/pen_counts
-    the updated pen_counts is appended LAST; with lstm_params/lstm_hist the
-    in-graph prefetch-LSTM continue probability [B] is appended just before
-    it (see `decode_multi`)."""
+    hot path, so everything rides one int32 matrix — including (r5) the
+    in-graph pcont leg's bucketed 16-token histories as the LAST lstm_cols
+    columns (a separate [B, 16] operand was one more ~10 ms upload per
+    round). With pen_info/pen_counts the updated pen_counts is appended
+    LAST; with lstm_params the continue probability rides inside the
+    tokens array (see `decode_multi`)."""
     from cxl_speckv_tpu.engine.sampling import decode_sampling
 
     first_tokens = packed[:, 0]
@@ -814,7 +828,12 @@ def decode_multi_packed(
     temperatures, top_ps = decode_sampling(packed[:, 2])
     key = jnp.array([rng_seed, 0], jnp.uint32) + jnp.array(
         [0, 1], jnp.uint32) * packed[0, 3].astype(jnp.uint32)
-    block_table = packed[:, 4:]
+    if lstm_cols:
+        block_table = packed[:, 4:-lstm_cols]
+        lstm_hist = packed[:, -lstm_cols:]
+    else:
+        block_table = packed[:, 4:]
+        lstm_hist = None
     return decode_multi(
         params, config, kv_dtype, first_tokens, start_positions,
         k_pools, v_pools, k_scales, v_scales, block_table, key, temperatures,

@@ -30,6 +30,14 @@ def main():
     ap.add_argument("--horizon", type=int, default=1,
                     help="fused decode steps per dispatch (r4: the streamed "
                          "path stages context once and scans horizon steps)")
+    ap.add_argument("--chunk", type=int, default=128,
+                    help="prefill chunk width (r5: with fused decode the "
+                         "streamed wall clock is the PREFILL dispatch count "
+                         "— prompt/chunk dispatches per lane; wider chunks "
+                         "amortize the per-dispatch constant)")
+    ap.add_argument("--model", choices=("1b", "8b"), default="1b",
+                    help="8b = Llama-3-8B with W8A16 weights (r5: the "
+                         "north-star scale; bf16 8B would not fit v5e HBM)")
     args = ap.parse_args()
 
     import jax
@@ -38,11 +46,11 @@ def main():
     from cxl_speckv_tpu.config import (CacheConfig, EngineConfig, KVDtype,
                                        PrefetchConfig, SystemConfig)
     from cxl_speckv_tpu.engine.engine import Engine
-    from cxl_speckv_tpu.models.configs import llama_3_2_1b
-    from cxl_speckv_tpu.models.llama import init_params
+    from cxl_speckv_tpu.models.configs import llama_3_2_1b, llama_3_8b
+    from cxl_speckv_tpu.models.llama import init_params, init_params_quantized
 
     on_tpu = jax.default_backend() == "tpu"
-    config = llama_3_2_1b()
+    config = llama_3_2_1b() if args.model == "1b" else llama_3_8b()
     if not on_tpu:
         import dataclasses
         config = dataclasses.replace(config, num_layers=2, hidden_size=256,
@@ -50,7 +58,10 @@ def main():
                                      num_q_heads=8, num_kv_heads=4,
                                      head_dim=32, dtype="float32")
         args.prompt, args.gen = 96, 8
-    params = init_params(config, jax.random.PRNGKey(0))
+    if args.model == "8b" and on_tpu:
+        params = init_params_quantized(config, jax.random.PRNGKey(0))
+    else:
+        params = init_params(config, jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     bs = 32
@@ -67,8 +78,10 @@ def main():
                               kv_dtype=KVDtype.INT8),
             prefetch=PrefetchConfig(enabled=False),
             engine=EngineConfig(max_batch_size=args.lanes, max_seq_len=max_seq,
-                                prefill_chunk=128, stream_wave=128,
-                                decode_horizon=args.horizon),
+                                prefill_chunk=args.chunk, stream_wave=128,
+                                decode_horizon=args.horizon,
+                                weight_dtype=("int8" if args.model == "8b"
+                                              and on_tpu else "native")),
         )
         return Engine(config, sc, params=params, use_pallas=on_tpu,
                       enable_lstm=False, seed=0)
