@@ -145,11 +145,31 @@ def config_from_hf(hf_config) -> LlamaConfig:
     return LlamaConfig(**kw)
 
 
-def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None):
+def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None,
+                              weight_dtype: str = "native",
+                              host: bool | None = None):
     """Convert HF tensors (torch or numpy) to our pytree. Linear weights are
-    stored [out, in] in HF; we keep [in, out] so forward is `x @ W`."""
+    stored [out, in] in HF; we keep [in, out] so forward is `x @ W`.
+
+    weight_dtype "int8"/"int4" quantizes AT CONVERSION TIME (W8A16/W4A16,
+    `ops/wquant.quantize_weights`) — required for 8B-scale checkpoints on
+    a 16 GB chip, where the full-precision tree must never exist on
+    device. host=True (the default whenever weight_dtype != "native")
+    builds and quantizes the tree on the CPU backend; the int8 leaves
+    upload to the accelerator lazily at first use, so device peak is the
+    QUANTIZED size. The math is identical to the engine's on-device
+    `weight_dtype` quantization (same quantize_weights, f32)."""
+    import jax
     import jax.numpy as jnp
 
+    if host is None:
+        host = weight_dtype != "native"
+    if host:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            return params_from_hf_state_dict(
+                state_dict, config, dtype=dtype, weight_dtype=weight_dtype,
+                host=False)
     dtype = dtype or jnp.dtype(config.dtype)
 
     def get(name):
@@ -297,4 +317,10 @@ def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None):
             "model.layers.{}.self_attn.k_norm.weight", transpose=False)
     if not config.tie_embeddings:
         p["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype=dtype)
+    if weight_dtype != "native":
+        from cxl_speckv_tpu.ops.wquant import quantize_weights
+        if weight_dtype not in ("int8", "int4"):
+            raise ValueError(f"weight_dtype must be native/int8/int4, "
+                             f"got {weight_dtype!r}")
+        p = quantize_weights(p, bits=8 if weight_dtype == "int8" else 4)
     return p

@@ -98,6 +98,23 @@ def test_hf_parity(setup):
     got = np.asarray(forward_dense(params, cfg, jnp.asarray(tokens)[None])[0])
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    # r5: quantize-at-conversion (the 8B-on-16GB loading story — the
+    # full-precision tree must never exist on device) is byte-identical
+    # to converting full-precision and quantizing afterwards: same
+    # quantize_weights, f32 math, CPU backend.
+    from cxl_speckv_tpu.ops.wquant import is_quantized, quantize_weights
+    pq = params_from_hf_state_dict(hf_model.state_dict(), cfg,
+                                   dtype=jnp.float32, weight_dtype="int8")
+    assert is_quantized(pq)
+    want_q = quantize_weights(params)
+    for path_got, path_want in zip(
+            jax.tree_util.tree_leaves_with_path(pq),
+            jax.tree_util.tree_leaves_with_path(want_q)):
+        assert path_got[0] == path_want[0]
+        np.testing.assert_array_equal(np.asarray(path_got[1]),
+                                      np.asarray(path_want[1]),
+                                      err_msg=str(path_got[0]))
+
 
 def test_paged_bf16_matches_dense(setup):
     params, tokens = setup
