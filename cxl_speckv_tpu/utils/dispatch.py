@@ -74,13 +74,17 @@ _STEP_FLOOR_MS = 1.5
 def derive_decode_horizon(param_bytes: int, cap: int = 32) -> int:
     """Pick decode_horizon from the measured dispatch constant and the
     model's weight-stream size: the next power of two of
-    6 * dispatch_ms / step_ms, clamped to [1, cap]. Calibration points
-    (r4/r5 measurements): 1B-int8 on the remote v5e runtime derives 16-32
-    (benched optimum 32, >=83% at 16); 8B-int8 derives 8-16 (benched at
-    16, >=92% at 8); CPU/local backends derive 1 (dispatch is ~free, fused
-    horizons only add stop latency)."""
+    12 * dispatch_ms / step_ms, clamped to [1, cap]. Calibration points
+    (r4/r5 measurements, all on the remote v5e runtime's ~25 ms
+    constant): 1B-int8 derives 32 (benched optimum 32, >=83% at 16);
+    8B-int8 derives 32 (r5 A/B: h=32 is +19% serving throughput and a
+    better p50 TPOT than h=16 — the weight stream hides more of the
+    per-step floor than the r4 model assumed — at the cost of ~65%
+    worse TTFT under a saturated admission queue, the documented
+    horizon trade); CPU/local backends derive 1 (dispatch is ~free,
+    fused horizons only add stop latency)."""
     step_ms = param_bytes / _STREAM_BPS * 1000.0 + _STEP_FLOOR_MS
-    ratio = 6.0 * measured_dispatch_ms() / step_ms
+    ratio = 12.0 * measured_dispatch_ms() / step_ms
     h = 1
     while h < min(ratio, cap):
         h *= 2

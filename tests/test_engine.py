@@ -284,9 +284,11 @@ def test_decode_horizon_auto_derivation():
 
     saved = dd._dispatch_ms_cache
     try:
-        dd._dispatch_ms_cache = 10.0      # remote-tunnel-class dispatch
+        dd._dispatch_ms_cache = 25.0      # remote-tunnel-class dispatch
         assert derive_decode_horizon(int(1.24e9)) == 32   # 1B int8
-        assert derive_decode_horizon(int(8.0e9)) == 8     # 8B int8
+        assert derive_decode_horizon(int(8.0e9)) == 32    # 8B int8 (r5 A/B)
+        dd._dispatch_ms_cache = 5.0       # faster remote dispatch
+        assert derive_decode_horizon(int(8.0e9)) == 8
         dd._dispatch_ms_cache = 0.1       # local-backend-class dispatch
         assert derive_decode_horizon(int(1.24e9)) == 1
         # SPECKV_DISPATCH_MS pins the constant without measuring (the
