@@ -35,14 +35,16 @@ import numpy as np
 def build_engine(model_config, params, *, hbm_blocks, host_blocks, batch,
                  max_seq_len, horizon, quantum, use_pallas, prefetch,
                  lstm=None, block_size=32, weight_dtype="native",
-                 prefill_lanes=0, prefill_chunk=128, ingraph_pcont=True):
+                 prefill_lanes=0, prefill_chunk=128, ingraph_pcont=True,
+                 kv_dtype="int8"):
     from cxl_speckv_tpu.config import (
         CacheConfig, EngineConfig, KVDtype, PrefetchConfig, SystemConfig)
     from cxl_speckv_tpu.engine.engine import Engine
 
     sc = SystemConfig(
         cache=CacheConfig(block_size=block_size, num_hbm_blocks=hbm_blocks,
-                          num_host_blocks=host_blocks, kv_dtype=KVDtype.INT8,
+                          num_host_blocks=host_blocks,
+                          kv_dtype=KVDtype(kv_dtype),
                           prefetch_reserve_frac=0.25),
         prefetch=PrefetchConfig(depth=4, min_depth=3, enabled=prefetch,
                                 train_online=prefetch,
@@ -253,6 +255,10 @@ def main():
     # (TTFT lever, r5); longer prompts still chunk at 128.
     prefill_chunk = int(os.environ.get(
         "SPECKV_BENCH_CHUNK", min(128, max(32, prompt_len))))
+    # KV scheme arm (int8 default = the 2x-compression serving config;
+    # int4 doubles effective KV capacity again at +1.35% ppl measured —
+    # kv_quant_ppl.py). Applied to BOTH arms, like the weight scheme.
+    kv_scheme = os.environ.get("SPECKV_BENCH_KV", "int8")
     max_seq = prompt_len + gen + bs
     blocks_per_seq = -(-max_seq // bs)
     # HBM double-buffers: the pinned active batch + the prefetching next
@@ -263,7 +269,8 @@ def main():
     geo = dict(hbm_blocks=hbm_blocks, host_blocks=host_blocks, batch=batch,
                max_seq_len=max_seq, horizon=horizon, quantum=quantum,
                use_pallas=on_tpu, block_size=bs, weight_dtype=weight_dtype,
-               prefill_lanes=prefill_lanes, prefill_chunk=prefill_chunk)
+               prefill_lanes=prefill_lanes, prefill_chunk=prefill_chunk,
+               kv_dtype=kv_scheme)
     print(f"# geometry: hbm={hbm_blocks} blocks, live demand={total_demand} "
           f"({total_demand/hbm_blocks:.1f}x oversubscribed), "
           f"{n_requests} seqs x {prompt_len}+{gen} tok", file=sys.stderr)
@@ -331,7 +338,8 @@ def main():
     # tunnel-glitched pair instead of averaging it in
     per_hbm = float(np.median(ratios))
     print(json.dumps({
-        "metric": "decode_throughput_per_hbm_vs_ample_4x_oversub_int8kv",
+        "metric": ("decode_throughput_per_hbm_vs_ample_4x_oversub_"
+                   f"{kv_scheme}kv"),
         "model": {"1b": "llama-3.2-1b", "8b": "llama-3-8b"}[model],
         "value": round(tps_t, 2),
         "unit": "tok/s",
