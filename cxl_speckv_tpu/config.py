@@ -239,7 +239,8 @@ class EngineConfig:
     # constant once per process and derives the horizon from it and the
     # model's weight-stream size (utils/dispatch.py; the resolved value is
     # written back into this field at engine build). Remote v5e derives
-    # 8-32 by model size; CPU/local backends derive 1.
+    # 32 at the measured ~25 ms tunnel constant (8-16 on faster remotes);
+    # CPU/local backends derive 1.
     decode_horizon: int = 0
     # scheduling quantum: a decode group keeps its slot for this many engine
     # steps before the round-robin rotates — batches stay stable long enough
