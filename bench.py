@@ -117,18 +117,14 @@ def utilization(eng, config, st, prompt_len, gen):
     # eng.params, not the caller's fp copy: under weight_dtype="int8" the
     # engine streams 1 weight byte/elem plus the small per-channel scale
     # planes; FLOPs are dtype-independent (the matmul still runs bf16)
+    from cxl_speckv_tpu.utils.dispatch import params_byte_size
+
     leaves = jax.tree_util.tree_leaves(
         eng.params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
-    def leaf_bytes(x):
-        if isinstance(x, QuantizedTensor):
-            # jax reports int4 itemsize as 1 (unpacked view); the HBM
-            # stream is nibble-packed
-            qb = 0.5 if x.q.dtype == jnp.int4 else x.q.dtype.itemsize
-            return x.q.size * qb + x.s.size * x.s.dtype.itemsize
-        return x.size * x.dtype.itemsize
-
     param_count = sum(x.size for x in leaves)
-    param_bytes = sum(leaf_bytes(x) for x in leaves)
+    # one shared accounting with the auto-horizon derivation
+    # (QuantizedTensor-aware, int4 nibble-packed) so the two can't drift
+    param_bytes = params_byte_size(eng.params)
     # matmul-active params: the input-embedding gather is not a matmul;
     # the logits projection is (tied configs reuse the embedding table —
     # then it IS matmul-active and already counted once)
@@ -188,9 +184,18 @@ def main():
                                      num_q_heads=8, num_kv_heads=4, head_dim=32,
                                      dtype="float32")
     if model == "8b" and on_tpu:
-        if os.environ.get("SPECKV_BENCH_WQ", "1") in ("0", "native"):
+        _wq8 = os.environ.get("SPECKV_BENCH_WQ", "1")
+        if _wq8 in ("0", "native"):
             raise SystemExit("8B bf16 weights (16 GB) cannot fit v5e HBM; "
                              "the 8B arm requires SPECKV_BENCH_WQ=1 (W8A16)")
+        if _wq8 == "int4":
+            # W4A16 is blocked on this runtime (NOTES_ROUND4: S4 rejected
+            # as jit argument, lax.map carry, and Mosaic operand) — and
+            # silently serving int8 under an int4 label would misreport
+            # the arm (init_params_quantized defaults to bits=8)
+            raise SystemExit("SPECKV_BENCH_WQ=int4 is not servable on this "
+                             "runtime (NOTES_ROUND4 W4A16 probes); the 8B "
+                             "arm supports int8 only")
         params = init_params_quantized(config, jax.random.PRNGKey(0))
     else:
         params = init_params(config, jax.random.PRNGKey(0))

@@ -155,9 +155,11 @@ def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None,
     `ops/wquant.quantize_weights`) — required for 8B-scale checkpoints on
     a 16 GB chip, where the full-precision tree must never exist on
     device. host=True (the default whenever weight_dtype != "native")
-    builds and quantizes the tree on the CPU backend; the int8 leaves
-    upload to the accelerator lazily at first use, so device peak is the
-    QUANTIZED size. The math is identical to the engine's on-device
+    builds and quantizes the tree on the CPU backend, then uploads the
+    QUANTIZED leaves to the default accelerator device in one
+    device_put — device peak is the quantized size, and the weights are
+    device-committed (CPU-committed leaves would re-transfer on every
+    dispatch). The math is identical to the engine's on-device
     `weight_dtype` quantization (same quantize_weights, f32)."""
     import jax
     import jax.numpy as jnp
@@ -167,9 +169,13 @@ def params_from_hf_state_dict(state_dict, config: LlamaConfig, dtype=None,
     if host:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            return params_from_hf_state_dict(
+            p = params_from_hf_state_dict(
                 state_dict, config, dtype=dtype, weight_dtype=weight_dtype,
                 host=False)
+        dev = jax.devices()[0]
+        if dev == cpu:
+            return p
+        return jax.device_put(p, dev)
     dtype = dtype or jnp.dtype(config.dtype)
 
     def get(name):

@@ -148,7 +148,9 @@ class PrefetchController:
         for s, p in zip(seq_slots, np.atleast_1d(np.asarray(probs))):
             if s in self._histories:
                 self._pcont[s] = (self._hist_version.get(s, 0), float(p))
-        self.stats.ingraph_pcont += len(seq_slots)
+                # count only lanes actually installed — finished lanes'
+                # histories are gone and their device value is discarded
+                self.stats.ingraph_pcont += 1
 
     # -- the per-step plan ---------------------------------------------------
 

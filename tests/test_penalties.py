@@ -478,18 +478,30 @@ def test_streamed_unpenalized_lane_isolated_from_penalized():
 
 
 def test_streamed_session_turn_penalties():
-    """Per-turn penalty state on a streamed session: turn 2 with penalties
-    matches a fresh penalized request fed the full history (greedy)."""
+    """Per-turn penalty state on a streamed session turn matches the
+    POOLED session turn token-for-token (greedy). The documented
+    per-turn semantics (continue_session docstring): counts reset at the
+    turn's first chunk and the repetition span covers the tokens this
+    turn FEEDS — a live restored turn does not re-scan KV-resident
+    history — so the parity reference is a pooled session at the same
+    point, not a fresh request fed the full history."""
     long_prompt = prompts(1, seed=24, lo=40, hi=41)[0]
-    eng = make_stream_engine()
-    rid = eng.add_request(long_prompt, max_new_tokens=6, session=True,
-                          ignore_eos=True)
-    out1 = {o.req_id: o for o in eng.run()}[rid]
     cont = [9, 4, 2]
-    rid2 = eng.continue_session(out1.session_id, cont, max_new_tokens=6,
-                                **PEN_KW)
-    out2 = {o.req_id: o for o in eng.run()}[rid2]
-    assert len(out2.tokens) == 6
+
+    def two_turns(eng):
+        rid = eng.add_request(long_prompt, max_new_tokens=6, session=True,
+                              ignore_eos=True)
+        out1 = {o.req_id: o for o in eng.run()}[rid]
+        rid2 = eng.continue_session(out1.session_id, cont, max_new_tokens=6,
+                                    **PEN_KW)
+        out2 = {o.req_id: o for o in eng.run()}[rid2]
+        return out1.tokens, out2.tokens
+
+    s1, s2 = two_turns(make_stream_engine())
+    p1, p2 = two_turns(make_engine(hbm_blocks=64))
+    assert len(s2) == 6
+    assert s1 == p1          # turn 1 (penalty-free) cross-path identity
+    assert s2 == p2          # penalized turn 2: streamed == pooled
 
 
 def test_cancel_frees_row():
