@@ -47,37 +47,53 @@ from cxl_speckv_tpu.ops.quant import kv_storage_dtype
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("gamma",))
-def _accept_program(target_logits, draft_logits, drafts, temps, top_ps, key,
-                    *, gamma: int):
+def _accept_core(target_logits, draft_logits, drafts, temps, top_ps, key,
+                 *, gamma: int):
     """Per-lane acceptance on device. target_logits [B, gamma+1, V] (row j
     scores drafts[:, j]; last row is the bonus position), draft_logits
     [B, gamma, V] (the proposal distributions the drafts were sampled
     from), drafts [B, gamma] int32, temps [B] f32 (<= 0 greedy).
     Returns (n_acc [B] int32, final_token [B] int32) — emitted tokens are
-    drafts[:n_acc] + [final_token]."""
+    drafts[:n_acc] + [final_token]. Undecorated trace body shared by the
+    standalone `_accept_program` and the fused `_verify_accept_program`.
+
+    `draft_logits=None` means the proposals are DETERMINISTIC (n-gram /
+    lookup drafts): q is the one-hot at drafts, so q(t_j) = 1 (accept with
+    probability p(t_j)) and the rejection residual is p with index t_j
+    zeroed — the one-hot-q law computed WITHOUT materializing a
+    [B, gamma, V] proposal tensor (16 MB at 128k vocab) or its builder
+    dispatch."""
     from cxl_speckv_tpu.engine.sampling import nucleus_filter
 
     eps = 1e-20
+    onehot_q = draft_logits is None
     preds = jnp.argmax(target_logits, axis=-1)            # [B, g+1]
     greedy_acc = preds[:, :gamma] == drafts               # [B, g]
     t = jnp.maximum(temps, 1e-6)[:, None, None]
     p = jax.nn.softmax(target_logits[:, :gamma] / t, axis=-1)  # [B, g, V]
-    q = jax.nn.softmax(draft_logits / t, axis=-1)
+    q = None if onehot_q else jax.nn.softmax(draft_logits / t, axis=-1)
     # top-p lanes: the speculative-sampling rule runs on the NUCLEUS-FILTERED
     # p and q (the draft was sampled from filtered q in-graph), preserving
     # the exactness guarantee w.r.t. plain top-p target sampling. The filter
     # costs full-vocab sorts — lax.cond keeps them out of the executed path
-    # unless some lane actually uses top-p.
+    # unless some lane actually uses top-p. (A one-hot q is a fixed point of
+    # the filter, so the deterministic-proposal path filters p alone.)
     nucleus_active = jnp.any((top_ps > 0.0) & (top_ps < 1.0)
                              & (temps > 0.0))
-    p, q = jax.lax.cond(
-        nucleus_active,
-        lambda pq: (nucleus_filter(pq[0], top_ps[:, None]),
-                    nucleus_filter(pq[1], top_ps[:, None])),
-        lambda pq: pq, (p, q))
+    if onehot_q:
+        p = jax.lax.cond(
+            nucleus_active,
+            lambda pp: nucleus_filter(pp, top_ps[:, None]),
+            lambda pp: pp, p)
+    else:
+        p, q = jax.lax.cond(
+            nucleus_active,
+            lambda pq: (nucleus_filter(pq[0], top_ps[:, None]),
+                        nucleus_filter(pq[1], top_ps[:, None])),
+            lambda pq: pq, (p, q))
     pt = jnp.take_along_axis(p, drafts[..., None], axis=-1)[..., 0]  # [B, g]
-    qt = jnp.take_along_axis(q, drafts[..., None], axis=-1)[..., 0]
+    qt = (jnp.ones_like(pt) if onehot_q else
+          jnp.take_along_axis(q, drafts[..., None], axis=-1)[..., 0])
     k_u, k_r = jax.random.split(key)
     u = jax.random.uniform(k_u, drafts.shape)
     samp_acc = u * qt <= pt          # accept iff u <= p(t)/q(t); q(t) > 0
@@ -87,7 +103,11 @@ def _accept_program(target_logits, draft_logits, drafts, temps, top_ps, key,
     all_acc = n_acc >= gamma
     idx = jnp.minimum(n_acc, gamma - 1)
     p_at = jnp.take_along_axis(p, idx[:, None, None], axis=1)[:, 0]  # [B, V]
-    q_at = jnp.take_along_axis(q, idx[:, None, None], axis=1)[:, 0]
+    if onehot_q:
+        t_at = jnp.take_along_axis(drafts, idx[:, None], axis=1)     # [B, 1]
+        q_at = jax.nn.one_hot(t_at[:, 0], p.shape[-1], dtype=p.dtype)
+    else:
+        q_at = jnp.take_along_axis(q, idx[:, None, None], axis=1)[:, 0]
     resid = jnp.maximum(p_at - q_at, 0.0)
     rs = resid.sum(-1, keepdims=True)
     # residual can vanish only if p == q at that position; fall back to p
@@ -103,6 +123,55 @@ def _accept_program(target_logits, draft_logits, drafts, temps, top_ps, key,
         preds, jnp.minimum(n_acc, gamma)[:, None], axis=1)[:, 0]
     final = jnp.where(temps <= 0.0, greedy_final, sampled_final)
     return n_acc.astype(jnp.int32), final.astype(jnp.int32)
+
+
+_accept_program = functools.partial(
+    jax.jit, static_argnames=("gamma",))(_accept_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "gamma", "use_pallas", "mesh",
+                     "logprobs_k"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
+)
+def _verify_accept_program(params, config, kv_dtype, token_ids, start_pos,
+                           k_pools, v_pools, k_scales, v_scales,
+                           block_tables, active, draft_logits, drafts,
+                           temps, top_ps, key, *, gamma: int,
+                           use_pallas: bool = False, mesh=None,
+                           logprobs_k: int = 0):
+    """Verify + accept fused into ONE program (r5): the target scores all
+    gamma+1 positions and the acceptance rule runs on the logits where they
+    were produced — the host fetches two [B] int vectors and never pays a
+    second dispatch. On this runtime's remote tunnel each dispatch costs
+    ~25 ms (NOTES_ROUND4 round_anatomy), so at one spec round per tick the
+    fusion removes a third of the round's fixed cost (draft arm) or half
+    (n-gram arm, whose proposal is host-side and free).
+
+    With `logprobs_k`, the emitted-token logprob rows (accepted drafts,
+    then the correction/bonus at row n_acc) and top-k tables come back too
+    — built in-graph from n_acc/final, the same construction the engine
+    previously did on host from fetched vectors."""
+    from cxl_speckv_tpu.models.llama import token_logprobs, verify_impl
+
+    logits, *pools = verify_impl(
+        params, config, kv_dtype, token_ids, start_pos,
+        k_pools, v_pools, k_scales, v_scales, block_tables, active,
+        use_pallas=use_pallas, mesh=mesh)
+    n_acc, final = _accept_core(logits, draft_logits, drafts, temps,
+                                top_ps, key, gamma=gamma)
+    # one [2, B] array = ONE host fetch for the round's whole verdict
+    out = (jnp.stack([n_acc, final]), *pools)
+    if logprobs_k:
+        B = drafts.shape[0]
+        j = jnp.arange(gamma + 1)[None, :]
+        drafts_p = jnp.concatenate(
+            [drafts, jnp.zeros((B, 1), jnp.int32)], axis=1)
+        tok_mat = jnp.where(j == n_acc[:, None], final[:, None], drafts_p)
+        tok_mat = jnp.where(j > n_acc[:, None], 0, tok_mat)
+        out += tuple(token_logprobs(logits, tok_mat, k=logprobs_k))
+    return out
 
 
 @dataclass
@@ -178,6 +247,40 @@ class _AcceptanceMixin:
             self.stats.bonus += 1
         self.stats.rounds += 1
         return emitted, n_acc
+
+    def verify_accept(self, params, config, kv_dtype, verify_tokens,
+                      positions, pools, block_tables, active, drafts,
+                      temps, key, *, top_ps=None, use_pallas=False,
+                      mesh=None, logprobs_k=0):
+        """One-dispatch spec round tail: target verify + in-graph acceptance
+        (`_verify_accept_program`). Same semantics and statistics as the
+        verify_step + `accept` pair, minus one dispatch. Returns
+        (emitted tokens per lane, n_acc [B], updated pools, logprob arrays
+        or None)."""
+        if top_ps is None:
+            top_ps = np.zeros_like(np.asarray(temps, np.float32))
+        verdict_d, *rest = _verify_accept_program(
+            params, config, kv_dtype, verify_tokens, positions, *pools,
+            block_tables, active, self._draft_logits, jnp.asarray(drafts),
+            jnp.asarray(np.asarray(temps, np.float32)),
+            jnp.asarray(np.asarray(top_ps, np.float32)), jnp.asarray(key),
+            gamma=self.gamma, use_pallas=use_pallas, mesh=mesh,
+            logprobs_k=logprobs_k)
+        new_pools = tuple(rest[:4])
+        lp_arrs = (tuple(self._fetch(a) for a in rest[4:7])
+                   if logprobs_k else None)
+        n_acc, final = self._fetch(verdict_d)
+        emitted: list[list[int]] = []
+        for b in range(drafts.shape[0]):
+            if not active[b]:
+                emitted.append([])
+                continue
+            j = int(n_acc[b])
+            emitted.append([int(x) for x in drafts[b, :j]] + [int(final[b])])
+            self.stats.accepted += j
+            self.stats.bonus += 1
+        self.stats.rounds += 1
+        return emitted, n_acc, new_pools, lp_arrs
 
     def accept_greedy(self, drafts: np.ndarray, target_logits: np.ndarray,
                       active: np.ndarray) -> tuple[list[list[int]], np.ndarray]:
@@ -383,17 +486,6 @@ class SpecDecoder(_AcceptanceMixin):
         return drafts
 
 
-@functools.partial(jax.jit, static_argnames=("vocab",))
-def _one_hot_logits(drafts, *, vocab: int):
-    """Proposal 'logits' for deterministic (lookup) drafts: softmax of
-    one_hot * 1e4 at any serving temperature is exactly one-hot in f32,
-    so q(t_j) = 1 in the acceptance rule — accept with probability p(t_j),
-    and the rejection residual max(p - onehot, 0) renormalizes to p
-    excluding t_j. The emitted law is exactly the plain target-sampling
-    law (P[t_j] = p(t_j); P[s != t_j] = (1 - p(t_j)) * p(s)/(1 - p(t_j)))."""
-    return jax.nn.one_hot(drafts, vocab, dtype=jnp.float32) * 1e4
-
-
 class NgramProposer(_AcceptanceMixin):
     """Draft-model-free speculation: prompt-lookup (n-gram) proposals.
 
@@ -404,8 +496,11 @@ class NgramProposer(_AcceptanceMixin):
     repetitive continuations (summarization, code edits, retrieval-heavy
     prompts), and harmless when wrong: the target's verify pass costs the
     same either way, greedy lanes stay token-identical to plain decoding,
-    and sampled lanes keep the exact target-sampling law (one-hot q in the
-    acceptance rule — see `_one_hot_logits`).
+    and sampled lanes keep the exact target-sampling law: with a one-hot
+    proposal q, q(t_j) = 1 so the rule accepts with probability p(t_j) and
+    the rejection residual max(p - onehot, 0) renormalizes to p excluding
+    t_j — P[t_j] = p(t_j), P[s != t_j] = (1 - p(t_j)) * p(s)/(1 - p(t_j)),
+    exactly plain target sampling (`_accept_core`, draft_logits=None).
 
     The engine-facing surface mirrors `SpecDecoder` (same propose/verify/
     accept cycle against the target's `verify_step`) but there is NO draft
@@ -502,7 +597,10 @@ class NgramProposer(_AcceptanceMixin):
                 if 0 <= fb[j] < self.vocab:
                     drafts[i, :] = fb[j]
                     self.stats.fallback_seeded += 1
-        self._draft_logits = _one_hot_logits(jnp.asarray(drafts),
-                                             vocab=self.vocab)
+        # deterministic proposals: q is the one-hot at drafts. Acceptance
+        # (fused or standalone) computes that law in-graph from `drafts`
+        # alone (draft_logits=None, `_accept_core`) — no [B, gamma, V]
+        # proposal tensor (16 MB at 128k vocab) and no builder dispatch.
+        self._draft_logits = None
         self.stats.drafted += int(np.asarray(active).sum()) * self.gamma
         return drafts

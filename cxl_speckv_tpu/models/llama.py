@@ -1842,12 +1842,7 @@ def stream_decode_multi_batched(
 # verify step (speculative decoding: score a chunk of proposed tokens)
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "kv_dtype", "use_pallas", "mesh"),
-    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
-)
-def verify_step(
+def verify_impl(
     params: Params,
     config: LlamaConfig,
     kv_dtype: KVDtype,
@@ -1873,6 +1868,11 @@ def verify_step(
     overwritten on the next append — speculative KV needs no rollback (the
     reference's lazy-invalidation philosophy,
     `speculative_prefetcher.cpp:84-97`, applied to the cache itself).
+
+    Undecorated trace body: `verify_step` is the jitted standalone program;
+    the engine's fused verify+accept round (`engine/spec.py:
+    _verify_accept_program`) inlines this same trace so both spend ONE
+    weight stream per round, and the fused path one dispatch.
     """
     _, attend_chunk = _attend_fns(config, use_pallas, mesh)
     c = config
@@ -1949,6 +1949,13 @@ def verify_step(
     x = _norm(x, params["final_norm"], c)
     logits = _final_logits(x, params, c)
     return logits, k_pools, v_pools, k_scales, v_scales
+
+
+verify_step = functools.partial(
+    jax.jit,
+    static_argnames=("config", "kv_dtype", "use_pallas", "mesh"),
+    donate_argnames=("k_pools", "v_pools", "k_scales", "v_scales"),
+)(verify_impl)
 
 
 # ---------------------------------------------------------------------------
