@@ -206,7 +206,12 @@ def main():
             st = eng.get_statistics()
             row = {"tok_s": toks / dt, "wall_s": dt, "tokens": toks,
                    "hit_rate": st["directory"]["hit_rate"],
-                   "decode_s": st["engine"]["decode_time_s"]}
+                   "migrations": (st["transfer"]["up_transfers"]
+                                  + st["transfer"]["down_transfers"]),
+                   "decode_s": st["engine"]["decode_time_s"],
+                   "phases": {k: round(v.get("total_s", 0.0), 2)
+                              for k, v in sorted(st["phases"].items())
+                              if v.get("total_s", 0.0) > 0.01}}
             if spec:
                 sp = st["spec"]
                 row.update(acceptance=sp["acceptance_rate"],
