@@ -61,7 +61,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def build(model_config, params, *, batch, n_requests, prompt_len, gen,
           horizon, use_pallas, weight_dtype, spec=None, gamma=4,
-          draft_config=None, draft_params=None, bs=32, prefill_chunk=None):
+          draft_config=None, draft_params=None, bs=32, prefill_chunk=None,
+          quantum=4):
     from cxl_speckv_tpu.config import (
         CacheConfig, EngineConfig, KVDtype, PrefetchConfig, SystemConfig)
     from cxl_speckv_tpu.engine.engine import Engine
@@ -79,7 +80,7 @@ def build(model_config, params, *, batch, n_requests, prompt_len, gen,
         engine=EngineConfig(max_batch_size=batch, max_seq_len=max_seq,
                             prefill_chunk=prefill_chunk
                             or min(128, max(32, prompt_len)),
-                            decode_horizon=horizon, sched_quantum=4,
+                            decode_horizon=horizon, sched_quantum=quantum,
                             weight_dtype=weight_dtype),
     )
     kw = {}
@@ -125,6 +126,13 @@ def main():
     ap.add_argument("--gen", type=int, default=64)
     ap.add_argument("--horizon", type=int, default=0,
                     help="plain arm's fused horizon (0 = auto)")
+    ap.add_argument("--quantum", type=int, default=4,
+                    help="scheduler stint length in ticks. A spec ROUND is "
+                    "one tick, so quantum bounds how many rounds amortize a "
+                    "group's residency migrations — the spec-path analog of "
+                    "the plain arm's fused horizon (which packs "
+                    "decode_horizon steps into ONE tick and so amortizes "
+                    "in-program instead)")
     ap.add_argument("--reps", type=int, default=1)
     args = ap.parse_args()
 
@@ -188,7 +196,8 @@ def main():
         eng, oversub = build(config, params, batch=args.batch,
                              horizon=horizon, use_pallas=on_tpu,
                              weight_dtype=weight_dtype, spec=spec, gamma=g,
-                             draft_config=dc, draft_params=dp, **wl)
+                             draft_config=dc, draft_params=dp,
+                             quantum=args.quantum, **wl)
         # warm: full workload once (compiles + remote program caches)
         run(eng, seed=99, **wl)
         print(f"# {arm}: warm done {time.monotonic()-t0:.0f}s",
@@ -201,7 +210,7 @@ def main():
                                  horizon=horizon, use_pallas=on_tpu,
                                  weight_dtype=weight_dtype, spec=spec,
                                  gamma=g, draft_config=dc, draft_params=dp,
-                                 **wl)
+                                 quantum=args.quantum, **wl)
             toks, dt = run(eng, seed=0, **wl)
             st = eng.get_statistics()
             row = {"tok_s": toks / dt, "wall_s": dt, "tokens": toks,
@@ -209,7 +218,9 @@ def main():
                    "migrations": (st["transfer"]["up_transfers"]
                                   + st["transfer"]["down_transfers"]),
                    "decode_s": st["engine"]["decode_time_s"],
-                   "phases": {k: round(v.get("total_s", 0.0), 2)
+                   "phases": {k: {"total_s": round(v.get("total_s", 0.0), 2),
+                                  "p50_ms": round(v.get("p50_ms", 0.0), 1),
+                                  "p95_ms": round(v.get("p95_ms", 0.0), 1)}
                               for k, v in sorted(st["phases"].items())
                               if v.get("total_s", 0.0) > 0.01}}
             if spec:
@@ -235,6 +246,7 @@ def main():
     # derived machine constants: speedup(a) from measured costs
     out = {"model": model, "gamma": args.gamma, "batch": args.batch,
            "workload": f"{args.n}x{args.prompt}+{args.gen}",
+           "quantum": args.quantum,
            "oversubscription": round(oversub, 2), "arms": results}
     if "plain" in results and "ngram" in results:
         # per-lane-token cost of each round type, measured
